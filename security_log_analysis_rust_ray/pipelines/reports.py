@@ -1,0 +1,159 @@
+"""End-to-end transcript pipelines (the reference's query surface re-expressed
+as lazy Ray Data pipelines).  Each function takes ``sf_dir`` and returns a
+Dataset; the matching oracle SQL lives in ``__ray_entry__.oracle_sql()``.
+
+Reference parity map (SURVEY §2): parse P1-P9, enrich T1/T2 + J1-J4,
+aggregates A1-A5, sorts O1-O5, dedup D1-D6, filters P13/P14.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.readers import read_transcripts
+from ..stages import aggregate as agg
+from ..stages import dedup as dd
+from ..stages.enrich import EnrichActor
+from ..stages.parse import intrusion_view, message_view, route_parse
+
+INCREMENTAL_CUTOFF = "2024-01-15 00:00:00"
+
+# actor-pool sizing for the enrich stage: small pool, autoscaling; each actor
+# holds the broadcast dicts once (T1) — tune via bench, not per-call.
+ENRICH_CONCURRENCY = (2, 8)
+ENRICH_BATCH = 32 * 1024
+
+
+def routed_ds(sf_dir: str, repeat: int = 1) -> rd.Dataset:
+    """read -> single-pass route+parse (stateless map_batches)."""
+    return read_transcripts(sf_dir, repeat=repeat).map_batches(
+        route_parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def transcripts(sf_dir: str) -> rd.Dataset:
+    """Identity over the input corpus (synth parity check)."""
+    return read_transcripts(sf_dir)
+
+
+def parsed(sf_dir: str) -> rd.Dataset:
+    """parsed/ sink: routed intrusion rows (reference intrusion_log)."""
+    return routed_ds(sf_dir).map_batches(intrusion_view, batch_format="pyarrow")
+
+
+def messages(sf_dir: str) -> rd.Dataset:
+    """messages/ sink (reference systemd_log_messages)."""
+    return routed_ds(sf_dir).map_batches(message_view, batch_format="pyarrow")
+
+
+def route_counts(sf_dir: str) -> rd.Dataset:
+    """Per-service routed row counts (router conformance aggregate)."""
+    return agg.grouped_count(parsed(sf_dir), ["service"])
+
+
+def parsed_dedup(sf_dir: str) -> rd.Dataset:
+    """D1/D2/D5: natural-key dedup of the parsed sink, keep-first."""
+    return dd.dedup_keep_first(parsed(sf_dir))
+
+
+def enriched(sf_dir: str) -> rd.Dataset:
+    """J1: parsed LEFT-join host_country->country_code via broadcast lookup
+    (dims held per actor; misses stay null)."""
+    return parsed(sf_dir).map_batches(
+        EnrichActor, batch_format="pyarrow",
+        concurrency=ENRICH_CONCURRENCY, batch_size=ENRICH_BATCH)
+
+
+def enriched_resolved(sf_dir: str) -> rd.Dataset:
+    """T2: enrich with deterministic miss resolution (whois analog)."""
+    return parsed(sf_dir).map_batches(
+        EnrichActor, fn_constructor_kwargs={"resolve_misses": True},
+        batch_format="pyarrow",
+        concurrency=ENRICH_CONCURRENCY, batch_size=ENRICH_BATCH)
+
+
+def dim_updates(sf_dir: str) -> rd.Dataset:
+    """T2 write-through side output: distinct (host, code) discovered by the
+    miss resolver — the rows that would be inserted into host_country."""
+    res = enriched_resolved(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["enrich_source"], "resolved")),
+        batch_format="pyarrow")
+    return dd.distinct_rows(res, ["host", "code"])
+
+
+def dangling_hosts(sf_dir: str) -> rd.Dataset:
+    """J3 anti-join: distinct parsed hosts with no host_country row
+    (/root/reference/src/models.rs:166-189), via broadcast membership."""
+    miss = enriched(sf_dir).map_batches(
+        lambda b: b.filter(pc.is_null(b["code"])), batch_format="pyarrow")
+    return dd.distinct_rows(miss, ["host"])
+
+
+def country_counts(sf_dir: str) -> rd.Dataset:
+    """A1/A2 + J2: inner-join enrich then per-country count, sorted desc
+    (deterministic country asc tie-break)."""
+    inner = enriched(sf_dir).map_batches(
+        lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow")
+    return agg.grouped_count(inner, ["country"]).sort(
+        ["cnt", "country"], descending=[True, False])
+
+
+def top10_countries(sf_dir: str) -> rd.Dataset:
+    """O2/O3: top-10 attack countries (reference take(10),
+    src/parse_opts.rs:228-229)."""
+    inner = enriched(sf_dir).map_batches(
+        lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow")
+    return agg.top_k(agg.grouped_count(inner, ["country"]), "cnt", ["country"], 10)
+
+
+def agg_conv_role_tool(sf_dir: str) -> rd.Dataset:
+    """North-rule aggregate key: per-(conv_id, role, tool) turn counts over
+    the raw transcripts (null tool is a group, as in SQL GROUP BY)."""
+    return agg.grouped_count(read_transcripts(sf_dir), ["conv_id", "role", "tool"])
+
+
+def watermarks(sf_dir: str) -> rd.Dataset:
+    """A4: max(datetime) per (service, server) — the incremental-load
+    high-water mark (/root/reference/src/models.rs:259-293)."""
+    from ray.data.aggregate import Max
+    out = parsed(sf_dir).groupby(["service", "server"]).aggregate(
+        Max("datetime", alias_name="watermark"))
+    # Ray's Max funnels through pandas and can coarsen the timestamp unit;
+    # pin the sink schema to timestamp[us].
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("watermark"), "watermark",
+            pc.cast(b["watermark"], pa.timestamp("us"))),
+        batch_format="pyarrow")
+
+
+def incremental_parsed(sf_dir: str) -> rd.Dataset:
+    """A4 consumption: watermark filter — only strictly-newer rows pass;
+    late rows drop (/root/reference/src/parse_logs.rs:180-197)."""
+    cutoff = pa.scalar(INCREMENTAL_CUTOFF).cast(pa.timestamp("us"))
+    return parsed(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater(b["datetime"], cutoff)),
+        batch_format="pyarrow")
+
+
+def year_month_hist(sf_dir: str) -> rd.Dataset:
+    """A3: (year, month) histogram driving export partitioning
+    (/root/reference/src/polars_analysis.rs:83-93)."""
+    with_ym = parsed(sf_dir).map_batches(agg.add_year_month, batch_format="pyarrow")
+    return agg.grouped_count(with_ym, ["year", "month"])
+
+
+def oldest_unprocessed(sf_dir: str) -> rd.Dataset:
+    """O5: oldest message (reference alert poll,
+    /root/reference/src/models.rs:695-709); deterministic tie-break."""
+    return messages(sf_dir).sort(
+        ["log_timestamp", "conv_id", "turn_idx"]).limit(1)
+
+
+def recent_parsed_page(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """O4: ORDER BY datetime DESC LIMIT k pagination page
+    (/root/reference/src/models.rs:350-366)."""
+    return parsed(sf_dir).sort(
+        ["datetime", "conv_id", "turn_idx"],
+        descending=[True, False, False]).limit(k)

@@ -1,0 +1,70 @@
+"""Aggregation stages with the partial/final (combiner) pattern.
+
+The reference's own Parquet analytics path already demonstrates
+partial-then-final aggregation (per-file group_by count, vstack, re-group sum
+— /root/reference/src/polars_analysis.rs:222-284).  Here the partial happens
+*inside* ``map_batches`` via Arrow's in-batch hash groupby, so the wide
+``groupby`` shuffle only ever moves one row per (key, block) — this is also
+the salted-key answer to hot-key skew: a hot key contributes at most
+``num_blocks`` partial rows regardless of its row count.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_NULL_SENTINEL = "\x00__null__"
+
+
+def _fill(batch: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        if batch.schema.field(c).type == pa.string():
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, pc.fill_null(batch[c], _NULL_SENTINEL))
+    return batch
+
+
+def _restore(batch: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        if batch.schema.field(c).type == pa.string():
+            arr = batch[c]
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, pc.if_else(pc.equal(arr, _NULL_SENTINEL),
+                                 pa.nulls(len(batch), pa.string()), arr))
+    return batch
+
+
+def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt") -> rd.Dataset:
+    """groupby(keys).count() with per-batch partial counts (combiner first).
+
+    Null key values group together (matching SQL GROUP BY), via sentinel fill.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        b = _fill(b.select(keys), keys)
+        g = b.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["_partial"])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    out = pre.groupby(keys).aggregate(Sum("_partial", alias_name=alias))
+    return out.map_batches(lambda b: _restore(b, keys), batch_format="pyarrow")
+
+
+def top_k(ds: rd.Dataset, sort_col: str, keys_asc: list[str], k: int) -> rd.Dataset:
+    """O2/O3: sort desc on ``sort_col`` with deterministic ascending
+    tie-breaks, take k (reference sort+take(10),
+    /root/reference/src/parse_opts.rs:228-229)."""
+    cols = [sort_col] + keys_asc
+    desc = [True] + [False] * len(keys_asc)
+    return ds.sort(cols, descending=desc).limit(k)
+
+
+def add_year_month(batch: pa.Table) -> pa.Table:
+    """A3: derive partition columns from the fact timestamp
+    (/root/reference/src/polars_analysis.rs:83-93)."""
+    return (batch
+            .append_column("year", pc.cast(pc.year(batch["datetime"]), pa.int32()))
+            .append_column("month", pc.cast(pc.month(batch["datetime"]), pa.int32())))
