@@ -228,6 +228,50 @@ def ensure_transcripts(sf_dir: str, repeat: int = 1) -> str:
     return path
 
 
+def ensure_transcripts_sharded(sf_dir: str, shards: int = 8, repeat: int = 1) -> str:
+    """Materialize the transcripts corpus as a DIRECTORY of per-shard Parquet
+    files (shard = conv number % shards) and return the directory path.
+
+    This is the shape a real 10^12-turn corpus arrives in — many input files
+    — and what the resumable ingest pipeline keys its lineage manifest on
+    (one manifest row per input shard; SURVEY §2.4 T4 pattern).
+    """
+    import duckdb
+
+    tag = f"transcripts_s{shards}" + (f"_x{repeat}" if repeat > 1 else "")
+    d = os.path.join(_cache_dir(sf_dir), tag)
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    try:
+        events = os.path.join(sf_dir, "events.parquet")
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{events}')")
+        for k in range(shards):
+            if repeat == 1:
+                body = (
+                    "SELECT * FROM transcripts "
+                    f"WHERE CAST(replace(conv_id, 'conv_', '') AS INT) % {shards} = {k}"
+                )
+            else:
+                body = (
+                    "SELECT t.conv_id || '_r' || CAST(r.k AS VARCHAR) AS conv_id,"
+                    " t.turn_idx, t.role, t.text, t.tool, t.ts"
+                    f" FROM transcripts t CROSS JOIN range({repeat}) r(k)"
+                    f" WHERE CAST(replace(t.conv_id, 'conv_', '') AS INT) % {shards} = {k}"
+                )
+            sql = oracle_query(body)
+            part = os.path.join(d, f"part-{k:05d}.parquet")
+            con.execute(f"COPY ({sql}) TO '{part}.tmp' (FORMAT PARQUET)")
+            os.replace(f"{part}.tmp", part)
+        with open(marker, "w") as f:
+            f.write("ok")
+    finally:
+        con.close()
+    return d
+
+
 def host_country_rows() -> tuple[list[str], list[str]]:
     """(host, code) lists — Python mirror of the host_country dim CTE."""
     hosts, codes = [], []

@@ -1,0 +1,83 @@
+"""Checkpoint/resume semantics of the ingest job (FIXTURES §5.5-5.6):
+kill after shard k -> rerun -> complete, already-done shards untouched,
+final content equal to an uninterrupted run."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from security_log_analysis_rust_ray.pipelines import ingest
+from .conftest import SF_SMOKE, canonicalize
+
+
+def _routed_df(out_dir):
+    import ray.data as rd
+    df = rd.read_parquet(os.path.join(out_dir, ingest.ROUTED_DIR)).to_pandas()
+    return canonicalize(df)
+
+
+def _shard_mtimes(out_dir):
+    root = os.path.join(out_dir, ingest.ROUTED_DIR)
+    out = {}
+    for shard in os.listdir(root):
+        d = os.path.join(root, shard)
+        latest = 0
+        for r, _dd, files in os.walk(d):
+            for f in files:
+                latest = max(latest, os.stat(os.path.join(r, f)).st_mtime_ns)
+        out[shard] = latest
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kill_and_resume(tmp_path):
+    full = str(tmp_path / "full")
+    part = str(tmp_path / "partial")
+
+    m_full = ingest.run_ingest(SF_SMOKE, full, shards=4, enrich=False)
+    assert len(m_full.records) == 4
+    assert all(r["status"] == "done" for r in m_full.records.values())
+    assert all(r["rows"] > 0 for r in m_full.records.values())
+    assert all(r["watermark"] is not None for r in m_full.records.values())
+
+    # "kill" after 2 shards
+    m1 = ingest.run_ingest(SF_SMOKE, part, shards=4, enrich=False,
+                           stop_after_shard=1)
+    assert len(m1.records) == 2
+    mtimes_before = _shard_mtimes(part)
+
+    # resume: remaining shards processed, finished ones not rewritten
+    m2 = ingest.run_ingest(SF_SMOKE, part, shards=4, enrich=False)
+    assert len(m2.records) == 4
+    mtimes_after = _shard_mtimes(part)
+    for shard in mtimes_before:
+        assert mtimes_after[shard] == mtimes_before[shard], (
+            f"{shard} was rewritten on resume")
+
+    pd.testing.assert_frame_equal(_routed_df(full), _routed_df(part))
+    # aggregates sink exists after a completed run
+    assert os.path.isdir(os.path.join(part, ingest.AGG_DIR))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rerun_is_noop(tmp_path):
+    out = str(tmp_path / "o")
+    ingest.run_ingest(SF_SMOKE, out, shards=2, enrich=False)
+    before = _shard_mtimes(out)
+    ingest.run_ingest(SF_SMOKE, out, shards=2, enrich=False)
+    assert _shard_mtimes(out) == before
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sink_readback_partition_pruning(tmp_path):
+    out = str(tmp_path / "o")
+    ingest.run_ingest(SF_SMOKE, out, shards=2, enrich=False)
+    msgs = ingest.read_sink(out, "message")
+    df = msgs.to_pandas()
+    assert len(df) > 0
+    assert (df["log_level"].notna()).all()
+    ssh = ingest.read_sink(out, "ssh").to_pandas()
+    assert (ssh["service"] == "ssh").all()
