@@ -15,6 +15,10 @@ from collections.abc import Callable
 from typing import Any
 
 from security_log_analysis_rust_ray.synth import oracle_query
+from security_log_analysis_rust_ray.pipelines import ann as ANN
+from security_log_analysis_rust_ray.pipelines import docs as D
+from security_log_analysis_rust_ray.pipelines import media as M
+from security_log_analysis_rust_ray.pipelines import relational as REL
 from security_log_analysis_rust_ray.pipelines import reports as R
 
 
@@ -55,6 +59,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "year_month_hist": R.year_month_hist,
         "oldest_unprocessed": R.oldest_unprocessed,
         "recent_parsed_page": R.recent_parsed_page,
+        # training-data document ops
+        "doc_exact_dedup": D.doc_exact_dedup,
+        "doc_token_stats": D.doc_token_stats,
+        "doc_quality": D.doc_quality,
+        "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
+        "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
+        "simhash64": D.simhash64,                    # rows-only (hash fn)
+        "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
+        # embedding similarity
+        "embedding_near_dup_pairs": ANN.embedding_near_dup_pairs,
+        "ann_topk": ANN.ann_topk,
+        "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
+        # multimodal plumbing (decode is a marked stub)
+        "media_stats": M.media_stats,
+        "media_features": M.media_features,          # rows-only (stub decode)
+        # relational coverage
+        "lineitem_pricing_summary": REL.lineitem_pricing_summary,
+        "orders_by_nation": REL.orders_by_nation,
+        "top_parts_by_revenue": REL.top_parts_by_revenue,
+        "events_daily_counts": REL.events_daily_counts,
     }
 
 
@@ -119,4 +143,89 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM parsed "
             "ORDER BY datetime DESC, conv_id, turn_idx LIMIT 20",
     }
-    return {name: oracle_query(body) for name, body in q.items()}
+    out = {name: oracle_query(body) for name, body in q.items()}
+
+    docs_only = "WITH " + D.DOCS_AUG_SQL.strip() + "\n"
+    docs_pre = "WITH " + D.DOCS_AUG_SQL.strip() + ",\n"
+    stop_list = ", ".join(f"'{w}'" for w in D.STOPWORDS)
+    token_cte = (
+        "stats AS (SELECT doc_id,"
+        " CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,"
+        " CAST(length(text) AS BIGINT) AS n_chars,"
+        " CAST(len(list_filter(str_split(text, ' '),"
+        f" x -> x IN ({stop_list}))) AS BIGINT) AS stop_cnt"
+        " FROM docs_aug),"
+        " stats2 AS (SELECT *, round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6)"
+        " AS stop_ratio FROM stats)\n"
+    )
+    out["doc_exact_dedup"] = docs_only + (
+        "SELECT min(doc_id) AS doc_id, text FROM docs_aug GROUP BY text")
+    out["doc_token_stats"] = docs_pre + token_cte + (
+        "SELECT doc_id, n_tokens, n_chars, stop_cnt, stop_ratio FROM stats2")
+    out["doc_quality"] = docs_pre + token_cte + (
+        "SELECT doc_id,"
+        " CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'unk' END AS lang_guess,"
+        " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6)"
+        "   AS quality_score,"
+        " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6) > 0.5"
+        "   AS is_quality "
+        "FROM stats2")
+    out["doc_ngram_jaccard_pairs"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs_aug),\n"
+        "pos AS (SELECT doc_id, tk,"
+        f" unnest(generate_series(1, len(tk) - {D.NGRAM - 1})) AS i FROM toks),\n"
+        "sh AS (SELECT DISTINCT doc_id,"
+        " tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]"
+        " || ' ' || tk[i+4] AS g FROM pos),\n"
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),\n"
+        "co AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS co"
+        " FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2),\n"
+        "jac AS (SELECT co.a, co.b,"
+        " round(CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co), 6) AS jaccard"
+        " FROM co JOIN sizes sa ON co.a = sa.doc_id"
+        " JOIN sizes sb ON co.b = sb.doc_id)\n"
+        f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {D.JACCARD_THRESHOLD}")
+
+    emb_pre = "WITH " + ANN.EMB_AUG_SQL.strip() + "\n"
+    out["embedding_near_dup_pairs"] = emb_pre + (
+        "SELECT a.vec_id AS a, b.vec_id AS b,"
+        " round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim"
+        " FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id"
+        f" WHERE list_cosine_similarity(a.embedding, b.embedding)"
+        f" >= {ANN.NEAR_DUP_COS}")
+    out["ann_topk"] = (
+        "WITH emb64 AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+        " FROM embeddings)\n"
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        " round(list_cosine_similarity(q.embedding, b.embedding), 6) AS cos_sim"
+        " FROM emb64 q JOIN emb64 b ON true"
+        f" WHERE q.vec_id < {ANN.N_QUERIES}"
+        " QUALIFY row_number() OVER (PARTITION BY q.vec_id"
+        " ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC,"
+        f" b.vec_id) <= {ANN.TOP_K}")
+
+    out["media_stats"] = (
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents")
+
+    out["lineitem_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus,"
+        " round(sum(l_quantity), 6) AS sum_qty,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,"
+        " count(*) AS cnt "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+    out["orders_by_nation"] = (
+        "SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2)"
+        " AS total_price "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name")
+    out["top_parts_by_revenue"] = (
+        "SELECT p.p_brand AS brand,"
+        " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "GROUP BY p.p_brand ORDER BY revenue DESC, brand LIMIT 5")
+    out["events_daily_counts"] = (
+        "SELECT user_id, event_type, date_trunc('day', ts) AS day,"
+        " count(*) AS cnt FROM events GROUP BY 1, 2, 3")
+    return out

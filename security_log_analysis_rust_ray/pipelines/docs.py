@@ -1,0 +1,367 @@
+"""Training-data document ops: exact dedup, n-gram Jaccard near-dup,
+MinHash+LSH, SimHash, token/quality stats, fingerprinting.
+
+Input is ``docs_aug``: the driver's ``documents`` table deterministically
+augmented with known exact duplicates (doc_id+1e6, every 10th doc) and known
+near duplicates (doc_id+2e6, every 7th doc, 5 extra tail tokens) — mirrored
+verbatim in the oracle SQL so dedup results are checkable.
+
+Scale notes (these run over 10^9-doc corpora in production):
+- exact dedup shuffles one (min doc_id) row per distinct text per block
+  (partial/final); at real scale the shuffle key would be a 128-bit content
+  hash rather than the text itself — same plan shape;
+- the exact Jaccard inverted index is the *oracle-checkable* path; its
+  hot-shingle groups are the skew hazard (k^2 pair blowup), which is exactly
+  why MinHash+LSH (`minhash_pairs`) exists as the scale path: candidates per
+  LSH bucket, then exact verification only on candidates;
+- shingling/minhash per-batch kernels are numpy-vectorized across the whole
+  batch (no per-row Python in the shingle construction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.util import round_half_up
+
+from ..sources.readers import read_table
+from ..stages import aggregate as agg
+
+NGRAM = 5
+JACCARD_THRESHOLD = 0.6
+STOPWORDS = ("the", "a")
+MINHASH_PERMS = 128
+LSH_BANDS = 16  # 16 bands x 8 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def docs_aug_ds(sf_dir: str) -> rd.Dataset:
+    """documents + deterministic exact/near duplicate rows (see oracle)."""
+    base = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def exact_dups(b: pa.Table) -> pa.Table:
+        m = np.mod(b["doc_id"].to_numpy(), 10) == 0
+        t = b.filter(pa.array(m))
+        return pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000),
+                         "text": t["text"]})
+
+    def near_dups(b: pa.Table) -> pa.Table:
+        m = np.mod(b["doc_id"].to_numpy(), 7) == 0
+        t = b.filter(pa.array(m))
+        txt = pc.binary_join_element_wise(t["text"], " zz yy xx ww vv", "")
+        return pa.table({"doc_id": pc.add(t["doc_id"], 2_000_000), "text": txt})
+
+    return base.union(
+        base.map_batches(exact_dups, batch_format="pyarrow"),
+        base.map_batches(near_dups, batch_format="pyarrow"),
+    )
+
+
+# oracle CTE mirror of docs_aug_ds (prepended by __ray_entry__)
+DOCS_AUG_SQL = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zz yy xx ww vv' FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def doc_exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: one surviving doc_id (the minimum) per distinct text.
+    Partial min per batch, final groupby — one row per (text, block) moves."""
+    from ray.data.aggregate import Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["text"]).aggregate([("doc_id", "min")]) \
+                .rename_columns(["text", "doc_id"])
+
+    pre = docs_aug_ds(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = pre.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# token / quality stats
+# ---------------------------------------------------------------------------
+
+def _token_stats_batch(b: pa.Table) -> pa.Table:
+    text = b["text"]
+    n_tokens = pc.add(pc.count_substring(text, " "), 1)  # single-space corpus
+    stop = None
+    for w in STOPWORDS:
+        c = pc.count_substring_regex(text, rf"\b{w}\b")
+        stop = c if stop is None else pc.add(stop, c)
+    ratio = pa.array(round_half_up(
+        stop.to_numpy(zero_copy_only=False).astype(np.float64)
+        / n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)))
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "stop_cnt": pc.cast(stop, pa.int64()),
+        "stop_ratio": ratio,
+    })
+
+
+def doc_token_stats(sf_dir: str) -> rd.Dataset:
+    """Token counting + stopword stats (vectorized regex counts)."""
+    return docs_aug_ds(sf_dir).map_batches(_token_stats_batch,
+                                           batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    """Quality scoring + stopword-based language guess (deterministic
+    heuristic shared with the oracle SQL)."""
+    def score(b: pa.Table) -> pa.Table:
+        s = _token_stats_batch(b)
+        nt = s["n_tokens"].to_numpy().astype(np.float64)
+        len_score = np.minimum(nt / 200.0, 1.0)
+        ratio_np = s["stop_ratio"].to_numpy()
+        quality = pa.array(round_half_up(len_score * (1.0 - ratio_np)))
+        ratio = s["stop_ratio"]
+        lang_guess = pc.if_else(pc.greater(ratio, 0.02),
+                                pa.scalar("en"), pa.scalar("unk"))
+        return pa.table({
+            "doc_id": s["doc_id"],
+            "lang_guess": lang_guess,
+            "quality_score": quality,
+            "is_quality": pc.greater(quality, 0.5),
+        })
+    return docs_aug_ds(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingling (numpy-vectorized across the batch)
+# ---------------------------------------------------------------------------
+
+def _distinct_shingles_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, g) rows: DISTINCT word-5-grams per doc. Vectorized: flat
+    token array + window index arithmetic; per-batch Arrow group_by distinct
+    (docs never span batches, so batch-distinct == global-distinct)."""
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = np.asarray(tk.values.to_pandas(), dtype=object)
+    offs = np.asarray(tk.offsets)
+    lens = np.diff(offs)
+    wins = np.maximum(lens - (NGRAM - 1), 0)
+    # start indices of every window across all docs
+    starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
+    g = flat[starts]
+    for s in range(1, NGRAM):
+        g = g + " "
+        g = g + flat[starts + s]
+    doc_ids = np.repeat(b["doc_id"].to_numpy(), wins)
+    t = pa.table({"doc_id": pa.array(doc_ids), "g": pa.array(g, pa.string())})
+    return t.group_by(["doc_id", "g"]).aggregate([])
+
+
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """[arange(c) for c in counts] concatenated, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(total, dtype=np.int64)
+    return idx - np.repeat(ends - counts, counts)
+
+
+def shingles_ds(sf_dir: str) -> rd.Dataset:
+    return docs_aug_ds(sf_dir).map_batches(
+        _distinct_shingles_batch, batch_format="pyarrow")
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str,
+                            threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    explode distinct shingles -> groupby(shingle) pair expansion ->
+    groupby(pair) co-occurrence count -> jaccard vs broadcast doc sizes."""
+    sh = shingles_ds(sf_dir)
+
+    # doc shingle-set sizes: small (one row per doc) -> broadcast
+    sizes_df = agg.grouped_count(sh, ["doc_id"], alias="sz").to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["sz"])))
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy())
+        if len(d) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[i], "b": d[j]})
+
+    pairs = sh.groupby("g").map_groups(pairs_of_group, batch_format="pandas")
+    co = agg.grouped_count(pairs, ["a", "b"], alias="co")
+
+    class Jaccard:
+        def __init__(self):
+            self.sizes = ray.get(sizes_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a = b["a"].to_numpy()
+            bb = b["b"].to_numpy()
+            co_ = b["co"].to_numpy().astype(np.float64)
+            sa = np.array([self.sizes[x] for x in a], dtype=np.float64)
+            sb = np.array([self.sizes[x] for x in bb], dtype=np.float64)
+            j = co_ / (sa + sb - co_)
+            t = pa.table({"a": b["a"], "b": b["b"],
+                          "jaccard": pa.array(round_half_up(j))})
+            return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return co.map_batches(Jaccard, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path) and SimHash
+# ---------------------------------------------------------------------------
+
+def _hash64(strings: np.ndarray) -> np.ndarray:
+    """Stable 64-bit content hash per string (blake2b-8)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    return out
+
+
+def _perm_params(n: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(1234)  # fixed seed: deterministic permutations
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+class MinHashActor:
+    """Per-doc MinHash signature -> LSH band rows. Permutation params built
+    once per actor (stateful stage)."""
+
+    def __init__(self):
+        self.a, self.b = _perm_params(MINHASH_PERMS)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        sh = _distinct_shingles_batch(b)
+        doc = sh["doc_id"].to_numpy()
+        h = _hash64(np.asarray(sh["g"].to_pandas(), dtype=object))
+        # signature: min over each doc's shingles for each permutation
+        order = np.argsort(doc, kind="stable")
+        doc_s, h_s = doc[order], h[order]
+        uniq, starts = np.unique(doc_s, return_index=True)
+        rows_band, rows_hash, rows_doc = [], [], []
+        r = MINHASH_PERMS // LSH_BANDS
+        for k, d in enumerate(uniq):
+            lo = starts[k]
+            hi = starts[k + 1] if k + 1 < len(uniq) else len(doc_s)
+            hv = h_s[lo:hi]
+            # (perms x shingles) universal hash, min along shingles
+            sig = ((self.a[:, None] * hv[None, :] + self.b[:, None])
+                   % _MERSENNE).min(axis=1)
+            bands = sig.reshape(LSH_BANDS, r)
+            bh = np.array([
+                int.from_bytes(hashlib.blake2b(bands[i].tobytes(),
+                                               digest_size=8).digest(), "little")
+                for i in range(LSH_BANDS)], dtype=np.uint64)
+            rows_band.extend(range(LSH_BANDS))
+            rows_hash.extend(bh.astype(np.int64))
+            rows_doc.extend([d] * LSH_BANDS)
+        return pa.table({
+            "band": pa.array(rows_band, pa.int32()),
+            "band_hash": pa.array(rows_hash, pa.int64()),
+            "doc_id": pa.array(rows_doc, pa.int64()),
+        })
+
+
+def minhash_pairs(sf_dir: str,
+                  threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+    """MinHash+LSH candidates, then EXACT Jaccard verification of candidates
+    only (precision 1.0; recall is the LSH probability, tested in pytest).
+    Non-SQL-expressible -> no oracle entry (driver records rows-only)."""
+    bands = docs_aug_ds(sf_dir).map_batches(
+        MinHashActor, batch_format="pyarrow", concurrency=(1, 8))
+
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].unique())
+        if len(d) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[i], "b": d[j]})
+
+    cands = bands.groupby(["band", "band_hash"]).map_groups(
+        cand_pairs, batch_format="pandas")
+    # distinct candidate pairs (same pair can collide in several bands)
+    from ..stages.dedup import distinct_rows
+    cands = distinct_rows(cands, ["a", "b"])
+
+    # exact verification against broadcast shingle-hash sets (candidate set
+    # is small by construction; at larger scale this becomes a partitioned
+    # join on doc_id instead of a broadcast)
+    sh = shingles_ds(sf_dir)
+
+    def to_hash_sets(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy()
+        h = _hash64(np.asarray(b["g"].to_pandas(), dtype=object))
+        return pa.table({"doc_id": pa.array(doc), "h": pa.array(h.astype(np.int64))})
+
+    hs = sh.map_batches(to_hash_sets, batch_format="pyarrow").to_pandas()
+    sets = {d: set(g["h"]) for d, g in hs.groupby("doc_id")}
+    sets_ref = ray.put(sets)
+
+    class Verify:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a = b["a"].to_numpy()
+            bb = b["b"].to_numpy()
+            j = np.empty(len(a))
+            for i in range(len(a)):
+                sa, sb = self.sets[a[i]], self.sets[bb[i]]
+                inter = len(sa & sb)
+                j[i] = inter / (len(sa) + len(sb) - inter)
+            t = pa.table({"a": b["a"], "b": b["b"],
+                          "jaccard": pa.array(round_half_up(j))})
+            return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return cands.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def simhash64(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash per doc over token hashes (near-dup fingerprint;
+    Hamming-close docs are similar). Rows-only check + pytest properties."""
+    def sim(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = _hash64(np.asarray(tk.values.to_pandas(), dtype=object))
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                ).astype(np.int64) * 2 - 1
+        offs = np.asarray(tk.offsets)
+        cum = np.vstack([np.zeros(64, dtype=np.int64), np.cumsum(bits, axis=0)])
+        sums = cum[offs[1:]] - cum[offs[:-1]]
+        words = (sums > 0).astype(np.uint64)
+        fp = (words << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "simhash": pa.array(fp.astype(np.int64))})
+    return docs_aug_ds(sf_dir).map_batches(sim, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Content fingerprint per doc (stable blake2b-64 of the text + shingle
+    count) — the lineage/dedup id analog of the reference's md5 path
+    (/root/reference/src/lib.rs:69-88)."""
+    def fp(b: pa.Table) -> pa.Table:
+        h = _hash64(np.asarray(b["text"].to_pandas(), dtype=object))
+        nt = pc.add(pc.count_substring(b["text"], " "), 1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "fingerprint": pa.array(h.astype(np.int64)),
+            "n_tokens": pc.cast(nt, pa.int64()),
+        })
+    return docs_aug_ds(sf_dir).map_batches(fp, batch_format="pyarrow")

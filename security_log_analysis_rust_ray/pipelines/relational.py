@@ -1,0 +1,151 @@
+"""General relational coverage over the star-schema tables: partial/final
+grouped aggregates, broadcast hash joins (small dim side), windowed event
+counts.  These generalize the reference's filter->join->group->sort surface
+(SURVEY §2.5/2.6) beyond the log domain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.util import round_half_up
+from ..sources.readers import read_table
+
+
+def _partial_sums(keys: list[str], sums: dict[str, str]):
+    """map_batches combiner: in-batch grouped sums (one row/key/block)."""
+    aggs = [(src, "sum") for src in sums]
+    names = keys + [f"{src}_sum" for src in sums]
+
+    def fn(b: pa.Table) -> pa.Table:
+        cols = keys + list(sums)
+        return b.select(cols).group_by(keys).aggregate(aggs) \
+                .rename_columns(names)
+    return fn
+
+
+def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-flavored pricing summary: per (returnflag, linestatus) sums
+    over a derived revenue column; partial sums per batch, final groupby."""
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = read_table(sf_dir, "lineitem", columns=keys + [
+        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        b = b.append_column("revenue", rev)
+        n = pa.array(np.ones(len(b)))
+        return b.append_column("one", n)
+
+    partial = ds.map_batches(derive, batch_format="pyarrow").map_batches(
+        _partial_sums(keys, {"l_quantity": "sum", "revenue": "sum", "one": "sum"}),
+        batch_format="pyarrow")
+    out = partial.groupby(keys).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("revenue_sum", alias_name="sum_revenue"),
+        Sum("one_sum", alias_name="cnt_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pa.array(round_half_up(b["sum_qty"].to_numpy())),
+            "sum_revenue": pa.array(round_half_up(b["sum_revenue"].to_numpy(), 4)),
+            "cnt": pc.cast(b["cnt_f"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_by_nation(sf_dir: str) -> rd.Dataset:
+    """orders |x| customer |x| nation via BROADCAST dim lookup (customer and
+    nation are the small side: shipped once with ray.put, probed per batch —
+    the J1/J2 pattern on star-schema data)."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(
+        cust["c_custkey"],
+        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
+                                         nation["n_name"])))))
+    ref = ray.put(cust_to_nation)
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["o_custkey"].to_numpy()
+            names = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            return b.append_column("nation", pa.array(names, pa.string()))
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+    partial = ds.map_batches(
+        _partial_sums(["nation"], {"o_totalprice": "sum"}),
+        batch_format="pyarrow")
+    out = partial.groupby("nation").aggregate(
+        Sum("o_totalprice_sum", alias_name="total_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": b["nation"],
+            "total_price": pa.array(round_half_up(b["total_f"].to_numpy(), 2)),
+        })
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """lineitem |x| part broadcast join -> revenue per brand -> top-k."""
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand"]).to_pandas()
+    ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            rev = pc.multiply(b["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            brands = pd.Series(b["l_partkey"].to_numpy()).map(self.lookup) \
+                .to_numpy(dtype=object)
+            return pa.table({"brand": pa.array(brands, pa.string()),
+                             "revenue": rev})
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+    partial = ds.map_batches(_partial_sums(["brand"], {"revenue": "sum"}),
+                             batch_format="pyarrow")
+    out = partial.groupby("brand").aggregate(
+        Sum("revenue_sum", alias_name="rev_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "brand": b["brand"],
+            "revenue": pa.array(round_half_up(b["rev_f"].to_numpy(), 2)),
+        })
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "brand"], descending=[True, False]).limit(k)
+
+
+def events_daily_counts(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-day window counts per (user_id, event_type) — the windowed
+    aggregate shape (Ray Data has no event-time windows; a window IS a
+    groupby on the truncated timestamp — see guide 'Streaming-shaped')."""
+    from ..stages.aggregate import grouped_count
+
+    def day(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b["ts"], unit="day")
+        return b.append_column("day", d)
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"]) \
+        .map_batches(day, batch_format="pyarrow")
+    return grouped_count(ds, ["user_id", "event_type", "day"])

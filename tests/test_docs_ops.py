@@ -1,0 +1,80 @@
+"""Property tests for the non-SQL-expressible ops: MinHash-LSH recall vs the
+exact Jaccard pairs, SimHash near-dup properties, IVF recall vs brute-force,
+stub media decode determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from security_log_analysis_rust_ray.pipelines import ann as A
+from security_log_analysis_rust_ray.pipelines import docs as D
+from security_log_analysis_rust_ray.pipelines import media as M
+from .conftest import SF_SMOKE
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_vs_exact_jaccard():
+    exact = D.doc_ngram_jaccard_pairs(SF_SMOKE).to_pandas()
+    mh = D.minhash_pairs(SF_SMOKE).to_pandas()
+    ex = set(zip(exact["a"], exact["b"]))
+    got = set(zip(mh["a"], mh["b"]))
+    assert ex, "exact pair set must be non-empty (aug corpus has dups)"
+    # verification step guarantees precision 1.0 (every emitted pair is a
+    # true >=threshold pair)
+    assert got <= ex
+    # 16x8 banding at j>=0.6: per-pair detection prob >= 1-(1-0.6^8)^16 ~ 0.24
+    # but our dup pairs have j ~ 0.9+ -> expect high recall
+    recall = len(ex & got) / len(ex)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_properties():
+    df = D.simhash64(SF_SMOKE).to_pandas().set_index("doc_id")["simhash"]
+    # exact duplicates (doc_id+1e6) hash identically
+    base_ids = [i for i in df.index if i < 1_000_000 and i % 10 == 0]
+    assert base_ids
+    for i in base_ids:
+        assert df[i] == df[i + 1_000_000]
+    # near duplicates (doc_id+2e6) are Hamming-close
+    near_ids = [i for i in df.index if i < 1_000_000 and i % 7 == 0]
+    dists = []
+    for i in near_ids:
+        x = np.uint64(df[i]) ^ np.uint64(df[i + 2_000_000])
+        dists.append(bin(int(x)).count("1"))
+    assert np.mean(dists) < 12, f"near-dup mean hamming {np.mean(dists)}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_vs_bruteforce():
+    bf = A.ann_topk(SF_SMOKE).to_pandas()
+    iv = A.ann_ivf_topk(SF_SMOKE, nprobe=8).to_pandas()
+    b = set(zip(bf["query_id"], bf["neighbor_id"]))
+    i = set(zip(iv["query_id"], iv["neighbor_id"]))
+    recall = len(b & i) / len(b)
+    assert recall >= 0.6, f"IVF recall {recall}"
+    # self-neighbor always found
+    for q in bf["query_id"].unique():
+        assert (q, q) in i
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_stub_deterministic():
+    a = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id")
+    b = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id")
+    assert (a["checksum"].values == b["checksum"].values).all()
+    assert (a["n_bytes"] > 0).all()
+    assert a["feature"].iloc[0].shape == (M.DecodeStub.FEATURE_DIM,)
+    # features are normalized byte histograms
+    assert abs(sum(a["feature"].iloc[0]) - 1.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_removes_known_dups():
+    aug = D.docs_aug_ds(SF_SMOKE).count()
+    ded = D.doc_exact_dedup(SF_SMOKE).to_pandas()
+    n_exact_dups = len([1 for i in ded["doc_id"] if 0 <= i < 1_000_000 and i % 10 == 0])
+    assert len(ded) == aug - n_exact_dups
+    # survivors are the MINIMUM doc_id of each duplicate class
+    assert not any(i >= 1_000_000 and i < 2_000_000 for i in ded["doc_id"])
