@@ -26,10 +26,11 @@ ENRICH_CONCURRENCY = (2, 8)
 ENRICH_BATCH = 32 * 1024
 
 
-def routed_ds(sf_dir: str, repeat: int = 1) -> rd.Dataset:
+def routed_ds(sf_dir: str, repeat: int = 1, blocks: int | None = None) -> rd.Dataset:
     """read -> single-pass route+parse (stateless map_batches)."""
-    return read_transcripts(sf_dir, repeat=repeat).map_batches(
-        route_parse, batch_format="pyarrow", zero_copy_batch=True)
+    return read_transcripts(sf_dir, repeat=repeat, blocks=blocks).map_batches(
+        route_parse, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
 
 
 def transcripts(sf_dir: str) -> rd.Dataset:
@@ -39,12 +40,14 @@ def transcripts(sf_dir: str) -> rd.Dataset:
 
 def parsed(sf_dir: str) -> rd.Dataset:
     """parsed/ sink: routed intrusion rows (reference intrusion_log)."""
-    return routed_ds(sf_dir).map_batches(intrusion_view, batch_format="pyarrow")
+    return routed_ds(sf_dir).map_batches(intrusion_view, batch_format="pyarrow",
+                                        batch_size=None)
 
 
 def messages(sf_dir: str) -> rd.Dataset:
     """messages/ sink (reference systemd_log_messages)."""
-    return routed_ds(sf_dir).map_batches(message_view, batch_format="pyarrow")
+    return routed_ds(sf_dir).map_batches(message_view, batch_format="pyarrow",
+                                        batch_size=None)
 
 
 def route_counts(sf_dir: str) -> rd.Dataset:
@@ -78,7 +81,7 @@ def dim_updates(sf_dir: str) -> rd.Dataset:
     miss resolver — the rows that would be inserted into host_country."""
     res = enriched_resolved(sf_dir).map_batches(
         lambda b: b.filter(pc.equal(b["enrich_source"], "resolved")),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     return dd.distinct_rows(res, ["host", "code"])
 
 
@@ -86,7 +89,8 @@ def dangling_hosts(sf_dir: str) -> rd.Dataset:
     """J3 anti-join: distinct parsed hosts with no host_country row
     (/root/reference/src/models.rs:166-189), via broadcast membership."""
     miss = enriched(sf_dir).map_batches(
-        lambda b: b.filter(pc.is_null(b["code"])), batch_format="pyarrow")
+        lambda b: b.filter(pc.is_null(b["code"])), batch_format="pyarrow",
+        batch_size=None)
     return dd.distinct_rows(miss, ["host"])
 
 
@@ -94,7 +98,8 @@ def country_counts(sf_dir: str) -> rd.Dataset:
     """A1/A2 + J2: inner-join enrich then per-country count, sorted desc
     (deterministic country asc tie-break)."""
     inner = enriched(sf_dir).map_batches(
-        lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow")
+        lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow",
+        batch_size=None)
     return agg.grouped_count(inner, ["country"]).sort(
         ["cnt", "country"], descending=[True, False])
 
@@ -103,7 +108,8 @@ def top10_countries(sf_dir: str) -> rd.Dataset:
     """O2/O3: top-10 attack countries (reference take(10),
     src/parse_opts.rs:228-229)."""
     inner = enriched(sf_dir).map_batches(
-        lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow")
+        lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow",
+        batch_size=None)
     return agg.top_k(agg.grouped_count(inner, ["country"]), "cnt", ["country"], 10)
 
 
@@ -134,13 +140,14 @@ def incremental_parsed(sf_dir: str) -> rd.Dataset:
     cutoff = pa.scalar(INCREMENTAL_CUTOFF).cast(pa.timestamp("us"))
     return parsed(sf_dir).map_batches(
         lambda b: b.filter(pc.greater(b["datetime"], cutoff)),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
 
 
 def year_month_hist(sf_dir: str) -> rd.Dataset:
     """A3: (year, month) histogram driving export partitioning
     (/root/reference/src/polars_analysis.rs:83-93)."""
-    with_ym = parsed(sf_dir).map_batches(agg.add_year_month, batch_format="pyarrow")
+    with_ym = parsed(sf_dir).map_batches(agg.add_year_month,
+                                         batch_format="pyarrow", batch_size=None)
     return agg.grouped_count(with_ym, ["year", "month"])
 
 

@@ -25,8 +25,10 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.D
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None,
-                     repeat: int = 1) -> rd.Dataset:
+                     repeat: int = 1, blocks: int | None = None) -> rd.Dataset:
     """The primary input: the deterministic transcripts corpus for sf_dir
-    (built once, cached under /tmp; see synth.ensure_transcripts)."""
+    (built once, cached under /tmp; see synth.ensure_transcripts).
+    ``blocks`` overrides read parallelism (bench: ~num_cpus)."""
     path = synth.ensure_transcripts(sf_dir, repeat=repeat)
-    return rd.read_parquet(path, columns=columns)
+    kw = {"override_num_blocks": blocks} if blocks else {}
+    return rd.read_parquet(path, columns=columns, **kw)

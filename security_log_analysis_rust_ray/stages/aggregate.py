@@ -48,9 +48,10 @@ def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt") -> rd.Dat
         g = b.group_by(keys).aggregate([([], "count_all")])
         return g.rename_columns(keys + ["_partial"])
 
-    pre = ds.map_batches(partial, batch_format="pyarrow")
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     out = pre.groupby(keys).aggregate(Sum("_partial", alias_name=alias))
-    return out.map_batches(lambda b: _restore(b, keys), batch_format="pyarrow")
+    return out.map_batches(lambda b: _restore(b, keys), batch_format="pyarrow",
+                           batch_size=None)
 
 
 def top_k(ds: rd.Dataset, sort_col: str, keys_asc: list[str], k: int) -> rd.Dataset:

@@ -12,9 +12,11 @@ NULL-key handling: the reference needed a second SQL query because
 here nulls are filled with a sentinel before the groupby so null == null
 (matching the reference's *intent*), then restored.
 
-Scale note: the shuffle is hash-partitioned on the key columns by Ray's
-groupby; per-group work is a tiny head-1.  For skewed keys the group is
-still one (service,server,hour,host,user) bucket — bounded by construction.
+Scale note: one hash-partition exchange on the key columns, then a single
+vectorized sort+drop_duplicates per block — no per-group Python.  A skewed
+key maps to one (service,server,hour,host,user) bucket, bounded by
+construction; a pathological single hot key would be salted into
+(key, hash(order) % S) sub-buckets with a second tiny pass.
 """
 
 from __future__ import annotations
@@ -51,31 +53,62 @@ def _restore_sentinel(batch: pa.Table, cols: list[str]) -> pa.Table:
     return batch
 
 
+def _use_hash_shuffle(ds: rd.Dataset) -> rd.Dataset:
+    """Key-based repartition requires HASH_SHUFFLE; each Dataset chain
+    carries its own DataContext snapshot (`ds.context`), so setting it here
+    scopes the strategy to THIS plan — groupby aggregates elsewhere keep the
+    (faster-for-small-key-spaces) sort-based shuffle."""
+    from ray.data.context import ShuffleStrategy
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
+def _num_partitions() -> int:
+    import ray
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 32
+
+
 def dedup_keep_first(ds: rd.Dataset, keys: list[str] | None = None,
                      order: list[str] | None = None) -> rd.Dataset:
-    """Exact dedup on ``keys`` keeping the minimum row under ``order``."""
+    """Exact dedup on ``keys`` keeping the minimum row under ``order``.
+
+    Plan: hash-repartition on the key columns (all rows of a key land in one
+    block), then one vectorized pandas sort+drop_duplicates per block.  No
+    per-group Python calls — the per-block kernel is O(block log block)
+    regardless of how many distinct keys exist (the common log-dedup case is
+    millions of tiny groups, where groupby().map_groups() would pay a Python
+    call per group)."""
     keys = keys or NATURAL_KEY
     order = order or ORDER_COLS
 
-    ds = ds.map_batches(lambda b: _fill_sentinel(b, keys), batch_format="pyarrow")
+    def block_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(order, kind="stable") \
+                  .drop_duplicates(keys, keep="first")
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order, kind="stable").head(1)
-
-    out = ds.groupby(keys).map_groups(head1, batch_format="pandas")
+    out = _use_hash_shuffle(ds).map_batches(
+        lambda b: _fill_sentinel(b, keys),
+        batch_format="pyarrow", batch_size=None)
+    out = out.repartition(num_blocks=_num_partitions(), keys=keys)
+    out = out.map_batches(block_dedup, batch_format="pandas", batch_size=None)
     return out.map_batches(lambda b: _restore_sentinel(b, keys),
-                           batch_format="pyarrow")
+                           batch_format="pyarrow", batch_size=None)
 
 
 def distinct_rows(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
-    """D4/D6: distinct over ``cols`` (keep-any) via per-batch pre-distinct
-    (combiner) then a grouped head-1 — the partial/final pattern so the
-    shuffle moves only unique rows per block."""
+    """D4/D6: distinct over ``cols`` (keep-any): per-batch pre-distinct
+    (combiner — only unique rows per block enter the shuffle), then
+    hash-repartition + per-block distinct."""
     def batch_distinct(b: pa.Table) -> pa.Table:
         b = _fill_sentinel(b.select(cols), cols)
         return b.group_by(cols).aggregate([])
 
-    pre = ds.map_batches(batch_distinct, batch_format="pyarrow")
-    out = pre.groupby(cols).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pre = _use_hash_shuffle(ds).map_batches(
+        batch_distinct, batch_format="pyarrow", batch_size=None)
+    pre = pre.repartition(num_blocks=_num_partitions(), keys=cols)
+    out = pre.map_batches(batch_distinct, batch_format="pyarrow",
+                          batch_size=None)
     return out.map_batches(lambda b: _restore_sentinel(b, cols),
-                           batch_format="pyarrow")
+                           batch_format="pyarrow", batch_size=None)

@@ -35,68 +35,89 @@ MESSAGE_COLUMNS = [
 ]
 
 
-def route_parse(batch: pa.Table) -> pa.Table:
-    """The single-pass router+parser. Stateless; pyarrow in/out."""
-    text = batch["text"]
-    ts = batch["ts"]
-    n = len(batch)
+def _subset(batch: pa.Table, mask) -> tuple[pa.Table, pa.Array]:
+    idx = pc.indices_nonzero(mask)
+    return batch.take(idx), idx
 
+
+def _emit(sub: pa.Table, sink: str, datetime, host, username, level=None) -> pa.Table:
+    n = len(sub)
+    null_s = pa.nulls(n, pa.string())
+    is_msg = sink == "message"
+    return pa.table({
+        "conv_id": sub["conv_id"],
+        "turn_idx": sub["turn_idx"],
+        "role": sub["role"],
+        "tool": sub["tool"],
+        "ts": sub["ts"],
+        "text": sub["text"],
+        "sink": pa.array([sink] * n, pa.string()),
+        "service": null_s if is_msg else pa.array([sink] * n, pa.string()),
+        "server": null_s if is_msg else grok.server_from_conv(sub["conv_id"]),
+        "datetime": pa.nulls(n, pa.timestamp("us")) if is_msg else datetime,
+        "host": null_s if host is None else host,
+        "username": null_s if username is None else username,
+        "log_level": null_s if level is None else level,
+    })
+
+
+def route_parse(batch: pa.Table) -> pa.Table:
+    """The single-pass router+parser.  Stateless; pyarrow in/out.
+
+    Performance shape: route masks are cheap substring scans over ALL rows;
+    the expensive regex extraction runs only on each family's candidate
+    subset (take -> extract -> emit), and the output is a concat of per-sink
+    sub-tables — no full-width if_else lattice, no regex over non-candidates.
+    Output row order within a batch is not semantic (sinks are sets).
+    """
+    text = batch["text"]
     keep = pc.invert(grok.negative_filter_mask(text))
 
     is_ssh_line = pc.and_(keep, pc.match_substring(text, "Invalid user"))
-    ssh_host, ssh_user, ssh_dt, ssh_ok = grok.extract_ssh(text, pc.year(ts))
-    ssh_ok = pc.and_(is_ssh_line, ssh_ok)
-
     not_ssh = pc.and_(keep, pc.invert(is_ssh_line))
     is_nginx_line = pc.and_(not_ssh, pc.match_substring(text, "nginx"))
-    ng_ip, ng_ok = grok.extract_nginx(text)
-    ng_ok = pc.and_(is_nginx_line, ng_ok)
 
-    # nginx parse failures fall through (reference has no `continue` there)
-    rest = pc.and_(not_ssh, pc.invert(ng_ok))
-    ap_host, ap_dt, ap_ok = grok.extract_apache(text)
-    ap_ok = pc.and_(rest, ap_ok)
+    parts: list[pa.Table] = []
 
-    msg_path = pc.and_(rest, pc.invert(ap_ok))
-    level = grok.classify_level(text)
-    msg_ok = pc.and_(msg_path, pc.is_valid(level))
+    # --- ssh (parse failure drops the row: parse_sshd errors on no-match)
+    ssh_sub, _ = _subset(batch, is_ssh_line)
+    if len(ssh_sub):
+        host, user, dt, ok = grok.extract_ssh(
+            ssh_sub["text"], pc.year(ssh_sub["ts"]))
+        t = _emit(ssh_sub, "ssh", dt, host, user).filter(ok)
+        parts.append(t)
 
-    intrusion = pc.or_(ssh_ok, pc.or_(ng_ok, ap_ok))
+    # --- nginx (invalid IPv4 FALLS THROUGH to the message path)
+    ng_sub, _ = _subset(batch, is_nginx_line)
+    ng_fail = None
+    if len(ng_sub):
+        ip, ok = grok.extract_nginx(ng_sub["text"])
+        ts_arr = ng_sub["ts"]
+        if isinstance(ts_arr, pa.ChunkedArray):
+            ts_arr = ts_arr.combine_chunks()
+        parts.append(_emit(ng_sub, "nginx", ts_arr, ip, None).filter(ok))
+        ng_fail = ng_sub.filter(pc.invert(ok))
 
-    null_s = pa.nulls(n, pa.string())
-    sink = pc.if_else(ssh_ok, pa.scalar("ssh"),
-           pc.if_else(ng_ok, pa.scalar("nginx"),
-           pc.if_else(ap_ok, pa.scalar("apache"),
-           pc.if_else(msg_ok, pa.scalar("message"), null_s))))
+    # --- apache (extension of the daemon router; batch path in reference)
+    rest = pc.and_(not_ssh, pc.invert(is_nginx_line))
+    ap_cand, _ = _subset(batch, rest)
+    if ng_fail is not None and len(ng_fail):
+        ap_cand = pa.concat_tables([ap_cand, ng_fail])
+    msg_cand = ap_cand
+    if len(ap_cand):
+        host, dt, ok = grok.extract_apache(ap_cand["text"])
+        parts.append(_emit(ap_cand, "apache", dt, host, None).filter(ok))
+        msg_cand = ap_cand.filter(pc.invert(ok))
 
-    ts_arr = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
-    datetime = pc.if_else(ssh_ok, ssh_dt, pc.if_else(ap_ok, ap_dt, ts_arr))
-    datetime = pc.if_else(intrusion, datetime, pa.nulls(n, pa.timestamp("us")))
-    host = pc.if_else(ssh_ok, ssh_host,
-           pc.if_else(ng_ok, ng_ip,
-           pc.if_else(ap_ok, ap_host, null_s)))
-    # username: ssh keeps the (possibly empty) extracted user; apache/nginx
-    # rows store null (src/parse_logs.rs:228,426)
-    username = pc.if_else(ssh_ok, ssh_user, null_s)
-    server = pc.if_else(intrusion, grok.server_from_conv(batch["conv_id"]), null_s)
-    log_level = pc.if_else(msg_ok, level, null_s)
+    # --- message (level-less lines drop)
+    if len(msg_cand):
+        level = grok.classify_level(msg_cand["text"])
+        t = _emit(msg_cand, "message", None, None, None, level)
+        parts.append(t.filter(pc.is_valid(level)))
 
-    out = pa.table({
-        "conv_id": batch["conv_id"],
-        "turn_idx": batch["turn_idx"],
-        "role": batch["role"],
-        "tool": batch["tool"],
-        "ts": batch["ts"],
-        "text": batch["text"],
-        "sink": sink,
-        "service": pc.if_else(intrusion, sink, null_s),
-        "server": server,
-        "datetime": datetime,
-        "host": host,
-        "username": username,
-        "log_level": log_level,
-    })
-    return out.filter(pc.is_valid(sink))
+    if not parts:
+        return _emit(batch.slice(0, 0), "message", None, None, None)
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def intrusion_view(routed: pa.Table) -> pa.Table:
