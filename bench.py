@@ -2,12 +2,15 @@
 """Benchmark harness (driver contract).
 
 Headline: the flagship parse->route->enrich->aggregate pipeline over the
-transcripts corpus derived from $GRAFT_SF_DIR (default /root/testdata/sf0.1,
-~100k turns), tiled x$SLAR_BENCH_REPEAT (default 10 -> ~1M turns) so 32 CPUs
-have real work.  Prints ONE JSON line.
+sharded transcripts corpus derived from $GRAFT_SF_DIR (default
+/root/testdata/sf0.1, ~100k turns) tiled x$SLAR_BENCH_REPEAT (default 80 ->
+8M turns; the tiled text dictionary-compresses, so per-turn read cost is
+lower than a fully-diverse corpus — noted in BASELINE.md).  Prints ONE JSON
+line.
 
   python bench.py             # single run at RAY_GRAFT_CPUS (default 32)
-  python bench.py --scaling   # fresh processes at 8 and 32 CPUs -> efficiency
+  python bench.py --scaling   # fresh processes at 8 and 32 CPUs on the SAME
+                              # input -> throughput at both + efficiency
 
 The corpus is built (once, cached) BEFORE timers start; one untimed pass
 warms the page cache so we measure compute+shuffle, not first-touch disk.
@@ -15,6 +18,7 @@ warms the page cache so we measure compute+shuffle, not first-touch disk.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -23,33 +27,42 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPEAT = int(os.environ.get("SLAR_BENCH_REPEAT", "10"))
+REPEAT = int(os.environ.get("SLAR_BENCH_REPEAT", "80"))
+SHARDS = 32
+READ_BLOCKS = 128
 
 
 def run_bench() -> dict:
-    import ray
     import warnings
     warnings.filterwarnings("ignore")
+    import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
 
+    import pyarrow.compute as pc
+    import ray.data as rd
     from security_log_analysis_rust_ray import synth
-    from security_log_analysis_rust_ray.pipelines import reports as R
     from security_log_analysis_rust_ray.stages import aggregate as agg
     from security_log_analysis_rust_ray.stages import dedup as dd
-    from security_log_analysis_rust_ray.stages.enrich import EnrichActor
-    from security_log_analysis_rust_ray.stages.parse import intrusion_view
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.enrich import enrich_batch
+    from security_log_analysis_rust_ray.stages.parse import (intrusion_view,
+                                                             route_parse)
 
-    path = synth.ensure_transcripts(SF_DIR, repeat=REPEAT)
-    n_turns = pq.read_metadata(path).num_rows
-    # warm page cache (untimed)
-    rd.read_parquet(path).count()
+    d = synth.ensure_transcripts_sharded(SF_DIR, shards=SHARDS, repeat=REPEAT)
+    paths = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    n_turns = rd.read_parquet(paths).count()  # metadata + warms the cache
+
+    def read():
+        return rd.read_parquet(paths, override_num_blocks=READ_BLOCKS)
+
+    def parsed_ds():
+        return read() \
+            .map_batches(route_parse, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True) \
+            .map_batches(intrusion_view, batch_format="pyarrow",
+                         batch_size=None)
 
     queries: dict[str, float] = {}
 
@@ -58,37 +71,32 @@ def run_bench() -> dict:
         fn()
         queries[name] = round(time.perf_counter() - t0, 3)
 
-    def parsed_ds():
-        return R.routed_ds(SF_DIR, repeat=REPEAT, blocks=NUM_CPUS).map_batches(
-            intrusion_view, batch_format="pyarrow", batch_size=None)
+    # pure vectorized parse+route throughput
+    timed("parse_route", lambda: read().map_batches(
+        route_parse, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True).count())
 
-    # q_parse: pure vectorized parse+route throughput
-    timed("parse_route", lambda: R.routed_ds(SF_DIR, repeat=REPEAT,
-                                             blocks=NUM_CPUS).count())
-
-    # q_flagship: parse -> enrich (actor pool) -> per-country count -> sort
+    # flagship: parse -> enrich (fused broadcast lookup) -> country counts
     def flagship():
-        inner = parsed_ds().map_batches(
-            EnrichActor, batch_format="pyarrow",
-            concurrency=R.ENRICH_CONCURRENCY, batch_size=R.ENRICH_BATCH
-        ).map_batches(lambda b: b.filter(pc.is_valid(b["code"])),
-                      batch_format="pyarrow")
+        inner = parsed_ds() \
+            .map_batches(enrich_batch, batch_format="pyarrow",
+                         batch_size=None) \
+            .map_batches(lambda b: b.filter(pc.is_valid(b["code"])),
+                         batch_format="pyarrow", batch_size=None)
         agg.grouped_count(inner, ["country"]).sort(
             ["cnt", "country"], descending=[True, False]).to_pandas()
     timed("flagship_country_counts", flagship)
 
-    # q_agg: north-rule aggregate key groupby
+    # north-rule aggregate key groupby over raw turns
     timed("agg_conv_role_tool", lambda: agg.grouped_count(
-        rd.read_parquet(path, override_num_blocks=NUM_CPUS),
-        ["conv_id", "role", "tool"]).count())
+        read(), ["conv_id", "role", "tool"]).count())
 
-    # q_dedup: natural-key dedup shuffle over parsed rows
+    # natural-key dedup shuffle over parsed rows
     timed("parsed_dedup", lambda: dd.dedup_keep_first(parsed_ds()).count())
 
-    headline = queries["parse_route"] + queries["flagship_country_counts"]
     result = {
-        "metric": "parse->route->enrich->aggregate wall time",
-        "value": round(headline, 3),
+        "metric": "flagship parse->route->enrich->aggregate wall time",
+        "value": queries["flagship_country_counts"],
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
@@ -96,13 +104,15 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / queries["flagship_country_counts"], 1),
     }
+    import ray
     ray.shutdown()
     return result
 
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   SLAR_BENCH_REPEAT=str(max(REPEAT, 160)))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -114,7 +124,7 @@ def run_scaling() -> dict:
     t_hi = r_hi["queries"]["flagship_country_counts"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (flagship pipeline)",
+        "metric": "scaling efficiency (flagship pipeline, same input)",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
         "turns_per_sec_lo": r_lo["turns_per_sec"],

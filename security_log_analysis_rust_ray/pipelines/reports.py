@@ -61,11 +61,14 @@ def parsed_dedup(sf_dir: str) -> rd.Dataset:
 
 
 def enriched(sf_dir: str) -> rd.Dataset:
-    """J1: parsed LEFT-join host_country->country_code via broadcast lookup
-    (dims held per actor; misses stay null)."""
+    """J1: parsed LEFT-join host_country->country_code via broadcast lookup.
+
+    Uses the FUSED stateless enrich (dims are tiny, cached per worker
+    process) so Ray fuses parse->enrich into one operator; the actor-pool
+    variant (`enriched_resolved`) demonstrates the big-state pattern."""
+    from ..stages.enrich import enrich_batch
     return parsed(sf_dir).map_batches(
-        EnrichActor, batch_format="pyarrow",
-        concurrency=ENRICH_CONCURRENCY, batch_size=ENRICH_BATCH)
+        enrich_batch, batch_format="pyarrow", batch_size=None)
 
 
 def enriched_resolved(sf_dir: str) -> rd.Dataset:

@@ -53,6 +53,28 @@ def resolve_host(host: str) -> str | None:
     return chr(65 + k % 26) + chr(65 + (k * 7) % 26)
 
 
+# Process-level cache for the FUSED stateless enrich path: the dims here are
+# tiny (~50 entries), so a task-level cache gives the same once-per-worker
+# amortization as an actor pool while letting Ray FUSE parse->enrich->partial
+# into one operator (no object-store hop between stages).  Use EnrichActor
+# below when the state is big or expensive (model weights, large dim tables).
+_FUSED: dict[bool, "EnrichActor"] = {}
+
+
+def enrich_batch(b: pa.Table) -> pa.Table:
+    """Fused stateless enrich (LEFT-join semantics, J1)."""
+    if False not in _FUSED:
+        _FUSED[False] = EnrichActor(resolve_misses=False)
+    return _FUSED[False](b)
+
+
+def enrich_batch_resolving(b: pa.Table) -> pa.Table:
+    """Fused stateless enrich with miss resolution (T2)."""
+    if True not in _FUSED:
+        _FUSED[True] = EnrichActor(resolve_misses=True)
+    return _FUSED[True](b)
+
+
 class EnrichActor:
     """map_batches callable class — one dict build per actor, not per batch.
 
