@@ -20,6 +20,7 @@ from security_log_analysis_rust_ray.pipelines import docs as D
 from security_log_analysis_rust_ray.pipelines import media as M
 from security_log_analysis_rust_ray.pipelines import relational as REL
 from security_log_analysis_rust_ray.pipelines import reports as R
+from security_log_analysis_rust_ray.pipelines import streaming as STR
 
 
 def entry() -> Any:
@@ -74,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (decode is a marked stub)
         "media_stats": M.media_stats,
         "media_features": M.media_features,          # rows-only (stub decode)
+        # streaming-shaped ops
+        "sessionize": STR.sessionize,
+        "alert_batches": STR.alert_batches,           # rows-only (stateful scan)
         # relational coverage
         "lineitem_pricing_summary": REL.lineitem_pricing_summary,
         "orders_by_nation": REL.orders_by_nation,
@@ -225,6 +229,18 @@ def oracle_sql() -> dict[str, str]:
         " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
         "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
         "GROUP BY p.p_brand ORDER BY revenue DESC, brand LIMIT 5")
+    out["sessionize"] = (
+        "WITH lagged AS (SELECT user_id, event_id, ts,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+        " FROM events),\n"
+        "flags AS (SELECT *, CASE WHEN prev IS NULL OR"
+        f" date_diff('microsecond', prev, ts) > {STR.SESSION_GAP_S} * 1000000"
+        " THEN 1 ELSE 0 END AS new_s FROM lagged),\n"
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session"
+        " FROM flags)\n"
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
+        " count(*) AS n_events FROM sess GROUP BY user_id, session")
     out["events_daily_counts"] = (
         "SELECT user_id, event_type, date_trunc('day', ts) AS day,"
         " count(*) AS cnt FROM events GROUP BY 1, 2, 3")

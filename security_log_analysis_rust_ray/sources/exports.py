@@ -1,0 +1,150 @@
+"""Export/import sinks (reference §2.2 K2-K5, §2.1 S8).
+
+K2 — month-partitioned, merge-on-write, idempotent Parquet export
+(/root/reference/src/polars_analysis.rs:34-165): the reference enumerates
+(year, month) partitions via a histogram, then per partition merges new rows
+with the existing file (vstack + unique keep-first) and SKIPS the write when
+the row count is unchanged.  Re-expressed Ray-first: one streaming pass
+writes hive-partitioned year=/month= directories; merge-on-write = union
+existing partition + new rows -> dedup keep-first -> atomic replace; a
+partition whose merged row count equals the existing count is skipped
+(byte-stable reruns).
+
+K3 — pairwise merge (/root/reference/src/polars_analysis.rs:169-195).
+K4 — JSON export, limit 1000 (/root/reference/src/parse_opts.rs:261-297).
+S8 — JSON import (/root/reference/src/parse_opts.rs:232-260).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..stages import aggregate as agg
+from ..stages import dedup as dd
+
+
+def _partition_rows(path: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
+def export_month_partitioned(ds: rd.Dataset, out_dir: str,
+                             keys: list[str] | None = None,
+                             order: list[str] | None = None) -> dict[str, int]:
+    """K2: write `ds` (must carry a `datetime` column) into
+    ``out_dir/year=Y/month=M/`` with merge-on-write + dedup keep-first +
+    skip-if-unchanged.  Returns {partition: rows_written_or_kept}.
+
+    The (year, month) histogram is a tiny aggregate (A3) enumerating
+    partitions, exactly as the reference does; per-partition merge unions the
+    existing partition dir (if any) with the new rows and dedups on the
+    natural key, so reruns are idempotent (ON CONFLICT DO NOTHING analog).
+    """
+    keys = keys or dd.NATURAL_KEY
+    order = order or dd.ORDER_COLS
+    with_ym = ds.map_batches(agg.add_year_month, batch_format="pyarrow",
+                             batch_size=None)
+    hist = agg.grouped_count(with_ym, ["year", "month"]).to_pandas()
+
+    results: dict[str, int] = {}
+    for _, row in hist.sort_values(["year", "month"]).iterrows():
+        y, m = int(row["year"]), int(row["month"])
+        part = f"year={y}/month={m}"
+        final = os.path.join(out_dir, part)
+        new_rows = with_ym.map_batches(
+            lambda b, y=y, m=m: b.filter(
+                pc.and_(pc.equal(b["year"], y), pc.equal(b["month"], m))),
+            batch_format="pyarrow", batch_size=None)
+        merged = new_rows
+        if os.path.isdir(final):
+            def _with_ym(b: pa.Table, y=y, m=m) -> pa.Table:
+                # the hive path may re-infer year/month on read; normalize
+                for c in ("year", "month"):
+                    if c in b.schema.names:
+                        b = b.drop_columns([c])
+                return b.append_column(
+                    "year", pa.array([y] * len(b), pa.int32())).append_column(
+                    "month", pa.array([m] * len(b), pa.int32()))
+            existing = rd.read_parquet(final).map_batches(
+                _with_ym, batch_format="pyarrow", batch_size=None)
+            merged = new_rows.union(existing)
+        merged = dd.dedup_keep_first(merged, keys=keys, order=order)
+
+        tmp = os.path.join(out_dir, f"_tmp-{y}-{m}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        merged.drop_columns(["year", "month"]).write_parquet(tmp)
+        n_merged = _partition_rows(tmp)
+        if os.path.isdir(final) and _partition_rows(final) == n_merged:
+            shutil.rmtree(tmp)  # skip-if-unchanged (K2 semantics)
+            results[part] = n_merged
+            continue
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(tmp, final)
+        results[part] = n_merged
+    return results
+
+
+def merge_parquet_pair(a: str, b: str, out: str,
+                       keys: list[str] | None = None,
+                       order: list[str] | None = None) -> int:
+    """K3: union two Parquet files/dirs, dedup keep-first, overwrite out."""
+    merged = dd.dedup_keep_first(
+        rd.read_parquet(a).union(rd.read_parquet(b)),
+        keys=keys or dd.NATURAL_KEY, order=order or dd.ORDER_COLS)
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write_parquet(tmp)
+    n = _partition_rows(tmp)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    return n
+
+
+def export_json(ds: rd.Dataset, out_dir: str, limit: int = 1000) -> None:
+    """K4: stream at most ``limit`` rows to JSON (reference caps at 1000,
+    src/parse_opts.rs:266)."""
+    ds.limit(limit).write_json(out_dir)
+
+
+def import_json(path: str) -> rd.Dataset:
+    """S8: JSON lines -> Dataset (feed into any sink)."""
+    return rd.read_json(path)
+
+
+_REPORT_TEMPLATE = """<html><head><title>attack report</title></head><body>
+<h1>Attempts per country</h1>
+<table>
+{rows}
+</table>
+</body></html>
+"""
+
+
+def write_country_report(counts, out_path: str) -> str:
+    """K5 analog (HTML geochart report writer,
+    /root/reference/src/parse_opts.rs:176-204 + templates/COUNTRY_TEMPLATE.html):
+    driver-side template substitution over the TINY aggregate result.
+    ``counts`` is a Dataset/DataFrame with (country, cnt)."""
+    df = counts.to_pandas() if hasattr(counts, "to_pandas") else counts
+    rows = "\n".join(
+        f"<tr><td>{r.country}</td><td>{r.cnt}</td></tr>"
+        for r in df.itertuples())
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(_REPORT_TEMPLATE.format(rows=rows))
+    return out_path

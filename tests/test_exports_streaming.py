@@ -1,0 +1,111 @@
+"""Export sinks (K2-K5, S8), parser registry, and streaming-shaped ops."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from security_log_analysis_rust_ray.pipelines import reports as R
+from security_log_analysis_rust_ray.pipelines import streaming as STR
+from security_log_analysis_rust_ray.sources import exports as X
+from security_log_analysis_rust_ray.stages import registry
+from .conftest import SF_SMOKE, canonicalize
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_month_partitioned_merge_on_write(tmp_path):
+    out = str(tmp_path / "monthly")
+    ds = R.parsed(SF_SMOKE)
+    r1 = X.export_month_partitioned(ds, out)
+    assert r1, "must produce at least one (year, month) partition"
+    assert all(p.startswith("year=") for p in r1)
+    mtimes = {p: os.stat(os.path.join(out, p)).st_mtime_ns for p in r1}
+    # rerun: merge finds identical content -> every partition skipped
+    r2 = X.export_month_partitioned(R.parsed(SF_SMOKE), out)
+    assert r2 == r1
+    for p in r1:
+        assert os.stat(os.path.join(out, p)).st_mtime_ns == mtimes[p], (
+            f"{p} rewritten although unchanged")
+    # merged content equals straight dedup of the input
+    import ray.data as rd
+    got = rd.read_parquet(out).to_pandas()
+    got = canonicalize(got.drop(columns=[c for c in ("year", "month")
+                                         if c in got.columns]))
+    exp = canonicalize(R.parsed_dedup(SF_SMOKE).to_pandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pairwise_merge_and_json_roundtrip(tmp_path):
+    import ray.data as rd
+    a, b, out = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    full = R.parsed(SF_SMOKE).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    rd.from_pandas(full.iloc[:100]).write_parquet(a)
+    rd.from_pandas(full.iloc[:150]).write_parquet(b)  # 100-row overlap
+    n = X.merge_parquet_pair(a, b, out)
+    from security_log_analysis_rust_ray.stages.dedup import NATURAL_KEY
+    expected = len(full.iloc[:150].drop_duplicates(NATURAL_KEY))
+    assert n == expected
+
+    jdir = str(tmp_path / "j")
+    X.export_json(R.messages(SF_SMOKE), jdir, limit=50)
+    files = glob.glob(os.path.join(jdir, "*.json"))
+    assert files
+    rows = [json.loads(line) for f in files for line in open(f) if line.strip()]
+    assert len(rows) == 50
+    back = X.import_json(jdir)
+    assert back.count() == 50
+    assert set(back.schema().names) >= {"conv_id", "log_level", "log_message"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_country_report_writer(tmp_path):
+    counts = R.country_counts(SF_SMOKE)
+    p = X.write_country_report(counts, str(tmp_path / "report.html"))
+    html = open(p).read()
+    assert "<table>" in html and "Country " in html
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parser_registry_extension():
+    import ray.data as rd
+
+    def upper_parser(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"conv_id": b["conv_id"],
+                         "shout": pc.utf8_upper(b["text"])})
+
+    registry.register_parser("shout", upper_parser, replace=True)
+    assert "routed" in registry.registered_parsers()
+    ds = registry.parse_with(
+        "shout",
+        rd.read_parquet(
+            __import__("security_log_analysis_rust_ray.synth", fromlist=["x"])
+            .ensure_transcripts(SF_SMOKE)))
+    row = ds.take(1)[0]
+    assert row["shout"] == row["shout"].upper()
+    with pytest.raises(ValueError):
+        registry.register_parser("shout", upper_parser)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alert_batches_invariants():
+    df = STR.alert_batches(SF_SMOKE).to_pandas()
+    assert len(df) > 0
+    # every batch respects the byte bound (single messages may not exceed it)
+    assert (df["total_bytes"] <= STR.ALERT_BUFFER_BYTES).all()
+    # batches cover all at-or-above-threshold messages exactly once
+    lvl_rows = R.messages(SF_SMOKE).to_pandas()
+    n_eligible = (lvl_rows["log_level"].isin(["warn", "error"])).sum()
+    assert df["n_messages"].sum() == n_eligible
+    # flush manifests are time-ordered and non-overlapping
+    d = df.sort_values("batch_id")
+    assert (d["first_ts"] <= d["last_ts"]).all()
+    assert (d["first_ts"].iloc[1:].to_numpy()
+            >= d["last_ts"].iloc[:-1].to_numpy()).all()
