@@ -89,7 +89,7 @@ def run_bench() -> dict:
 
     # north-rule aggregate key groupby over raw turns
     timed("agg_conv_role_tool", lambda: agg.grouped_count(
-        read(), ["conv_id", "role", "tool"]).count())
+        read(), ["conv_id", "role", "tool"], high_cardinality=True).count())
 
     # natural-key dedup shuffle over parsed rows
     timed("parsed_dedup", lambda: dd.dedup_keep_first(parsed_ds()).count())

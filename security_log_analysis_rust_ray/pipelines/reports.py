@@ -119,7 +119,8 @@ def top10_countries(sf_dir: str) -> rd.Dataset:
 def agg_conv_role_tool(sf_dir: str) -> rd.Dataset:
     """North-rule aggregate key: per-(conv_id, role, tool) turn counts over
     the raw transcripts (null tool is a group, as in SQL GROUP BY)."""
-    return agg.grouped_count(read_transcripts(sf_dir), ["conv_id", "role", "tool"])
+    return agg.grouped_count(read_transcripts(sf_dir),
+                             ["conv_id", "role", "tool"], high_cardinality=True)
 
 
 def watermarks(sf_dir: str) -> rd.Dataset:

@@ -84,15 +84,33 @@ def dedup_keep_first(ds: rd.Dataset, keys: list[str] | None = None,
     keys = keys or NATURAL_KEY
     order = order or ORDER_COLS
 
-    def block_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.sort_values(order, kind="stable") \
-                  .drop_duplicates(keys, keep="first")
+    def keep_first(b: pa.Table) -> pa.Table:
+        # pure-Arrow keep-first: sort by (keys..., order...) then drop rows
+        # whose key tuple equals the previous row's (adjacent-dup mask)
+        if b.num_rows <= 1:
+            return b
+        srt = b.sort_by([(c, "ascending") for c in keys + order])
+        n = srt.num_rows
+        same = None
+        for c in keys:
+            col = srt[c].combine_chunks() if isinstance(srt[c], pa.ChunkedArray) \
+                else srt[c]
+            eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+            eq = pc.fill_null(eq, False)
+            same = eq if same is None else pc.and_(same, eq)
+        mask = pa.concat_arrays([pa.array([True]), pc.invert(same)])
+        return srt.filter(mask)
+
+    def pre_dedup(b: pa.Table) -> pa.Table:
+        # combiner: per-block keep-first BEFORE the shuffle — the global
+        # winner is the min over per-block winners (min-of-min), so only one
+        # candidate row per (key, block) enters the exchange
+        return keep_first(_fill_sentinel(b, keys))
 
     out = _use_hash_shuffle(ds).map_batches(
-        lambda b: _fill_sentinel(b, keys),
-        batch_format="pyarrow", batch_size=None)
+        pre_dedup, batch_format="pyarrow", batch_size=None)
     out = out.repartition(num_blocks=_num_partitions(), keys=keys)
-    out = out.map_batches(block_dedup, batch_format="pandas", batch_size=None)
+    out = out.map_batches(keep_first, batch_format="pyarrow", batch_size=None)
     return out.map_batches(lambda b: _restore_sentinel(b, keys),
                            batch_format="pyarrow", batch_size=None)
 
