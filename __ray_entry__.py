@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "year_month_hist": R.year_month_hist,
         "oldest_unprocessed": R.oldest_unprocessed,
         "recent_parsed_page": R.recent_parsed_page,
+        "parsed_page_offset": R.parsed_page_offset,
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
         "doc_token_stats": D.doc_token_stats,
@@ -146,6 +147,9 @@ def oracle_sql() -> dict[str, str]:
         "recent_parsed_page":
             "SELECT * FROM parsed "
             "ORDER BY datetime DESC, conv_id, turn_idx LIMIT 20",
+        "parsed_page_offset":
+            "SELECT * FROM parsed "
+            "ORDER BY datetime DESC, conv_id, turn_idx LIMIT 20 OFFSET 20",
     }
     out = {name: oracle_query(body) for name, body in q.items()}
 

@@ -66,19 +66,25 @@ def _written_stats(shard_dir: str) -> tuple[int, str | None]:
 
 
 def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
-               enrich: bool = True, stop_after_shard: int | None = None) -> Manifest:
+               enrich: bool = True, stop_after_shard: int | None = None,
+               in_dir: str | None = None) -> Manifest:
     """Run (or resume) the ingest job.  ``stop_after_shard`` simulates a kill
-    after k shards for resume tests."""
-    in_dir = synth.ensure_transcripts_sharded(sf_dir, shards=shards, repeat=repeat)
+    after k shards for resume tests; ``in_dir`` overrides the input shard
+    directory (e.g. a landing zone that grows new shards between runs —
+    only new/changed shards are processed, per manifest fingerprints)."""
+    if in_dir is None:
+        in_dir = synth.ensure_transcripts_sharded(sf_dir, shards=shards,
+                                                  repeat=repeat)
     manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     routed_root = os.path.join(out_dir, ROUTED_DIR)
     os.makedirs(routed_root, exist_ok=True)
 
     parts = sorted(f for f in os.listdir(in_dir) if f.endswith(".parquet"))
     done = 0
-    for k, fn in enumerate(parts):
+    for fn in parts:
         src = os.path.join(in_dir, fn)
-        shard_id = f"shard-{k:05d}"
+        # shard identity = input file name (stable when new shards land)
+        shard_id = os.path.splitext(fn)[0]
         fp = input_fingerprint(src)
         if manifest.is_done(shard_id, fp):
             continue

@@ -168,3 +168,13 @@ def recent_parsed_page(sf_dir: str, k: int = 20) -> rd.Dataset:
     return parsed(sf_dir).sort(
         ["datetime", "conv_id", "turn_idx"],
         descending=[True, False, False]).limit(k)
+
+
+def parsed_page_offset(sf_dir: str, offset: int = 20, k: int = 20):
+    """O4 with OFFSET: fetch offset+k rows distributed, drop the first
+    ``offset`` driver-side (pages are tiny by definition —
+    /root/reference/src/models.rs:350-366 pagination)."""
+    top = parsed(sf_dir).sort(
+        ["datetime", "conv_id", "turn_idx"],
+        descending=[True, False, False]).limit(offset + k)
+    return top.to_pandas().iloc[offset:offset + k].reset_index(drop=True)

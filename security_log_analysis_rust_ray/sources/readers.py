@@ -30,5 +30,10 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None,
     (built once, cached under /tmp; see synth.ensure_transcripts).
     ``blocks`` overrides read parallelism (bench: ~num_cpus)."""
     path = synth.ensure_transcripts(sf_dir, repeat=repeat)
+    if columns is None:
+        import pyarrow.parquet as pq
+        from .. import schemas
+        schemas.validate(pq.read_schema(path), schemas.TRANSCRIPTS,
+                         where=path)
     kw = {"override_num_blocks": blocks} if blocks else {}
     return rd.read_parquet(path, columns=columns, **kw)

@@ -63,6 +63,40 @@ def test_kill_and_resume(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_incremental_new_shard(tmp_path):
+    """A landing zone that grows a new shard between runs: only the new
+    shard is processed; existing outputs untouched (manifest fingerprints)."""
+    import shutil
+    from security_log_analysis_rust_ray import synth
+
+    src = synth.ensure_transcripts_sharded(SF_SMOKE, shards=4)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for f in files[:3]:
+        shutil.copy2(os.path.join(src, f), os.path.join(landing, f))
+
+    out = str(tmp_path / "o")
+    m1 = ingest.run_ingest(SF_SMOKE, out, enrich=False, in_dir=landing)
+    assert len(m1.records) == 3
+    mtimes = _shard_mtimes(out)
+
+    shutil.copy2(os.path.join(src, files[3]), os.path.join(landing, files[3]))
+    m2 = ingest.run_ingest(SF_SMOKE, out, enrich=False, in_dir=landing)
+    assert len(m2.records) == 4
+    after = _shard_mtimes(out)
+    for shard, t in mtimes.items():
+        assert after[shard] == t, f"{shard} reprocessed"
+    # full content present
+    import ray.data as rd
+    n = rd.read_parquet(os.path.join(out, ingest.ROUTED_DIR)).count()
+    full_out = str(tmp_path / "full")
+    ingest.run_ingest(SF_SMOKE, full_out, shards=4, enrich=False)
+    n_full = rd.read_parquet(os.path.join(full_out, ingest.ROUTED_DIR)).count()
+    assert n == n_full
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_rerun_is_noop(tmp_path):
     out = str(tmp_path / "o")
     ingest.run_ingest(SF_SMOKE, out, shards=2, enrich=False)
