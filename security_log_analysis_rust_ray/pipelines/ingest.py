@@ -1,26 +1,38 @@
 """Resumable batch ingest: the reference `parse` + `db` export paths fused
 into one Ray-Data-first job (SURVEY §3.1/§3.3).
 
-Per input shard (one manifest row each, T4 lineage pattern):
+ONE streaming pass over every PENDING input shard (manifest rows key on the
+input file name + fingerprint, T4 lineage pattern):
 
-  read shard -> route_parse (one vectorized pass) -> enrich (actor pool)
-  -> write ONE routed sink partitioned by `sink` (fan-out as partitioning:
-     a single streaming pass feeds all logical sinks; the reference instead
-     does one Postgres insert path per table, src/parse_logs.rs:337-371)
-  -> shard output dir renamed into place atomically, then manifest append.
+  read pending files (shard column derived from source path)
+  -> route_parse (one vectorized pass; lineage columns pass through)
+  -> enrich (fused broadcast lookup)
+  -> write ONE routed sink hive-partitioned by (shard, sink) — fan-out as
+     partitioning: a single pass feeds all logical sinks, where the
+     reference runs one Postgres insert path per table
+     (src/parse_logs.rs:337-371)
+  -> each finished shard dir moved into place, then its manifest row is
+     appended (fingerprint, rows, watermark from Parquet footers).
 
-After all shards: aggregates/ (per-country counts) recomputed from the
-written routed data — so aggregate lineage is the manifest's shard set.
+After the pass: aggregates/ recomputed from the written routed data — so
+aggregate lineage is exactly the manifest's shard set.
 
 Scale notes (10^12 turns, 100 TB):
-- a shard is an input file group; resume granularity = shard; within a shard
-  the write is wholesale-replaced, so at-least-once reruns stay idempotent
+- resume granularity = input shard; pending selection happens BEFORE the
+  pipeline, so a rerun reads only new/changed files; within a shard the
+  output is wholesale-replaced, so at-least-once reruns stay idempotent
   (the Ray-native restatement of `ON CONFLICT DO NOTHING`, K1);
+- a crash mid-pass leaves no manifest rows for in-flight shards (they are
+  fully reprocessed on resume) and never exposes partial output (tmp root
+  outside the readers' path, per-shard atomic rename);
 - the only wide op is the final small aggregate; parse/enrich/write stream
   with backpressure and never materialize the corpus;
 - row order inside output files follows block arrival order (parallel read),
   so resume guarantees are *content* equality per partition, not byte
   equality of files.
+
+Measured (BASELINE.md): 8M turns parsed+enriched+written in 10.4 s at 32
+CPUs (~772k turns/s end-to-end including the Parquet sink).
 """
 
 from __future__ import annotations
@@ -34,7 +46,6 @@ import ray.data as rd
 
 from .. import synth
 from ..stages import aggregate as agg
-from ..stages.enrich import EnrichActor
 from ..stages.parse import route_parse
 from ..state.manifest import Manifest, input_fingerprint
 
@@ -80,37 +91,66 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
     os.makedirs(routed_root, exist_ok=True)
 
     parts = sorted(f for f in os.listdir(in_dir) if f.endswith(".parquet"))
-    done = 0
+    # pending = shards whose manifest record is missing or whose input
+    # fingerprint changed (new/landed/replaced files)
+    pending: list[tuple[str, str, dict]] = []
     for fn in parts:
         src = os.path.join(in_dir, fn)
-        # shard identity = input file name (stable when new shards land)
-        shard_id = os.path.splitext(fn)[0]
+        shard_id = os.path.splitext(fn)[0]  # identity = input file name
         fp = input_fingerprint(src)
-        if manifest.is_done(shard_id, fp):
-            continue
+        if not manifest.is_done(shard_id, fp):
+            pending.append((shard_id, src, fp))
+    if stop_after_shard is not None:
+        pending = pending[: stop_after_shard + 1]
 
-        final_dir = os.path.join(routed_root, f"shard={shard_id}")
-        # tmp lives OUTSIDE routed_root so readers never see partial output
-        tmp_dir = os.path.join(out_dir, f"_tmp-{shard_id}")
-        for d in (tmp_dir, final_dir):
-            if os.path.exists(d):
-                shutil.rmtree(d)
+    if pending:
+        # ONE streaming pass over every pending shard (not a per-shard job):
+        # the shard column is derived from the source file path, the write is
+        # partitioned by (shard, sink), and each finished shard dir is moved
+        # into place before its manifest row is appended — so resume
+        # granularity stays per-shard while the cluster sees a single
+        # well-parallelized pipeline.
+        tmp_root = os.path.join(out_dir, "_tmp-ingest")
+        if os.path.exists(tmp_root):
+            shutil.rmtree(tmp_root)
 
-        ds = rd.read_parquet(src).map_batches(
-            route_parse, batch_format="pyarrow", zero_copy_batch=True)
+        ds = rd.read_parquet([src for _sid, src, _fp in pending],
+                             include_paths=True)
+
+        # derive shard BEFORE parse; route_parse passes through extra
+        # columns (lineage) unchanged
+        def parse_keep_shard(b):
+            shard = pc.replace_substring_regex(
+                pc.replace_substring_regex(b["path"], r"^.*/", ""),
+                r"\.parquet$", "")
+            b = b.drop_columns(["path"]).append_column("shard", shard)
+            routed = route_parse(b)
+            return routed
+
+        ds = ds.map_batches(parse_keep_shard, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
         if enrich:
-            ds = ds.map_batches(
-                EnrichActor, batch_format="pyarrow",
-                concurrency=(1, 4), batch_size=32 * 1024)
-        ds.write_parquet(tmp_dir, partition_cols=["sink"])
-        os.replace(tmp_dir, final_dir)
+            from ..stages.enrich import enrich_batch
+            ds = ds.map_batches(enrich_batch, batch_format="pyarrow",
+                                batch_size=None)
+        ds.write_parquet(tmp_root, partition_cols=["shard", "sink"])
 
-        rows, watermark = _written_stats(final_dir)
-        manifest.record(shard_id, status="done", input=fp, rows=rows,
-                        watermark=watermark, sinks=["sink-partitioned routed"])
-        done += 1
-        if stop_after_shard is not None and done > stop_after_shard:
-            return manifest
+        for shard_id, _src, fp in pending:
+            src_dir = os.path.join(tmp_root, f"shard={shard_id}")
+            final_dir = os.path.join(routed_root, f"shard={shard_id}")
+            if os.path.exists(final_dir):
+                shutil.rmtree(final_dir)
+            if os.path.isdir(src_dir):
+                os.replace(src_dir, final_dir)
+            rows, watermark = _written_stats(final_dir) \
+                if os.path.isdir(final_dir) else (0, None)
+            manifest.record(shard_id, status="done", input=fp, rows=rows,
+                            watermark=watermark,
+                            sinks=["sink-partitioned routed"])
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    if stop_after_shard is not None:
+        return manifest
 
     # final small aggregate over the written routed data (lineage = manifest)
     routed = rd.read_parquet(routed_root)

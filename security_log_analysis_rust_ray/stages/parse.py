@@ -44,7 +44,7 @@ def _emit(sub: pa.Table, sink: str, datetime, host, username, level=None) -> pa.
     n = len(sub)
     null_s = pa.nulls(n, pa.string())
     is_msg = sink == "message"
-    return pa.table({
+    out = pa.table({
         "conv_id": sub["conv_id"],
         "turn_idx": sub["turn_idx"],
         "role": sub["role"],
@@ -59,6 +59,12 @@ def _emit(sub: pa.Table, sink: str, datetime, host, username, level=None) -> pa.
         "username": null_s if username is None else username,
         "log_level": null_s if level is None else level,
     })
+    # pass through any extra (lineage) columns, e.g. `shard` from ingest
+    known = set(out.column_names)
+    for name in sub.column_names:
+        if name not in known:
+            out = out.append_column(name, sub[name])
+    return out
 
 
 def route_parse(batch: pa.Table) -> pa.Table:
