@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": D.doc_token_stats,
         "doc_quality": D.doc_quality,
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
+        "dup_clusters": D.dup_clusters,
+        "vocab_counts": D.vocab_counts,
+        "doc_sample": D.doc_sample,
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
@@ -194,6 +197,39 @@ def oracle_sql() -> dict[str, str]:
         " FROM co JOIN sizes sa ON co.a = sa.doc_id"
         " JOIN sizes sb ON co.b = sb.doc_id)\n"
         f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {D.JACCARD_THRESHOLD}")
+
+    _jac_ctes = (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs_aug),\n"
+        "pos AS (SELECT doc_id, tk,"
+        f" unnest(generate_series(1, len(tk) - {D.NGRAM - 1})) AS i FROM toks),\n"
+        "sh AS (SELECT DISTINCT doc_id,"
+        " tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]"
+        " || ' ' || tk[i+4] AS g FROM pos),\n"
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),\n"
+        "co AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS co"
+        " FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2),\n"
+        "jac AS (SELECT co.a, co.b,"
+        " CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) AS j"
+        " FROM co JOIN sizes sa ON co.a = sa.doc_id"
+        " JOIN sizes sb ON co.b = sb.doc_id),\n"
+        f"good AS (SELECT a, b FROM jac WHERE j >= {D.JACCARD_THRESHOLD}),\n"
+    )
+    out["dup_clusters"] = (
+        "WITH RECURSIVE " + D.DOCS_AUG_SQL.strip().lstrip() + ",\n"
+        + _jac_ctes +
+        "edges AS (SELECT a AS x, b AS y FROM good"
+        " UNION SELECT b, a FROM good),\n"
+        "nodes AS (SELECT DISTINCT x AS n FROM edges),\n"
+        "reach(n, m) AS (SELECT n, n FROM nodes UNION"
+        " SELECT r.n, e.y FROM reach r JOIN edges e ON r.m = e.x)\n"
+        "SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n")
+    out["vocab_counts"] = docs_pre + (
+        "terms AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
+        "SELECT term, count(*) AS cnt FROM terms GROUP BY term"
+        " ORDER BY cnt DESC, term LIMIT 50")
+    out["doc_sample"] = docs_only + (
+        "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
 
     emb_pre = "WITH " + ANN.EMB_AUG_SQL.strip() + "\n"
     out["embedding_near_dup_pairs"] = emb_pre + (

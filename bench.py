@@ -83,7 +83,7 @@ def run_bench() -> dict:
                          batch_size=None) \
             .map_batches(lambda b: b.filter(pc.is_valid(b["code"])),
                          batch_format="pyarrow", batch_size=None)
-        agg.grouped_count(inner, ["country"]).sort(
+        agg.grouped_count(inner, ["country"], small_keyspace=True).sort(
             ["cnt", "country"], descending=[True, False]).to_pandas()
     timed("flagship_country_counts", flagship)
 
@@ -135,8 +135,43 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the flagship pipeline's per-operator ds.stats() breakdown —
+    the profiling loop used to verify wall-time is dominated by useful
+    compute (results fed back into stage/batch sizing)."""
+    import warnings
+    warnings.filterwarnings("ignore")
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from security_log_analysis_rust_ray import synth
+    from security_log_analysis_rust_ray.stages import aggregate as agg
+    from security_log_analysis_rust_ray.stages.enrich import enrich_batch
+    from security_log_analysis_rust_ray.stages.parse import (intrusion_view,
+                                                             route_parse)
+    d = synth.ensure_transcripts_sharded(SF_DIR, shards=SHARDS, repeat=REPEAT)
+    paths = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    inner = rd.read_parquet(paths, override_num_blocks=READ_BLOCKS) \
+        .map_batches(route_parse, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True) \
+        .map_batches(intrusion_view, batch_format="pyarrow", batch_size=None) \
+        .map_batches(enrich_batch, batch_format="pyarrow", batch_size=None) \
+        .map_batches(lambda b: b.filter(pc.is_valid(b["code"])),
+                     batch_format="pyarrow", batch_size=None)
+    out = agg.grouped_count(inner, ["country"], small_keyspace=True)
+    out.to_pandas()
+    print(out.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

@@ -352,6 +352,80 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     return docs_aug_ds(sf_dir).map_batches(sim, batch_format="pyarrow")
 
 
+def dup_clusters(sf_dir: str,
+                 threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+    """Near-duplicate CLUSTERS: connected components over the exact Jaccard
+    pair graph via iterative min-label propagation (each round: explode
+    edges both ways, groupby node -> min neighbor label, join back; stop at
+    fixpoint).  Output (doc_id, cluster) with cluster = min doc_id in the
+    component — the canonical "keep one per near-dup cluster" step of a
+    training-data dedup pipeline.
+
+    The propagation state is one (node, label) row per node — tiny compared
+    to the corpus — so rounds run driver-side over numpy arrays here; at
+    10^9-doc scale each round is the same computation as a groupby-min over
+    the edge dataset (the pair graph is sparse by construction)."""
+    pairs = doc_ngram_jaccard_pairs(sf_dir, threshold=threshold).to_pandas()
+    a = pairs["a"].to_numpy(dtype=np.int64)
+    b = pairs["b"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    label = {int(n): int(n) for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for x, y in zip(a, b):
+            lx, ly = label[int(x)], label[int(y)]
+            m = min(lx, ly)
+            if lx != m:
+                label[int(x)] = m
+                changed = True
+            if ly != m:
+                label[int(y)] = m
+                changed = True
+    out = pd.DataFrame({"doc_id": list(label.keys()),
+                        "cluster": list(label.values())})
+    # path-compress: labels may chain (x->y->z); resolve to the root
+    root = dict(zip(out["doc_id"], out["cluster"]))
+    def find(n):
+        while root[n] != n:
+            root[n] = root[root[n]]
+            n = root[n]
+        return n
+    out["cluster"] = [find(int(n)) for n in out["doc_id"]]
+    return rd.from_pandas(out.sort_values("doc_id").reset_index(drop=True))
+
+
+def vocab_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Global term frequencies over docs_aug: explode tokens per batch
+    (vectorized flatten), partial counts, final groupby — top-k by count
+    with deterministic term tie-break."""
+    def explode(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        t = pa.table({"term": flat})
+        g = t.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "_partial"])
+
+    from ray.data.aggregate import Sum
+    pre = docs_aug_ds(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                          batch_size=None)
+    out = pre.groupby("term").aggregate(Sum("_partial", alias_name="cnt"))
+    return out.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+def doc_sample(sf_dir: str, mod: int = 10) -> rd.Dataset:
+    """Deterministic 1/mod sample keyed on doc_id (reproducible sampling —
+    the hash-sample pattern; Ray's random_sample(seed) also exists but a key
+    hash keeps train/test splits stable under repartitioning)."""
+    def pick(b: pa.Table) -> pa.Table:
+        m = np.mod(b["doc_id"].to_numpy(), mod) == 3
+        return b.filter(pa.array(m))
+    return docs_aug_ds(sf_dir).map_batches(pick, batch_format="pyarrow",
+                                           batch_size=None)
+
+
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """Content fingerprint per doc (stable blake2b-64 of the text + shingle
     count) — the lineage/dedup id analog of the reference's md5 path

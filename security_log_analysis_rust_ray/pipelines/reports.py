@@ -52,7 +52,7 @@ def messages(sf_dir: str) -> rd.Dataset:
 
 def route_counts(sf_dir: str) -> rd.Dataset:
     """Per-service routed row counts (router conformance aggregate)."""
-    return agg.grouped_count(parsed(sf_dir), ["service"])
+    return agg.grouped_count(parsed(sf_dir), ["service"], small_keyspace=True)
 
 
 def parsed_dedup(sf_dir: str) -> rd.Dataset:
@@ -103,7 +103,7 @@ def country_counts(sf_dir: str) -> rd.Dataset:
     inner = enriched(sf_dir).map_batches(
         lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow",
         batch_size=None)
-    return agg.grouped_count(inner, ["country"]).sort(
+    return agg.grouped_count(inner, ["country"], small_keyspace=True).sort(
         ["cnt", "country"], descending=[True, False])
 
 
@@ -113,7 +113,8 @@ def top10_countries(sf_dir: str) -> rd.Dataset:
     inner = enriched(sf_dir).map_batches(
         lambda b: b.filter(pc.is_valid(b["code"])), batch_format="pyarrow",
         batch_size=None)
-    return agg.top_k(agg.grouped_count(inner, ["country"]), "cnt", ["country"], 10)
+    return agg.top_k(agg.grouped_count(inner, ["country"], small_keyspace=True),
+                     "cnt", ["country"], 10)
 
 
 def agg_conv_role_tool(sf_dir: str) -> rd.Dataset:
@@ -152,7 +153,7 @@ def year_month_hist(sf_dir: str) -> rd.Dataset:
     (/root/reference/src/polars_analysis.rs:83-93)."""
     with_ym = parsed(sf_dir).map_batches(agg.add_year_month,
                                          batch_format="pyarrow", batch_size=None)
-    return agg.grouped_count(with_ym, ["year", "month"])
+    return agg.grouped_count(with_ym, ["year", "month"], small_keyspace=True)
 
 
 def oldest_unprocessed(sf_dir: str) -> rd.Dataset:

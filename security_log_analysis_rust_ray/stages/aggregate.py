@@ -39,7 +39,8 @@ def _restore(batch: pa.Table, cols: list[str]) -> pa.Table:
 
 
 def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
-                  high_cardinality: bool = False) -> rd.Dataset:
+                  high_cardinality: bool = False,
+                  small_keyspace: bool = False) -> rd.Dataset:
     """groupby(keys).count() with per-batch partial counts (combiner first).
 
     Null key values group together (matching SQL GROUP BY), via sentinel fill.
@@ -53,6 +54,20 @@ def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
         b = _fill(b.select(keys), keys)
         g = b.group_by(keys).aggregate([([], "count_all")])
         return g.rename_columns(keys + ["_partial"])
+
+    if small_keyspace:
+        # the partial stage has already reduced the data to one row per
+        # (key, block); for a SMALL key space (e.g. 26 countries) the final
+        # combine is a tiny vstack + re-aggregate — the reference's own A2
+        # final step (/root/reference/src/polars_analysis.rs:222-241).
+        # Collecting a few hundred partial rows driver-side avoids the fixed
+        # multi-second cost of a distributed shuffle for a 26-row result.
+        import ray
+        pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        t = pa.concat_tables(ray.get(list(pre.to_arrow_refs())))
+        g = t.group_by(keys).aggregate([("_partial", "sum")])
+        g = g.rename_columns(keys + [alias])
+        return rd.from_arrow(_restore(g, keys))
 
     if high_cardinality:
         from .dedup import _num_partitions, _use_hash_shuffle

@@ -88,7 +88,7 @@ def test_parser_registry_extension():
         rd.read_parquet(
             __import__("security_log_analysis_rust_ray.synth", fromlist=["x"])
             .ensure_transcripts(SF_SMOKE)))
-    row = ds.take(1)[0]
+    row = ds.limit(1).to_pandas().iloc[0]
     assert row["shout"] == row["shout"].upper()
     with pytest.raises(ValueError):
         registry.register_parser("shout", upper_parser)

@@ -10,19 +10,28 @@ from security_log_analysis_rust_ray.pipelines import reports as R
 from .conftest import SF_SMOKE
 
 
+def _head_table(ds, n=5) -> pa.Table:
+    # fully-consume a bounded plan (limit -> to_pandas); take_batch leaves a
+    # partially-consumed streaming execution behind, which trips a Ray
+    # teardown segfault when combined with earlier shuffle work
+    import pyarrow as _pa
+    df = ds.limit(n).to_pandas()
+    sch = ds.schema()
+    arrow = _pa.schema([_pa.field(nm, t) for nm, t in zip(sch.names, sch.types)])
+    return _pa.Table.from_pandas(df, schema=arrow, preserve_index=False)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_sink_schemas_match_constants():
-    pt = R.parsed(SF_SMOKE).take_batch(5, batch_format="pyarrow")
-    schemas.validate(pa.table(pt), schemas.PARSED, where="parsed sink")
-    mt = R.messages(SF_SMOKE).take_batch(5, batch_format="pyarrow")
-    schemas.validate(pa.table(mt), schemas.MESSAGES, where="messages sink")
+    schemas.validate(_head_table(R.parsed(SF_SMOKE)), schemas.PARSED,
+                     where="parsed sink")
+    schemas.validate(_head_table(R.messages(SF_SMOKE)), schemas.MESSAGES,
+                     where="messages sink")
 
 
 @pytest.mark.usefixtures("ray_session")
 def test_transcripts_schema_validated_on_read():
-    ds = R.transcripts(SF_SMOKE)
-    b = ds.take_batch(5, batch_format="pyarrow")
-    schemas.validate(pa.table(b), schemas.TRANSCRIPTS)
+    schemas.validate(_head_table(R.transcripts(SF_SMOKE)), schemas.TRANSCRIPTS)
 
 
 def test_validate_raises_on_mismatch():
