@@ -14,15 +14,22 @@ Every kernel is (pa.Array|ChunkedArray in) -> Arrow out; no Python row loops.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..synth import SERVER_MOD, SYSTEMD_LOG_FILTERS
 
-# RE2 patterns (pyarrow.compute uses RE2 syntax).
-SSH_RE = r"Invalid user (?P<username>.*?) from (?P<host>\S+) port"
-SSH_TS_RE = r"^(?P<mon>[A-Za-z]{3}) +(?P<day>\d{1,2}) (?P<hms>\d{2}:\d{2}:\d{2})"
+# RE2 patterns (pyarrow.compute uses RE2 syntax).  The ssh pattern fuses the
+# syslog-timestamp prefix and the grok body into ONE extract pass (the
+# reference requires a parseable syslog prefix anyway and errors otherwise,
+# src/parse_logs.rs:97-105 — prefix-less lines fail there too).
+SSH_RE = (
+    r"^(?P<mon>[A-Za-z]{3}) +(?P<day>\d{1,2}) (?P<hms>\d{2}:\d{2}:\d{2})"
+    r".*Invalid user (?P<username>.*?) from (?P<host>\S+) port"
+)
 APACHE_RE = (
     r"^(?P<host>\S+) \S+ \S+ \[(?P<dts>\d{1,2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2})"
     r" (?P<sign>[+-])(?P<oh>\d{2})(?P<om>\d{2})\]"
@@ -38,15 +45,17 @@ def _field(struct_arr, name):
     return pc.struct_field(struct_arr, name)
 
 
+_FILTERS_RE = "|".join(re.escape(p) for p in SYSTEMD_LOG_FILTERS)
+
+
 def negative_filter_mask(text) -> pa.Array:
     """True where the line matches ANY systemd_log_filters pattern (drop it).
 
     Reference: src/parse_logs.rs:339-345 + defaults src/config.rs:38-45.
+    One RE2 alternation pass over the column instead of one substring scan
+    per pattern (memory-bandwidth matters at 32 cores).
     """
-    mask = pc.match_substring(text, SYSTEMD_LOG_FILTERS[0])
-    for pat in SYSTEMD_LOG_FILTERS[1:]:
-        mask = pc.or_(mask, pc.match_substring(text, pat))
-    return mask
+    return pc.match_substring_regex(text, _FILTERS_RE)
 
 
 def extract_ssh(text, year):
@@ -60,10 +69,9 @@ def extract_ssh(text, year):
     g = pc.extract_regex(text, SSH_RE)
     username = pc.utf8_slice_codeunits(_field(g, "username"), 0, USERNAME_MAX)
     host = pc.utf8_slice_codeunits(_field(g, "host"), 0, HOST_MAX)
-    t = pc.extract_regex(text, SSH_TS_RE)
     year_s = pc.cast(year, pa.string())
     ts_str = pc.binary_join_element_wise(
-        _field(t, "mon"), _field(t, "day"), year_s, _field(t, "hms"), " "
+        _field(g, "mon"), _field(g, "day"), year_s, _field(g, "hms"), " "
     )
     dt = pc.strptime(ts_str, format="%b %d %Y %H:%M:%S", unit="us", error_is_null=True)
     ok = pc.and_kleene(
