@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": REL.orders_by_nation,
         "top_parts_by_revenue": REL.top_parts_by_revenue,
         "events_daily_counts": REL.events_daily_counts,
+        "user_running_totals": REL.user_running_totals,
+        "events_asof_signup": REL.events_asof_signup,
     }
 
 
@@ -281,6 +283,15 @@ def oracle_sql() -> dict[str, str]:
         " FROM flags)\n"
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
         " count(*) AS n_events FROM sess GROUP BY user_id, session")
+    out["user_running_totals"] = (
+        "SELECT user_id, event_id,"
+        " round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING), 2) AS running_value FROM events")
+    out["events_asof_signup"] = (
+        "SELECT user_id, event_id,"
+        " max(CASE WHEN event_type = 'signup' THEN ts END) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS last_signup_ts FROM events")
     out["events_daily_counts"] = (
         "SELECT user_id, event_type, date_trunc('day', ts) AS day,"
         " count(*) AS cnt FROM events GROUP BY 1, 2, 3")

@@ -136,6 +136,43 @@ def top_parts_by_revenue(sf_dir: str, k: int = 5) -> rd.Dataset:
         .sort(["revenue", "brand"], descending=[True, False]).limit(k)
 
 
+def user_running_totals(sf_dir: str) -> rd.Dataset:
+    """Per-user running cumulative `value` over time — the windowed
+    cumulative-aggregate shape: groupby(user) + vectorized cumsum over the
+    ts-sorted group (ordering assumption: one user's rows are processed
+    together, sorted; oracle = SQL window SUM OVER)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = round_half_up(g["value"].cumsum().to_numpy(), 2)
+        return g[["user_id", "event_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+
+
+def events_asof_signup(sf_dir: str) -> rd.Dataset:
+    """AS-OF JOIN (custom operator — Ray Data has none): for every event,
+    attach the timestamp of the user's most recent PRIOR-OR-EQUAL 'signup'
+    event.  Implementation: partition by user (groupby), sort by ts within
+    the group, pandas merge_asof — the guide's documented as-of pattern.
+    Partitioning assumption: the join key (user_id) co-locates both sides;
+    skewed users are bounded by per-user event counts."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        signups = g[g["event_type"] == "signup"][["ts"]] \
+            .rename(columns={"ts": "last_signup_ts"})
+        out = pd.merge_asof(g, signups, left_on="ts",
+                            right_on="last_signup_ts", direction="backward")
+        return out[["user_id", "event_id", "last_signup_ts"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 def events_daily_counts(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-day window counts per (user_id, event_type) — the windowed
     aggregate shape (Ray Data has no event-time windows; a window IS a

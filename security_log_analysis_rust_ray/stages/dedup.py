@@ -33,7 +33,13 @@ _NULL_SENTINEL = "\x00__null__"
 
 def _fill_sentinel(batch: pa.Table, cols: list[str]) -> pa.Table:
     for c in cols:
-        if batch.schema.field(c).type == pa.string():
+        t = batch.schema.field(c).type
+        if pa.types.is_null(t):  # all-null column (e.g. from pandas None)
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c,
+                batch[c].cast(pa.string()))
+            t = pa.string()
+        if t == pa.string():
             batch = batch.set_column(
                 batch.schema.get_field_index(c), c,
                 pc.fill_null(batch[c], _NULL_SENTINEL),

@@ -76,6 +76,10 @@ def route_parse(batch: pa.Table) -> pa.Table:
     sub-tables — no full-width if_else lattice, no regex over non-candidates.
     Output row order within a batch is not semantic (sinks are sets).
     """
+    if batch.num_rows == 0:
+        # pc.indices_nonzero segfaults on empty inputs in pyarrow 16
+        return _emit(batch, "message", None, None, None).slice(0, 0)
+
     text = batch["text"]
     keep = pc.invert(grok.negative_filter_mask(text))
 

@@ -1,0 +1,96 @@
+"""Skew handling and empty/degenerate-input edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from security_log_analysis_rust_ray.stages import aggregate as agg
+from security_log_analysis_rust_ray.stages import dedup as dd
+from security_log_analysis_rust_ray.stages.parse import route_parse
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_count_hot_key_skew():
+    """One key owns 90% of rows: both aggregate paths stay correct, and the
+    partial combiner bounds what the shuffle moves (at most one row per
+    (key, block) regardless of the hot key's row count)."""
+    import ray.data as rd
+    n = 200_000
+    keys = np.where(np.arange(n) % 10 == 0,
+                    (np.arange(n) // 10) % 50 + 1, 0)  # key 0 = 90% of rows
+    df = pd.DataFrame({"k": [f"key_{i}" for i in keys]})
+    expected = df["k"].value_counts()
+
+    ds = rd.from_pandas(df).repartition(16)
+    for kwargs in ({}, {"high_cardinality": True}, {"small_keyspace": True}):
+        out = agg.grouped_count(ds, ["k"], **kwargs).to_pandas() \
+            .set_index("k")["cnt"]
+        assert out["key_0"] == expected["key_0"]
+        assert out.sum() == n
+        assert len(out) == 51
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_hot_key():
+    """A single natural key duplicated 100k times collapses to exactly the
+    minimum-order row."""
+    import ray.data as rd
+    n = 100_000
+    df = pd.DataFrame({
+        "service": ["ssh"] * n,
+        "server": ["srv0"] * n,
+        "datetime": pd.to_datetime(["2024-01-01"] * n),
+        "host": ["h.example.com"] * n,
+        "username": [None] * n,
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(np.arange(n), "s"),
+        "conv_id": [f"conv_{i}" for i in range(n)],
+        "turn_idx": np.zeros(n, dtype=np.int32),
+    })
+    out = dd.dedup_keep_first(rd.from_pandas(df).repartition(8)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["conv_id"] == "conv_0"  # min ts wins
+    assert pd.isna(out.iloc[0]["username"])    # sentinel restored to null
+
+
+def test_route_parse_empty_and_degenerate():
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "text": pa.array([], pa.string()),
+    })
+    out = route_parse(empty)
+    assert out.num_rows == 0
+    assert "sink" in out.schema.names
+
+    weird = pa.table({
+        "conv_id": pa.array(["conv_1", "x", "conv_2"]),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "role": pa.array(["user"] * 3),
+        "tool": pa.array([None] * 3, pa.string()),
+        "ts": pa.array([1700000000000000] * 3, pa.timestamp("us")),
+        "text": pa.array(["", " ", "\t\n Invalid user"]),  # no parseable rows
+    })
+    assert route_parse(weird).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_empty_dataset():
+    import ray.data as rd
+    df = pd.DataFrame({
+        "service": pd.Series([], dtype="string"),
+        "server": pd.Series([], dtype="string"),
+        "datetime": pd.Series([], dtype="datetime64[us]"),
+        "host": pd.Series([], dtype="string"),
+        "username": pd.Series([], dtype="string"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "conv_id": pd.Series([], dtype="string"),
+        "turn_idx": pd.Series([], dtype="int32"),
+    })
+    out = dd.dedup_keep_first(rd.from_pandas(df))
+    assert out.count() == 0
