@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_counts": REL.events_daily_counts,
         "user_running_totals": REL.user_running_totals,
         "events_asof_signup": REL.events_asof_signup,
+        "events_semi_join_purchasers": REL.events_semi_join_purchasers,
+        "distinct_host_count": REL.distinct_host_count,
     }
 
 
@@ -283,6 +285,12 @@ def oracle_sql() -> dict[str, str]:
         " FROM flags)\n"
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
         " count(*) AS n_events FROM sess GROUP BY user_id, session")
+    out["events_semi_join_purchasers"] = (
+        "SELECT user_id, event_id, event_type, ts FROM events "
+        "WHERE user_id IN (SELECT user_id FROM events"
+        " WHERE event_type = 'purchase')")
+    out["distinct_host_count"] = oracle_query(
+        "SELECT count(DISTINCT host) AS n_hosts FROM parsed")
     out["user_running_totals"] = (
         "SELECT user_id, event_id,"
         " round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"

@@ -53,15 +53,21 @@ ROUTED_DIR = "routed"
 AGG_DIR = "aggregates"
 
 
-def _written_stats(shard_dir: str) -> tuple[int, str | None]:
-    """(row_count, max_ts) from Parquet footers — no data scan."""
+def _written_stats(shard_dir: str) -> tuple[int, str | None, dict[str, int]]:
+    """(row_count, max_ts, per-sink row counts) from Parquet footers —
+    metrics come from metadata only, no data scan."""
     rows, max_ts = 0, None
+    per_sink: dict[str, int] = {}
     for root, _dirs, files in os.walk(shard_dir):
+        sink = os.path.basename(root)
+        sink = sink.split("=", 1)[1] if sink.startswith("sink=") else None
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
             md = pq.read_metadata(os.path.join(root, fn))
             rows += md.num_rows
+            if sink:
+                per_sink[sink] = per_sink.get(sink, 0) + md.num_rows
             schema_names = md.schema.to_arrow_schema().names
             try:
                 ts_idx = schema_names.index("ts")
@@ -73,7 +79,7 @@ def _written_stats(shard_dir: str) -> tuple[int, str | None]:
                     m = col.statistics.max
                     if max_ts is None or m > max_ts:
                         max_ts = m
-    return rows, (str(max_ts) if max_ts is not None else None)
+    return rows, (str(max_ts) if max_ts is not None else None), per_sink
 
 
 def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
@@ -142,11 +148,10 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
                 shutil.rmtree(final_dir)
             if os.path.isdir(src_dir):
                 os.replace(src_dir, final_dir)
-            rows, watermark = _written_stats(final_dir) \
-                if os.path.isdir(final_dir) else (0, None)
+            rows, watermark, per_sink = _written_stats(final_dir) \
+                if os.path.isdir(final_dir) else (0, None, {})
             manifest.record(shard_id, status="done", input=fp, rows=rows,
-                            watermark=watermark,
-                            sinks=["sink-partitioned routed"])
+                            watermark=watermark, sink_rows=per_sink)
         shutil.rmtree(tmp_root, ignore_errors=True)
 
     if stop_after_shard is not None:

@@ -173,6 +173,45 @@ def events_asof_signup(sf_dir: str) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 
 
+def events_semi_join_purchasers(sf_dir: str) -> rd.Dataset:
+    """SEMI-JOIN via broadcast key set: events of users who have at least one
+    'purchase' event.  The key set ships once with ray.put and the filter is
+    a vectorized is_in inside map_batches (at 10^9-key scale the set becomes
+    a Bloom filter — same plan shape, probabilistic membership + exact
+    post-verify)."""
+    keys = read_table(sf_dir, "events", columns=["user_id", "event_type"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["event_type"], "purchase"))
+                       .select(["user_id"]),
+            batch_format="pyarrow", batch_size=None)
+    from ..stages.dedup import distinct_rows
+    key_df = distinct_rows(keys, ["user_id"]).to_pandas()
+    ref = ray.put(set(key_df["user_id"].tolist()))
+
+    class Semi:
+        def __init__(self):
+            self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["user_id"], value_set=self.keys))
+
+    return read_table(sf_dir, "events",
+                      columns=["user_id", "event_id", "event_type", "ts"]) \
+        .map_batches(Semi, batch_format="pyarrow", batch_size=None,
+                     concurrency=(1, 4))
+
+
+def distinct_host_count(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT host) over parsed rows: per-block distinct
+    (combiner) -> hash-partitioned distinct -> count, returned as one row.
+    (The approximate path at 10^12 scale is an HLL sketch per block merged
+    in a tiny second stage — same plan shape, mergeable state.)"""
+    from ..pipelines.reports import parsed
+    from ..stages.dedup import distinct_rows
+    n = distinct_rows(parsed(sf_dir), ["host"]).count()
+    return rd.from_pandas(pd.DataFrame({"n_hosts": [n]}))
+
+
 def events_daily_counts(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-day window counts per (user_id, event_type) — the windowed
     aggregate shape (Ray Data has no event-time windows; a window IS a
