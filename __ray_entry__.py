@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": D.dup_clusters,
         "vocab_counts": D.vocab_counts,
         "doc_sample": D.doc_sample,
+        "doc_bpe_token_count": D.doc_bpe_token_count,
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
@@ -79,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (decode is a marked stub)
         "media_stats": M.media_stats,
         "media_features": M.media_features,          # rows-only (stub decode)
+        "media_thumbnails": M.media_thumbnails,      # rows-only (stub resize)
+        "media_frames": M.media_frames,              # rows-only (stub frames)
         # streaming-shaped ops
         "sessionize": STR.sessionize,
         "alert_batches": STR.alert_batches,           # rows-only (stateful scan)
@@ -234,6 +237,9 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY cnt DESC, term LIMIT 50")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
+    out["doc_bpe_token_count"] = docs_only + (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+        f" '{D.BPE_RE}')) AS BIGINT) AS n_bpe_tokens FROM docs_aug")
 
     emb_pre = "WITH " + ANN.EMB_AUG_SQL.strip() + "\n"
     out["embedding_near_dup_pairs"] = emb_pre + (

@@ -426,6 +426,23 @@ def doc_sample(sf_dir: str, mod: int = 10) -> rd.Dataset:
                                            batch_size=None)
 
 
+# GPT-2-flavored pre-tokenizer regex (RE2-compatible subset; both DuckDB and
+# pyarrow use RE2, so the oracle applies the IDENTICAL pattern — the check
+# verifies the distributed plumbing, not the regex itself)
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def doc_bpe_token_count(sf_dir: str) -> rd.Dataset:
+    """BPE-ish token counting: count non-overlapping matches of a GPT-2-like
+    pre-tokenizer regex per doc (vectorized count_substring_regex)."""
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], BPE_RE)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+    return docs_aug_ds(sf_dir).map_batches(count, batch_format="pyarrow",
+                                           batch_size=None)
+
+
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """Content fingerprint per doc (stable blake2b-64 of the text + shingle
     count) — the lineage/dedup id analog of the reference's md5 path

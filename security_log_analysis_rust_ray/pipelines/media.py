@@ -74,6 +74,64 @@ class DecodeStub:
         })
 
 
+class ResizeStub:
+    """STUB resize stage (real impl: PIL thumbnail).  Deterministic fake:
+    truncate the payload to TARGET_BYTES — the stage contract (binary in,
+    smaller binary + dims out, actor pool, small batches) is real."""
+
+    TARGET_BYTES = 64
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        sliced = pc.binary_slice(b["payload"].cast(pa.binary()), 0,
+                                 self.TARGET_BYTES) \
+            if hasattr(pc, "binary_slice") else b["payload"]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "thumb": sliced,
+            "thumb_bytes": pc.cast(pc.binary_length(sliced), pa.int64()),
+        })
+
+
+class FrameSampleStub:
+    """STUB frame sampler (real impl: ffmpeg keyframes).  Deterministic
+    fake: k evenly-spaced 16-byte windows of the payload, EXPLODED to one
+    row per frame (the flat_map shape a video pipeline needs)."""
+
+    K = 4
+    WIN = 16
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, frames = [], [], []
+        for doc_id, payload in zip(b["doc_id"].to_pylist(),
+                                   b["payload"].to_pylist()):
+            n = len(payload)
+            step = max(1, n // self.K)
+            for k in range(self.K):
+                off = min(k * step, max(0, n - self.WIN))
+                doc_ids.append(doc_id)
+                frame_idx.append(k)
+                frames.append(payload[off:off + self.WIN])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def media_thumbnails(sf_dir: str) -> rd.Dataset:
+    """manifest -> resize stub (actor pool, small batches)."""
+    return media_manifest_ds(sf_dir).map_batches(
+        ResizeStub, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=MEDIA_BATCH)
+
+
+def media_frames(sf_dir: str) -> rd.Dataset:
+    """manifest -> frame-sample stub (one row per sampled frame)."""
+    return media_manifest_ds(sf_dir).map_batches(
+        FrameSampleStub, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=MEDIA_BATCH)
+
+
 def media_features(sf_dir: str) -> rd.Dataset:
     """manifest -> actor-pool decode/feature-extract (small batches)."""
     return media_manifest_ds(sf_dir).map_batches(

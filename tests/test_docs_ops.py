@@ -78,3 +78,13 @@ def test_exact_dedup_removes_known_dups():
     assert len(ded) == aug - n_exact_dups
     # survivors are the MINIMUM doc_id of each duplicate class
     assert not any(i >= 1_000_000 and i < 2_000_000 for i in ded["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_resize_and_frames():
+    th = M.media_thumbnails(SF_SMOKE).to_pandas()
+    assert (th["thumb_bytes"] <= M.ResizeStub.TARGET_BYTES).all()
+    fr = M.media_frames(SF_SMOKE).to_pandas()
+    assert set(fr["frame_idx"].unique()) == set(range(M.FrameSampleStub.K))
+    assert len(fr) == M.FrameSampleStub.K * th.shape[0]
+    assert fr["frame"].map(len).max() <= M.FrameSampleStub.WIN
