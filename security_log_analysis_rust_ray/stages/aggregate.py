@@ -64,7 +64,16 @@ def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
         # multi-second cost of a distributed shuffle for a 26-row result.
         import ray
         pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        t = pa.concat_tables(ray.get(list(pre.to_arrow_refs())))
+        # empty blocks arrive as ZERO-COLUMN tables (parallelism-dependent);
+        # drop them before concat
+        blocks = [t for t in ray.get(list(pre.to_arrow_refs()))
+                  if t.num_rows > 0]
+        if not blocks:
+            empty = pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys},
+                 alias: pa.array([], pa.int64())})
+            return rd.from_arrow(empty)
+        t = pa.concat_tables(blocks)
         g = t.group_by(keys).aggregate([("_partial", "sum")])
         g = g.rename_columns(keys + [alias])
         return rd.from_arrow(_restore(g, keys))

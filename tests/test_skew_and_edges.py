@@ -94,3 +94,28 @@ def test_dedup_empty_dataset():
     })
     out = dd.dedup_keep_first(rd.from_pandas(df))
     assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_small_keyspace_agg_with_empty_blocks():
+    """Regression: at higher parallelism some partial blocks are EMPTY
+    zero-column tables; the small_keyspace concat must skip them (found by
+    end-to-end verification at num_cpus=8, invisible at 4)."""
+    import ray.data as rd
+    import pyarrow.compute as pc2
+    df = pd.DataFrame({"k": ["a"] * 50 + ["b"] * 50,
+                       "v": list(range(100))})
+    ds = rd.from_pandas(df).repartition(8)
+    # filter one value away entirely -> several blocks become empty
+    ds = ds.map_batches(lambda b: b.filter(pc2.equal(b["k"], "a")),
+                        batch_format="pyarrow", batch_size=None)
+    out = agg.grouped_count(ds, ["k"], small_keyspace=True).to_pandas()
+    assert out.to_dict("records") == [{"k": "a", "cnt": 50}]
+    # fully-empty input -> empty result with stable schema
+    ds2 = rd.from_pandas(df).map_batches(
+        lambda b: b.filter(pc2.equal(b["k"], "zzz")),
+        batch_format="pyarrow", batch_size=None)
+    out2 = agg.grouped_count(ds2, ["k"], small_keyspace=True).to_pandas()
+    # (Ray drops column metadata when converting an empty Dataset to pandas;
+    # the Arrow-side schema is (k, cnt))
+    assert len(out2) == 0
