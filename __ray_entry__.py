@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_counts": D.vocab_counts,
         "doc_sample": D.doc_sample,
         "doc_bpe_token_count": D.doc_bpe_token_count,
+        "doc_tfidf_top_terms": D.doc_tfidf_top_terms,
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
@@ -237,6 +238,19 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY cnt DESC, term LIMIT 50")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
+    out["doc_tfidf_top_terms"] = docs_pre + (
+        "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug),\n"
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),\n"
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks"
+        " GROUP BY 1),\n"
+        "n AS (SELECT count(*) AS n FROM docs_aug),\n"
+        "scored AS (SELECT tf.doc_id, tf.term,"
+        " tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score"
+        " FROM tf JOIN df USING (term) CROSS JOIN n)\n"
+        "SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY score DESC, term) AS INT) AS rank"
+        " FROM scored QUALIFY rank <= 3")
     out["doc_bpe_token_count"] = docs_only + (
         "SELECT doc_id, CAST(len(regexp_extract_all(text,"
         f" '{D.BPE_RE}')) AS BIGINT) AS n_bpe_tokens FROM docs_aug")

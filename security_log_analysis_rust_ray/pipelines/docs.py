@@ -426,6 +426,67 @@ def doc_sample(sf_dir: str, mod: int = 10) -> rd.Dataset:
                                            batch_size=None)
 
 
+def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-doc top-k TF-IDF terms: document frequencies are a small
+    aggregate broadcast to a scoring stage; per-doc term counts and the
+    tf*idf ranking are vectorized per batch.  idf = ln(N / df); ties broken
+    by term asc.  Output: (doc_id, term, rank)."""
+    import math
+
+    sh_tokens = docs_aug_ds(sf_dir)
+    n_docs = sh_tokens.count()
+
+    def distinct_terms(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = np.asarray(tk.values.to_pandas(), dtype=object)
+        offs = np.asarray(tk.offsets)
+        doc_ids = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
+        t = pa.table({"doc_id": pa.array(doc_ids),
+                      "term": pa.array(flat, pa.string())})
+        return t.group_by(["doc_id", "term"]).aggregate([])
+
+    # document frequency per term: small (vocab-sized) -> driver + broadcast
+    from ..stages import aggregate as _agg
+    df_tbl = _agg.grouped_count(
+        sh_tokens.map_batches(distinct_terms, batch_format="pyarrow",
+                              batch_size=None),
+        ["term"], alias="df", small_keyspace=True).to_pandas()
+    idf = {t: math.log(n_docs / d) for t, d in zip(df_tbl["term"], df_tbl["df"])}
+    ref = ray.put(idf)
+
+    class Score:
+        def __init__(self):
+            self.idf = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            tk = pc.split_pattern(b["text"], " ")
+            if isinstance(tk, pa.ChunkedArray):
+                tk = tk.combine_chunks()
+            flat = np.asarray(tk.values.to_pandas(), dtype=object)
+            offs = np.asarray(tk.offsets)
+            doc_ids = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
+            tdf = pd.DataFrame({"doc_id": doc_ids, "term": flat})
+            counts = tdf.groupby(["doc_id", "term"], sort=False) \
+                .size().reset_index(name="tf")
+            counts["score"] = counts["tf"] * counts["term"].map(self.idf)
+            counts = counts.sort_values(
+                ["doc_id", "score", "term"],
+                ascending=[True, False, True], kind="stable")
+            top = counts.groupby("doc_id", sort=False).head(k).copy()
+            top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+            return pa.table({
+                "doc_id": pa.array(top["doc_id"].to_numpy()),
+                "term": pa.array(top["term"].to_numpy(dtype=object),
+                                 pa.string()),
+                "rank": pa.array(top["rank"].to_numpy(), pa.int32()),
+            })
+
+    return docs_aug_ds(sf_dir).map_batches(
+        Score, batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+
+
 # GPT-2-flavored pre-tokenizer regex (RE2-compatible subset; both DuckDB and
 # pyarrow use RE2, so the oracle applies the IDENTICAL pattern — the check
 # verifies the distributed plumbing, not the regex itself)
