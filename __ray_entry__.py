@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": REL.orders_by_nation,
         "top_parts_by_revenue": REL.top_parts_by_revenue,
         "events_daily_counts": REL.events_daily_counts,
+        "events_sliding_3d_counts": REL.events_sliding_3d_counts,
         "user_running_totals": REL.user_running_totals,
         "events_asof_signup": REL.events_asof_signup,
         "events_semi_join_purchasers": REL.events_semi_join_purchasers,
@@ -320,6 +321,11 @@ def oracle_sql() -> dict[str, str]:
         " max(CASE WHEN event_type = 'signup' THEN ts END) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS UNBOUNDED PRECEDING) AS last_signup_ts FROM events")
+    out["events_sliding_3d_counts"] = (
+        "SELECT user_id,"
+        " date_trunc('day', ts) - INTERVAL (k) DAY AS w_start, count(*) AS cnt"
+        " FROM events, unnest(generate_series(0, 2)) t(k)"
+        " GROUP BY 1, 2")
     out["events_daily_counts"] = (
         "SELECT user_id, event_type, date_trunc('day', ts) AS day,"
         " count(*) AS cnt FROM events GROUP BY 1, 2, 3")

@@ -212,6 +212,33 @@ def distinct_host_count(sf_dir: str) -> rd.Dataset:
     return rd.from_pandas(pd.DataFrame({"n_hosts": [n]}))
 
 
+def events_sliding_3d_counts(sf_dir: str) -> rd.Dataset:
+    """SLIDING window (3-day span, 1-day step) event counts per user: each
+    row expands to the 3 window-starts covering it (vectorized explode), then
+    the usual partial/final count — the standard batch re-statement of a
+    sliding event-time window."""
+    import numpy as np
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        day_i = day.cast(pa.int64()) if not isinstance(day, pa.ChunkedArray) \
+            else day.combine_chunks().cast(pa.int64())
+        d = day_i.to_numpy(zero_copy_only=False)
+        users = b["user_id"].to_numpy()
+        us_day = 86_400_000_000
+        starts = np.concatenate([d - k * us_day for k in range(3)])
+        users3 = np.tile(users, 3)
+        return pa.table({
+            "user_id": pa.array(users3),
+            "w_start": pa.array(starts).cast(pa.timestamp("us")),
+        })
+
+    from ..stages.aggregate import grouped_count
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"]) \
+        .map_batches(explode_windows, batch_format="pyarrow", batch_size=None)
+    return grouped_count(ds, ["user_id", "w_start"])
+
+
 def events_daily_counts(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-day window counts per (user_id, event_type) — the windowed
     aggregate shape (Ray Data has no event-time windows; a window IS a
