@@ -79,5 +79,7 @@ def assert_matches_oracle(result, con: duckdb.DuckDBPyConnection, sql: str):
     assert list(got.columns) == list(exp.columns), (
         f"column mismatch: {list(got.columns)} vs {list(exp.columns)}")
     assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False,
-                                  rtol=1e-9, atol=1e-12)
+    # bit-exact: the engine rounds half-away-from-zero and computes float
+    # aggregations with the same operand order as the oracle, so results
+    # must match exactly (the driver's value-hash comparison is exact too)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
