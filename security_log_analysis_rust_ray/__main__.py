@@ -1,0 +1,111 @@
+"""CLI entry points mirroring the reference's subcommands
+(/root/reference/src/parse_opts.rs:34-87: Parse/Cleanup/Db/Read/Import/
+Export/Plot — the DB-administration commands RunMigrations/AddHost/Sync
+collapse into the Parquet layout + lineage manifest).
+
+    python -m security_log_analysis_rust_ray parse  --sf-dir D --out O
+    python -m security_log_analysis_rust_ray read   --sf-dir D [--limit 10]
+    python -m security_log_analysis_rust_ray db     --sf-dir D --out O
+    python -m security_log_analysis_rust_ray export --sf-dir D --out O [--limit 1000]
+    python -m security_log_analysis_rust_ray import --path P
+    python -m security_log_analysis_rust_ray cleanup --sf-dir D
+    python -m security_log_analysis_rust_ray plot   --sf-dir D --out report.html
+
+Owns its Ray session (guarded init; the driver/pytest surfaces never import
+this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="security_log_analysis_rust_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("parse", help="resumable ingest (reference `parse`)")
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--shards", type=int, default=8)
+
+    sr = sub.add_parser("read", help="per-country top-k report (reference `read`)")
+    sr.add_argument("--sf-dir", required=True)
+    sr.add_argument("--limit", type=int, default=10)
+
+    sd = sub.add_parser("db", help="month-partitioned parquet export (reference `db`)")
+    sd.add_argument("--sf-dir", required=True)
+    sd.add_argument("--out", required=True)
+
+    se = sub.add_parser("export", help="JSON export (reference `export`)")
+    se.add_argument("--sf-dir", required=True)
+    se.add_argument("--out", required=True)
+    se.add_argument("--limit", type=int, default=1000)
+
+    si = sub.add_parser("import", help="JSON import -> row count (reference `import`)")
+    si.add_argument("--path", required=True)
+
+    sc = sub.add_parser("cleanup", help="dedup stats (reference `cleanup`)")
+    sc.add_argument("--sf-dir", required=True)
+
+    sl = sub.add_parser("plot", help="HTML country report (reference `plot`)")
+    sl.add_argument("--sf-dir", required=True)
+    sl.add_argument("--out", required=True)
+
+    a = p.parse_args(argv)
+    ray = _ray()
+    try:
+        if a.cmd == "parse":
+            from .pipelines.ingest import run_ingest
+            m = run_ingest(a.sf_dir, a.out, shards=a.shards)
+            done = [r for r in m.records.values() if r["status"] == "done"]
+            print(json.dumps({"shards_done": len(done),
+                              "rows": sum(r["rows"] for r in done)}))
+        elif a.cmd == "read":
+            from .pipelines.reports import country_counts
+            df = country_counts(a.sf_dir).to_pandas().head(a.limit)
+            for r in df.itertuples(index=False):
+                print(f"{r.country}\t{r.cnt}")
+        elif a.cmd == "db":
+            from .pipelines.reports import parsed
+            from .sources.exports import export_month_partitioned
+            res = export_month_partitioned(parsed(a.sf_dir), a.out)
+            print(json.dumps(res))
+        elif a.cmd == "export":
+            from .pipelines.reports import messages
+            from .sources.exports import export_json
+            export_json(messages(a.sf_dir), a.out, limit=a.limit)
+            print(json.dumps({"written": a.out, "limit": a.limit}))
+        elif a.cmd == "import":
+            from .sources.exports import import_json
+            print(json.dumps({"rows": import_json(a.path).count()}))
+        elif a.cmd == "cleanup":
+            from .pipelines.reports import parsed, parsed_dedup
+            before = parsed(a.sf_dir).count()
+            after = parsed_dedup(a.sf_dir).count()
+            print(json.dumps({"rows": before, "after_dedup": after,
+                              "duplicates_removed": before - after}))
+        elif a.cmd == "plot":
+            from .pipelines.reports import country_counts
+            from .sources.exports import write_country_report
+            path = write_country_report(country_counts(a.sf_dir), a.out)
+            print(json.dumps({"report": path}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

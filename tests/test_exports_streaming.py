@@ -109,3 +109,19 @@ def test_alert_batches_invariants():
     assert (d["first_ts"] <= d["last_ts"]).all()
     assert (d["first_ts"].iloc[1:].to_numpy()
             >= d["last_ts"].iloc[:-1].to_numpy()).all()
+
+
+def test_cli_surface(tmp_path):
+    """The reference's CLI subcommands (parse_opts.rs:34-87) re-expressed:
+    drive `python -m security_log_analysis_rust_ray` end-to-end in a
+    subprocess (owns its own Ray session)."""
+    import json as _json
+    import subprocess, sys
+    out = subprocess.run(
+        [sys.executable, "-m", "security_log_analysis_rust_ray",
+         "cleanup", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["rows"] - stats["after_dedup"] == stats["duplicates_removed"]
+    assert stats["duplicates_removed"] > 0  # engineered dedup delta
