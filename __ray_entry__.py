@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": D.doc_sample,
         "doc_bpe_token_count": D.doc_bpe_token_count,
         "doc_tfidf_top_terms": D.doc_tfidf_top_terms,
+        "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
+        "doc_weighted_mix": D.doc_weighted_mix,
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
@@ -252,6 +254,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id"
         " ORDER BY score DESC, term) AS INT) AS rank"
         " FROM scored QUALIFY rank <= 3")
+    mix_case = " OR ".join(
+        f"(source = '{s_}' AND doc_id % 100 < {r})"
+        for s_, r in D.MIX_RATES.items())
+    out["doc_weighted_mix"] = (
+        f"SELECT doc_id, source, text FROM documents WHERE {mix_case}")
     out["doc_bpe_token_count"] = docs_only + (
         "SELECT doc_id, CAST(len(regexp_extract_all(text,"
         f" '{D.BPE_RE}')) AS BIGINT) AS n_bpe_tokens FROM docs_aug")

@@ -352,6 +352,59 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     return docs_aug_ds(sf_dir).map_batches(sim, batch_format="pyarrow")
 
 
+PACK_BUDGET = 2048
+MIX_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}  # percent
+
+
+def doc_pack(sf_dir: str, budget: int = PACK_BUDGET) -> rd.Dataset:
+    """Sequence packing for training: greedily pack docs into bins whose
+    total token count stays <= budget (docs longer than the budget get a
+    bin of their own).  Packing is PARTITION-LOCAL (each block packs its own
+    docs — the standard trade-off: global optimal packing would serialize;
+    per-block greedy is within one doc of optimal fill on average).  Output:
+    one row per bin (bin docs, n_docs, total_tokens).  Rows-only check +
+    invariant tests (no SQL formulation of greedy packing)."""
+    def pack(b: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(b["text"], " "), 1).to_numpy(
+            zero_copy_only=False)
+        doc_ids = b["doc_id"].to_numpy()
+        bins, cur, cur_tok = [], [], 0
+        for d, t in zip(doc_ids, n_tok):
+            if cur and cur_tok + t > budget:
+                bins.append((cur, cur_tok))
+                cur, cur_tok = [], 0
+            cur.append(int(d))
+            cur_tok += int(t)
+        if cur:
+            bins.append((cur, cur_tok))
+        return pa.table({
+            "doc_ids": pa.array([b_ for b_, _t in bins],
+                                pa.list_(pa.int64())),
+            "n_docs": pa.array([len(b_) for b_, _t in bins], pa.int64()),
+            "total_tokens": pa.array([t for _b, t in bins], pa.int64()),
+        })
+    return docs_aug_ds(sf_dir).map_batches(pack, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+def doc_weighted_mix(sf_dir: str) -> rd.Dataset:
+    """Dataset mixing: keep a deterministic per-source fraction of documents
+    (MIX_RATES percent, keyed on doc_id so the mix is stable under
+    repartitioning) — the weighted-mixture step of a training-data recipe."""
+    rates = MIX_RATES
+
+    def mix(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pylist()
+        mod = np.mod(b["doc_id"].to_numpy(), 100)
+        keep = np.array([mod[i] < rates.get(s, 0)
+                         for i, s in enumerate(src)])
+        return b.filter(pa.array(keep))
+
+    return read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"]) \
+        .map_batches(mix, batch_format="pyarrow", batch_size=None)
+
+
 def dup_clusters(sf_dir: str,
                  threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
     """Near-duplicate CLUSTERS: connected components over the exact Jaccard

@@ -88,3 +88,21 @@ def test_media_resize_and_frames():
     assert set(fr["frame_idx"].unique()) == set(range(M.FrameSampleStub.K))
     assert len(fr) == M.FrameSampleStub.K * th.shape[0]
     assert fr["frame"].map(len).max() <= M.FrameSampleStub.WIN
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_pack_invariants():
+    bins = D.doc_pack(SF_SMOKE).to_pandas()
+    stats = D.doc_token_stats(SF_SMOKE).to_pandas().set_index("doc_id")
+    # every doc packed exactly once
+    packed = [d for row in bins["doc_ids"] for d in row]
+    assert sorted(packed) == sorted(stats.index.tolist())
+    # no bin over budget unless it is a single oversized doc
+    over = bins[bins["total_tokens"] > D.PACK_BUDGET]
+    assert (over["n_docs"] == 1).all()
+    # recorded totals match per-doc token counts
+    for row in bins.itertuples():
+        assert row.total_tokens == stats.loc[list(row.doc_ids), "n_tokens"].sum()
+    # bins are usefully full (greedy: average fill > 50% of budget)
+    multi = bins[bins["n_docs"] > 1]
+    assert multi["total_tokens"].mean() > D.PACK_BUDGET * 0.5
