@@ -86,9 +86,14 @@ def run_bench() -> dict:
     timed("parse_enrich", lambda: parsed_ds().map_batches(
         enrich_batch, batch_format="pyarrow", batch_size=None).count())
 
-    # flagship: parse -> enrich (fused broadcast lookup) -> country counts
+    # flagship: parse -> enrich (fused broadcast lookup) -> country counts,
+    # with projection pushdown (only `host` leaves the router)
+    from security_log_analysis_rust_ray.stages.parse import route_parse_hosts
+
     def flagship():
-        inner = parsed_ds() \
+        inner = rd.read_parquet(paths, columns=["text", "ts"]) \
+            .map_batches(route_parse_hosts, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True) \
             .map_batches(enrich_batch, batch_format="pyarrow",
                          batch_size=None) \
             .map_batches(lambda b: b.filter(pc.is_valid(b["code"])),
