@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "messages": R.messages,
         "route_counts": R.route_counts,
         "parsed_dedup": R.parsed_dedup,
+        "stream_dedup_natural_keys": R.stream_dedup_natural_keys,
         "enriched": R.enriched,
         "enriched_resolved": R.enriched_resolved,
         "dim_updates": R.dim_updates,
@@ -108,6 +109,9 @@ def oracle_sql() -> dict[str, str]:
         "messages": "SELECT * FROM messages",
         "route_counts":
             "SELECT service, count(*) AS cnt FROM parsed GROUP BY service",
+        "stream_dedup_natural_keys":
+            "SELECT DISTINCT service, server, datetime, host, username "
+            "FROM parsed",
         "parsed_dedup":
             "SELECT * FROM parsed QUALIFY row_number() OVER ("
             "PARTITION BY service, server, datetime, host, username "

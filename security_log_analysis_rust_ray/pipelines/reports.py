@@ -135,6 +135,15 @@ def agg_conv_role_tool(sf_dir: str) -> rd.Dataset:
                              ["conv_id", "role", "tool"], high_cardinality=True)
 
 
+def stream_dedup_natural_keys(sf_dir: str) -> rd.Dataset:
+    """Online first-seen dedup via the shared-mutable-index actor op (the
+    raw-Ray-actor seam; see stages/stream_dedup.py).  Output = distinct
+    natural keys of the parsed stream — deterministic even though arrival
+    order is not."""
+    from ..stages.stream_dedup import stream_dedup_keys
+    return stream_dedup_keys(parsed(sf_dir), dd.NATURAL_KEY)
+
+
 def watermarks(sf_dir: str) -> rd.Dataset:
     """A4: max(datetime) per (service, server) — the incremental-load
     high-water mark (/root/reference/src/models.rs:259-293)."""

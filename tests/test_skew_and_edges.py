@@ -119,3 +119,24 @@ def test_small_keyspace_agg_with_empty_blocks():
     # (Ray drops column metadata when converting an empty Dataset to pandas;
     # the Arrow-side schema is (k, cnt))
     assert len(out2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_dedup_shared_index():
+    """The raw-actor shared-index op: at-most-once key emission across
+    concurrently processed batches, exactly the distinct key set."""
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.stream_dedup import (
+        stream_dedup_keys)
+    n = 50_000
+    df = pd.DataFrame({
+        "k1": [f"a{i % 700}" for i in range(n)],     # heavy duplication
+        "k2": [None if i % 3 == 0 else f"b{i % 11}" for i in range(n)],
+    })
+    ds = rd.from_pandas(df).repartition(16)          # many concurrent batches
+    out = stream_dedup_keys(ds, ["k1", "k2"], n_shards=4).to_pandas()
+    expected = df.drop_duplicates(["k1", "k2"])
+    assert len(out) == len(expected)
+    got = set(map(tuple, out.fillna("<N>").itertuples(index=False)))
+    exp = set(map(tuple, expected.fillna("<N>").itertuples(index=False)))
+    assert got == exp
