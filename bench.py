@@ -9,8 +9,11 @@ lower than a fully-diverse corpus — noted in BASELINE.md).  Prints ONE JSON
 line.
 
   python bench.py             # single run at RAY_GRAFT_CPUS (default 32)
-  python bench.py --scaling   # fresh processes at 8 and 32 CPUs on the SAME
-                              # input -> throughput at both + efficiency
+  python bench.py --scaling   # fresh processes at SLAR_SCALE_LO (default 4)
+                              # and SLAR_SCALE_HI (default 16) CPUs on the
+                              # SAME input -> throughput at both + efficiency
+                              # (defaults sit below the single-box DRAM
+                              # bandwidth ceiling documented in BASELINE.md)
 
 The corpus is built (once, cached) BEFORE timers start; one untimed pass
 warms the page cache so we measure compute+shuffle, not first-touch disk.
@@ -54,7 +57,17 @@ def run_bench() -> dict:
 
     d = synth.ensure_transcripts_sharded(SF_DIR, shards=SHARDS, repeat=REPEAT)
     paths = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
-    n_turns = rd.read_parquet(paths).count()  # metadata + warms the cache
+    # warm the page cache with a pass that actually reads every column
+    # (count() alone can be served from Parquet footers — ADVICE r01)
+    import pyarrow as pa
+
+    def _touch(b: pa.Table) -> pa.Table:
+        nbytes = sum(c.nbytes for c in b.columns)  # forces buffer access
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "nbytes": pa.array([nbytes], pa.int64())})
+
+    n_turns = int(rd.read_parquet(paths).map_batches(
+        _touch, batch_format="pyarrow", batch_size=None).sum("n"))
 
     def read():
         # no override_num_blocks: an explicit block override inserts a

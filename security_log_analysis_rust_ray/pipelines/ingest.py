@@ -159,11 +159,14 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
 
     # final small aggregate over the written routed data (lineage = manifest)
     routed = rd.read_parquet(routed_root)
-    inner = routed.map_batches(
-        lambda b: b.filter(pc.is_valid(b["country"] if "country" in b.schema.names
-                                       else b["host"])),
-        batch_format="pyarrow")
-    counts = agg.grouped_count(inner, ["country"] if enrich else ["sink"])
+    if enrich:
+        # the country aggregate only counts enrichable rows (valid country);
+        # the sink aggregate counts ALL routed rows — message-sink rows have
+        # null host by design and must not be dropped
+        routed = routed.map_batches(
+            lambda b: b.filter(pc.is_valid(b["country"])),
+            batch_format="pyarrow")
+    counts = agg.grouped_count(routed, ["country"] if enrich else ["sink"])
     agg_tmp = os.path.join(out_dir, AGG_DIR + ".tmp")
     agg_final = os.path.join(out_dir, AGG_DIR)
     for d in (agg_tmp, agg_final):

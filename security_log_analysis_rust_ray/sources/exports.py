@@ -38,6 +38,24 @@ def _partition_rows(path: str) -> int:
     return total
 
 
+def _partition_fingerprint(path: str) -> int:
+    """Order-insensitive content fingerprint of a Parquet partition dir
+    (sum of per-row hashes).  The reference skips the rewrite when the ROW
+    COUNT is unchanged (/root/reference/src/polars_analysis.rs:156-158),
+    which misses a same-key row replacement under keep-first order; content
+    fingerprints close that hole (ADVICE r01)."""
+    import pandas as pd
+    total = 0
+    for root, _d, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                df = pq.read_table(os.path.join(root, f)).to_pandas()
+                df = df[sorted(df.columns)]
+                total = (total + int(pd.util.hash_pandas_object(
+                    df, index=False).sum())) & 0xFFFFFFFFFFFFFFFF
+    return total
+
+
 def export_month_partitioned(ds: rd.Dataset, out_dir: str,
                              keys: list[str] | None = None,
                              order: list[str] | None = None) -> dict[str, int]:
@@ -85,8 +103,9 @@ def export_month_partitioned(ds: rd.Dataset, out_dir: str,
             shutil.rmtree(tmp)
         merged.drop_columns(["year", "month"]).write_parquet(tmp)
         n_merged = _partition_rows(tmp)
-        if os.path.isdir(final) and _partition_rows(final) == n_merged:
-            shutil.rmtree(tmp)  # skip-if-unchanged (K2 semantics)
+        if os.path.isdir(final) and _partition_rows(final) == n_merged \
+                and _partition_fingerprint(final) == _partition_fingerprint(tmp):
+            shutil.rmtree(tmp)  # skip-if-unchanged (K2 semantics, by content)
             results[part] = n_merged
             continue
         if os.path.isdir(final):

@@ -56,6 +56,15 @@ def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
         return g.rename_columns(keys + ["_partial"])
 
     if small_keyspace:
+        # guard (VERDICT r01): partial rows scale with BLOCK COUNT, so the
+        # driver-side final combine is only safe while the input (hence its
+        # block count) is bounded; past ~64 GB estimated input, fall back to
+        # the distributed final even if the caller claimed a small keyspace
+        from .dedup import _estimate_bytes
+        est = _estimate_bytes(ds)
+        if est is not None and est > (64 << 30):
+            small_keyspace = False
+    if small_keyspace:
         # the partial stage has already reduced the data to one row per
         # (key, block); for a SMALL key space (e.g. 26 countries) the final
         # combine is a tiny vstack + re-aggregate — the reference's own A2
@@ -87,7 +96,7 @@ def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
 
         pre = _use_hash_shuffle(ds).map_batches(
             partial, batch_format="pyarrow", batch_size=None)
-        out = pre.repartition(num_blocks=_num_partitions(), keys=keys) \
+        out = pre.repartition(num_blocks=_num_partitions(ds), keys=keys) \
                  .map_batches(final_block, batch_format="pyarrow",
                               batch_size=None)
     else:

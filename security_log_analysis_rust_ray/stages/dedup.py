@@ -69,15 +69,47 @@ def _use_hash_shuffle(ds: rd.Dataset) -> rd.Dataset:
     return ds
 
 
-def _num_partitions() -> int:
-    """Hash-exchange partition count.  Each partition is an aggregator actor
-    with real per-partition scatter overhead (measured: 8 partitions beat 64
-    by 5x on the same data), so partitions should track DATA VOLUME (target
-    ~a few hundred MB per partition at scale), not CPU count.  At the
-    sandbox's data sizes a small constant is optimal; override via
-    SLAR_SHUFFLE_PARTITIONS for bigger inputs."""
+_PARQUET_TO_ARROW = 3  # text parquet decompresses ~3x into Arrow memory
+
+
+def _estimate_bytes(ds: rd.Dataset) -> int | None:
+    """Estimated in-memory bytes of ``ds`` from its INPUT FILE sizes
+    (metadata only — never triggers execution; ``ds.size_bytes()`` would
+    run the plan)."""
     import os
-    return int(os.environ.get("SLAR_SHUFFLE_PARTITIONS", "8"))
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    total = 0
+    for f in files or []:
+        p = f[len("file://"):] if f.startswith("file://") else f
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    return total * _PARQUET_TO_ARROW if total else None
+
+
+def _num_partitions(ds: rd.Dataset | None = None) -> int:
+    """Hash-exchange partition count, derived from DATA VOLUME (estimated
+    input bytes / target-partition-bytes, floor 8), not CPU count: each
+    partition is an aggregator actor with real per-partition scatter
+    overhead (measured: 8 partitions beat 64 by 5x on small data), while a
+    constant count would mean 12.5 TB/partition at 100 TB.  Overrides:
+    SLAR_SHUFFLE_PARTITIONS pins the count; SLAR_TARGET_PARTITION_BYTES
+    changes the per-partition target (default 256 MB)."""
+    import os
+    env = os.environ.get("SLAR_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    floor = 8
+    if ds is None:
+        return floor
+    target = int(os.environ.get("SLAR_TARGET_PARTITION_BYTES",
+                                str(256 << 20)))
+    est = _estimate_bytes(ds)
+    if not est:
+        return floor
+    return max(floor, min(4096, -(-est // target)))
 
 
 def dedup_keep_first(ds: rd.Dataset, keys: list[str] | None = None,
@@ -118,7 +150,7 @@ def dedup_keep_first(ds: rd.Dataset, keys: list[str] | None = None,
 
     out = _use_hash_shuffle(ds).map_batches(
         pre_dedup, batch_format="pyarrow", batch_size=None)
-    out = out.repartition(num_blocks=_num_partitions(), keys=keys)
+    out = out.repartition(num_blocks=_num_partitions(ds), keys=keys)
     out = out.map_batches(keep_first, batch_format="pyarrow", batch_size=None)
     return out.map_batches(lambda b: _restore_sentinel(b, keys),
                            batch_format="pyarrow", batch_size=None)
@@ -134,7 +166,7 @@ def distinct_rows(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
 
     pre = _use_hash_shuffle(ds).map_batches(
         batch_distinct, batch_format="pyarrow", batch_size=None)
-    pre = pre.repartition(num_blocks=_num_partitions(), keys=cols)
+    pre = pre.repartition(num_blocks=_num_partitions(ds), keys=cols)
     out = pre.map_batches(batch_distinct, batch_format="pyarrow",
                           batch_size=None)
     return out.map_batches(lambda b: _restore_sentinel(b, cols),

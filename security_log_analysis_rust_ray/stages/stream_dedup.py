@@ -10,12 +10,26 @@ daemon path, where the Postgres unique constraint is exactly that shared
 index (`ON CONFLICT DO NOTHING` per row, /root/reference/src/models.rs:429-448).
 
 Design: ``n_shards`` index actors, each owning the key-hash range
-``hash(key) % n_shards == shard_id``; a map_batches stage splits each batch
+``hash64(key) % n_shards == shard_id``; a map_batches stage splits each batch
 by shard and asks each owning actor atomically "which of these are new?".
 Per-key ordering is total within a shard (actor = serialized executor), so
 emission is exactly-once per key regardless of task interleaving.  The
 emitted KEY SET is deterministic (= DISTINCT keys); which physical row
 arrives first is not, so the op emits keys, not rows.
+
+Hot-path mechanics (reworked per VERDICT/ADVICE r01):
+- key construction is one vectorized ``binary_join_element_wise`` over the
+  string-cast key columns (null -> sentinel), no per-row Python;
+- shard routing is a vectorized 64-bit hash (functions/hashing.py) mod
+  n_shards; the full key string still travels to the actor, so membership is
+  exact (no hash-collision risk);
+- the per-batch shard RPCs are submitted together and awaited with ONE
+  ``ray.get`` over all futures (pipelined, not one blocking get per shard);
+- the result is MATERIALIZED before returning: the index actors are
+  stateful, so re-executing the lazy plan (second consumption, task retry)
+  against warm actors would silently drop already-inserted keys.
+  Materializing pins the computed blocks; consumers can iterate the result
+  any number of times.
 
 Scale notes: actors shard horizontally (key-hash), memory = O(distinct keys)
 spread over shards; at 10^12-turn scale the in-RAM set becomes a per-shard
@@ -26,12 +40,13 @@ amortize it.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+from ..functions.hashing import hash64
 
 _SEP = "\x01"
 _NULL = "\x00"
@@ -43,30 +58,35 @@ class KeyIndexShard:
     actor model — `first_seen` is atomic check-and-insert."""
 
     def __init__(self):
-        self.seen: set[bytes] = set()
+        self.seen: set[str] = set()
 
-    def first_seen(self, keys: list[bytes]) -> list[bool]:
-        out = []
+    def first_seen(self, keys: list[str]) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
         seen = self.seen
-        for k in keys:
-            if k in seen:
-                out.append(False)
-            else:
+        for i, k in enumerate(keys):
+            if k not in seen:
                 seen.add(k)
-                out.append(True)
+                out[i] = True
         return out
 
     def size(self) -> int:
         return len(self.seen)
 
 
-def _key_bytes(batch: pa.Table, cols: list[str]) -> list[bytes]:
+def _key_strings(batch: pa.Table, cols: list[str]) -> pa.Array:
+    """Vectorized composite key: cast to string, null-fill, join with a
+    separator that cannot appear in the data."""
     parts = []
     for c in cols:
         col = batch[c]
-        arr = col.to_pylist()
-        parts.append([_NULL if v is None else str(v) for v in arr])
-    return [_SEP.join(vals).encode() for vals in zip(*parts)]
+        if not pa.types.is_string(col.type):
+            col = col.cast(pa.string())
+        parts.append(pc.fill_null(col, _NULL))
+    if len(parts) == 1:
+        out = parts[0]
+    else:
+        out = pc.binary_join_element_wise(*parts, _SEP)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
 class StreamDedup:
@@ -81,34 +101,32 @@ class StreamDedup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.select(self.cols)
-        keys = _key_bytes(batch, self.cols)
-        shard_of = np.array(
-            [int.from_bytes(hashlib.blake2b(k, digest_size=4).digest(),
-                            "little") % self.n for k in keys])
-        fresh = np.zeros(len(keys), dtype=bool)
+        keys = _key_strings(batch, self.cols)
+        shard_of = (hash64(keys) % np.uint64(self.n)).astype(np.int64)
+        key_list = keys.to_pylist()  # actor payload (exact membership)
+        fresh = np.zeros(len(key_list), dtype=bool)
         futures, idxs = [], []
         for s in range(self.n):
             idx = np.flatnonzero(shard_of == s)
             if len(idx):
-                futures.append(
-                    self.actors[s].first_seen.remote([keys[i] for i in idx]))
+                futures.append(self.actors[s].first_seen.remote(
+                    [key_list[i] for i in idx]))
                 idxs.append(idx)
-        for fut, idx in zip(futures, idxs):
-            fresh[idx] = ray.get(fut)
+        for res, idx in zip(ray.get(futures), idxs):
+            fresh[idx] = res
         return batch.select(self.cols).filter(pa.array(fresh))
 
 
 def stream_dedup_keys(ds: rd.Dataset, cols: list[str],
                       n_shards: int = 4) -> rd.Dataset:
     """Online first-seen key emission over ``ds`` (see module docstring).
-    Returns the deterministic distinct-key set of ``cols``."""
+    Returns the deterministic distinct-key set of ``cols``, MATERIALIZED
+    (safe to consume repeatedly; the underlying index actors are released
+    when the returned Dataset is garbage-collected)."""
     actors = [KeyIndexShard.remote() for _ in range(n_shards)]
-
-    def make_stage():
-        stage = StreamDedup(actors, cols)
-        return stage
-
-    stage = make_stage()
+    stage = StreamDedup(actors, cols)
     # tasks (not an actor pool) so many batches stream concurrently; the
     # shared state lives in the index actors, not the mapper
-    return ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+    out = ds.map_batches(stage, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    return out

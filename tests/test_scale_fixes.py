@@ -1,0 +1,121 @@
+"""Round-2 scale fixes: data-sized shuffle partitions, vectorized hashing,
+stream-dedup re-consumption safety, content-fingerprint merge skip."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from security_log_analysis_rust_ray.functions import hashing
+from security_log_analysis_rust_ray.stages import dedup as dd
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_num_partitions_tracks_data_volume(tmp_path):
+    """Partition count grows with estimated input bytes (VERDICT r01 #7)."""
+    import ray.data as rd
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    pq.write_table(pa.table({"x": list(range(100))}), str(tmp_path / "s.parquet"))
+    os.makedirs(small), os.makedirs(big)
+    pq.write_table(pa.table({"x": list(range(2000))}), str(small / "p.parquet"))
+    t = pa.table({"x": np.arange(400_000),
+                  "t": ["some text payload %d" % i for i in range(400_000)]})
+    pq.write_table(t, str(big / "p.parquet"), compression="none")
+
+    ds_small = rd.read_parquet(str(small))
+    ds_big = rd.read_parquet(str(big))
+    try:
+        os.environ["SLAR_TARGET_PARTITION_BYTES"] = str(64 << 10)  # 64 KB
+        n_small = dd._num_partitions(ds_small)
+        n_big = dd._num_partitions(ds_big)
+    finally:
+        del os.environ["SLAR_TARGET_PARTITION_BYTES"]
+    assert n_small == 8                  # floor
+    assert n_big > n_small               # grows with bytes
+    assert dd._num_partitions(ds_big) == 8   # default 256MB target -> floor
+    assert dd._num_partitions(None) == 8
+
+
+def test_hash64_deterministic_and_collision_free_enough():
+    strs = pa.array([f"shingle number {i} with words" for i in range(20_000)])
+    h1 = hashing.hash64(strs)
+    h2 = hashing.hash64(strs)
+    assert h1.dtype == np.uint64
+    assert np.array_equal(h1, h2)
+    assert len(np.unique(h1)) == len(strs)          # no collisions at 20k
+    # different seeds decorrelate
+    h3 = hashing.hash64(strs, seed=99)
+    assert not np.array_equal(h1, h3)
+
+
+def test_fnv_fallback_matches_contract():
+    strs = pa.array(["", "a", "ab", "hello world", "x" * 300])
+    h = hashing._fnv1a64(strs.cast(pa.string()))
+    assert len(np.unique(h[1:])) == 4
+    # position-wise loop must equal a per-string reference FNV-1a
+    def ref_fnv(s: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for byte in s:
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+    for s, hv in zip(strs.to_pylist(), h):
+        assert ref_fnv(s.encode()) == int(hv)
+
+
+def test_mix64_vectorized():
+    a = np.arange(1000, dtype=np.uint64)
+    b = np.arange(1000, dtype=np.uint64)[::-1].copy()
+    m = hashing.mix64([a, b])
+    assert len(np.unique(m)) == 1000
+    assert np.array_equal(m, hashing.mix64([a, b]))
+    assert not np.array_equal(m, hashing.mix64([b, a]))  # order matters
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_dedup_safe_to_consume_twice():
+    """ADVICE r01 (medium): the returned Dataset is materialized, so a
+    second consumption must NOT silently drop keys."""
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.stream_dedup import (
+        stream_dedup_keys)
+    df = pd.DataFrame({"k": [f"v{i % 97}" for i in range(5000)]})
+    out = stream_dedup_keys(rd.from_pandas(df).repartition(8), ["k"])
+    assert out.count() == 97
+    assert len(out.to_pandas()) == 97       # second consumption, same result
+    assert out.count() == 97                # third
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_skip_detects_content_change(tmp_path):
+    """ADVICE r01: a same-count content change must NOT be skipped."""
+    import ray.data as rd
+    from security_log_analysis_rust_ray.sources import exports
+
+    base = pd.DataFrame({
+        "service": ["ssh", "ssh"],
+        "server": ["s0", "s0"],
+        "datetime": pd.to_datetime(["2024-03-01", "2024-03-02"]),
+        "host": ["a.example.com", "b.example.com"],
+        "username": ["u1", "u2"],
+        "ts": pd.to_datetime(["2024-03-01", "2024-03-02"]),
+        "conv_id": ["c1", "c2"],
+        "turn_idx": np.array([0, 0], dtype=np.int32),
+    })
+    out = str(tmp_path / "exp")
+    exports.export_month_partitioned(rd.from_pandas(base), out)
+
+    # same natural key as row 1 but EARLIER keep-first order -> replaces it,
+    # leaving the row count unchanged
+    replacement = base.iloc[[0]].assign(
+        conv_id=["c0"], turn_idx=np.array([0], dtype=np.int32))
+    exports.export_month_partitioned(rd.from_pandas(replacement), out)
+
+    final = rd.read_parquet(os.path.join(out, "year=2024", "month=3"))
+    got = final.to_pandas().sort_values("conv_id")
+    assert sorted(got["conv_id"]) == ["c0", "c2"]   # c1 replaced, not stale
