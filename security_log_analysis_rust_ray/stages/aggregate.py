@@ -101,6 +101,13 @@ def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
                               batch_size=None)
     else:
         pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        # if this chain inherited HASH_SHUFFLE (e.g. from an upstream join),
+        # cap the hash-aggregate partition count to the data-sized value —
+        # Ray's 200-partition default starves small CPU budgets
+        from ray.data.context import ShuffleStrategy
+        if pre.context.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+            from .dedup import _num_partitions
+            pre.context.default_hash_shuffle_parallelism = _num_partitions(ds)
         out = pre.groupby(keys).aggregate(Sum("_partial", alias_name=alias))
     return out.map_batches(lambda b: _restore(b, keys), batch_format="pyarrow",
                            batch_size=None)

@@ -59,13 +59,19 @@ def _restore_sentinel(batch: pa.Table, cols: list[str]) -> pa.Table:
     return batch
 
 
-def _use_hash_shuffle(ds: rd.Dataset) -> rd.Dataset:
+def _use_hash_shuffle(ds: rd.Dataset, nparts: int | None = None) -> rd.Dataset:
     """Key-based repartition requires HASH_SHUFFLE; each Dataset chain
     carries its own DataContext snapshot (`ds.context`), so setting it here
     scopes the strategy to THIS plan — groupby aggregates elsewhere keep the
-    (faster-for-small-key-spaces) sort-based shuffle."""
+    (faster-for-small-key-spaces) sort-based shuffle.
+
+    Also caps ``default_hash_shuffle_parallelism`` to the data-sized
+    partition count: Ray's default is 200 hash-aggregate partitions, whose
+    actor pool starves small CPU budgets (observed deadlock at 4 CPUs when a
+    downstream groupby inherited HASH_SHUFFLE from a join)."""
     from ray.data.context import ShuffleStrategy
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.default_hash_shuffle_parallelism = nparts or _num_partitions(ds)
     return ds
 
 
