@@ -477,64 +477,63 @@ def doc_sample(sf_dir: str, mod: int = 10) -> rd.Dataset:
 
 
 def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
-    """Per-doc top-k TF-IDF terms: document frequencies are a small
-    aggregate broadcast to a scoring stage; per-doc term counts and the
-    tf*idf ranking are vectorized per batch.  idf = ln(N / df); ties broken
-    by term asc.  Output: (doc_id, term, rank)."""
-    import math
+    """Per-doc top-k TF-IDF terms, fully distributed (VERDICT r01 #8: at
+    web scale the vocab is NOT small, so document frequencies must not live
+    in a driver-side dict):
 
-    sh_tokens = docs_aug_ds(sf_dir)
-    n_docs = sh_tokens.count()
+      tf  = per-batch (doc_id, term, tf) counts (docs never span batches)
+      df  = grouped count of tf rows per term (high-cardinality path:
+            partial counts -> hash repartition -> per-block sum)
+      tf |x| df on term (partitioned hash join)
+      -> hash-repartition by doc_id -> per-block vectorized score + top-k.
 
-    def distinct_terms(b: pa.Table) -> pa.Table:
+    idf = ln(N / df); ties broken by term asc.  Output: (doc_id, term,
+    rank)."""
+    from ..stages.dedup import _use_hash_shuffle
+
+    nparts = _join_parts(sf_dir)
+    n_docs = docs_aug_ds(sf_dir).count()
+
+    def tf_batch(b: pa.Table) -> pa.Table:
         tk = pc.split_pattern(b["text"], " ")
         if isinstance(tk, pa.ChunkedArray):
             tk = tk.combine_chunks()
-        flat = np.asarray(tk.values.to_pandas(), dtype=object)
+        flat = tk.values
         offs = np.asarray(tk.offsets)
         doc_ids = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
-        t = pa.table({"doc_id": pa.array(doc_ids),
-                      "term": pa.array(flat, pa.string())})
-        return t.group_by(["doc_id", "term"]).aggregate([])
+        t = pa.table({"doc_id": pa.array(doc_ids), "term": flat})
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "term", "tf"])
 
-    # document frequency per term: small (vocab-sized) -> driver + broadcast
-    from ..stages import aggregate as _agg
-    df_tbl = _agg.grouped_count(
-        sh_tokens.map_batches(distinct_terms, batch_format="pyarrow",
-                              batch_size=None),
-        ["term"], alias="df", small_keyspace=True).to_pandas()
-    idf = {t: math.log(n_docs / d) for t, d in zip(df_tbl["term"], df_tbl["df"])}
-    ref = ray.put(idf)
+    # tf feeds both df and the scoring join; materialize so the token
+    # explosion runs once (at 100-TB scale this is the spill-backed
+    # intermediate the object store is for)
+    tf = docs_aug_ds(sf_dir).map_batches(
+        tf_batch, batch_format="pyarrow", batch_size=None).materialize()
+    # tf rows are distinct per (doc, term), so counting rows per term IS df
+    df = agg.grouped_count(tf, ["term"], alias="df",
+                           high_cardinality=True).materialize()
 
-    class Score:
-        def __init__(self):
-            self.idf = ray.get(ref)
+    scored = tf.join(df, "inner", nparts, on=("term",))
+    rep = _use_hash_shuffle(scored, nparts).repartition(
+        num_blocks=nparts, keys=["doc_id"])
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            tk = pc.split_pattern(b["text"], " ")
-            if isinstance(tk, pa.ChunkedArray):
-                tk = tk.combine_chunks()
-            flat = np.asarray(tk.values.to_pandas(), dtype=object)
-            offs = np.asarray(tk.offsets)
-            doc_ids = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
-            tdf = pd.DataFrame({"doc_id": doc_ids, "term": flat})
-            counts = tdf.groupby(["doc_id", "term"], sort=False) \
-                .size().reset_index(name="tf")
-            counts["score"] = counts["tf"] * counts["term"].map(self.idf)
-            counts = counts.sort_values(
-                ["doc_id", "score", "term"],
-                ascending=[True, False, True], kind="stable")
-            top = counts.groupby("doc_id", sort=False).head(k).copy()
-            top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
-            return pa.table({
-                "doc_id": pa.array(top["doc_id"].to_numpy()),
-                "term": pa.array(top["term"].to_numpy(dtype=object),
-                                 pa.string()),
-                "rank": pa.array(top["rank"].to_numpy(), pa.int32()),
-            })
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="object"),
+                                 "rank": pd.Series([], dtype="int32")})
+        pdf = pdf.copy()
+        pdf["score"] = pdf["tf"] * np.log(n_docs / pdf["df"].to_numpy())
+        pdf = pdf.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True], kind="stable")
+        top = pdf.groupby("doc_id", sort=False).head(k).copy()
+        top["rank"] = (top.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype("int32")
+        return top[["doc_id", "term", "rank"]]
 
-    return docs_aug_ds(sf_dir).map_batches(
-        Score, batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+    return rep.map_batches(block_topk, batch_format="pandas",
+                           batch_size=None)
 
 
 # GPT-2-flavored pre-tokenizer regex (RE2-compatible subset; both DuckDB and

@@ -63,30 +63,27 @@ def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
 
 
 def orders_by_nation(sf_dir: str) -> rd.Dataset:
-    """orders |x| customer |x| nation via BROADCAST dim lookup (customer and
-    nation are the small side: shipped once with ray.put, probed per batch —
-    the J1/J2 pattern on star-schema data)."""
+    """orders |x| customer |x| nation via the SIZE-AWARE lookup join
+    (stages/joins.py, VERDICT r01 #6): customer is a fact-scale table, so
+    it broadcasts only while its estimated bytes stay under the threshold
+    and flips to a partitioned hash-shuffle join beyond it; nation (25
+    rows) always broadcasts."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer",
-                      columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read_table(sf_dir, "nation",
-                        columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(zip(
-        cust["c_custkey"],
-        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
-                                         nation["n_name"])))))
-    ref = ray.put(cust_to_nation)
-
-    class Join:
-        def __init__(self):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b["o_custkey"].to_numpy()
-            names = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
-            return b.append_column("nation", pa.array(names, pa.string()))
-
-    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
-        .map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+                      columns=["c_custkey", "c_nationkey"])
+    nation_ds = read_table(sf_dir, "nation",
+                           columns=["n_nationkey", "n_name"])
+    nparts = _num_partitions(orders)
+    j = lookup_join(orders, cust, "o_custkey", "c_custkey", nparts=nparts)
+    j2 = lookup_join(j, nation_ds, "c_nationkey", "n_nationkey",
+                     nparts=nparts)
+    ds = j2.map_batches(
+        lambda b: pa.table({"nation": b["n_name"],
+                            "o_totalprice": b["o_totalprice"]}),
+        batch_format="pyarrow", batch_size=None)
     partial = ds.map_batches(
         _partial_sums(["nation"], {"o_totalprice": "sum"}),
         batch_format="pyarrow")

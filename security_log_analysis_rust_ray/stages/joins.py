@@ -1,0 +1,61 @@
+"""Size-aware fact-dim join: broadcast the dim side when it is genuinely
+small, hash-shuffle join when it is not.
+
+Round-1 broadcast every lookup side unconditionally — including a
+customer-sized table (VERDICT r01 #6: customer is fact-scale, GBs at 100x,
+not a 25-row dim).  This helper makes the decision explicit and data-driven:
+the dim's estimated bytes (input-file sizes, metadata only) against a
+threshold (default 64 MB — a dict that every task can comfortably hold).
+Small side: shipped once with ray.put, probed with a vectorized pandas merge
+per batch (the reference's J1/J2 broadcast-lookup shape,
+/root/reference/src/polars_analysis.rs:96-107).  Large side: Ray Data's
+partitioned hash join — both sides shuffle on the key, nothing lands on the
+driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .dedup import _estimate_bytes
+
+BROADCAST_MAX_BYTES = int(os.environ.get("SLAR_BROADCAST_MAX_BYTES",
+                                         str(64 << 20)))
+
+
+def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
+                dim_key: str, nparts: int = 8, how: str = "inner",
+                broadcast_max_bytes: int | None = None) -> rd.Dataset:
+    """Attach ``dim``'s non-key columns to ``fact`` rows on
+    ``fact_key == dim_key``.  ``how`` in {"inner", "left"}.  The output
+    drops the dim key column (like Ray's join does), keeping the fact key.
+    """
+    limit = BROADCAST_MAX_BYTES if broadcast_max_bytes is None \
+        else broadcast_max_bytes
+    est = _estimate_bytes(dim)
+    if est is not None and est <= limit:
+        dim_df = dim.to_pandas()
+        if dim_key != fact_key:
+            dim_df = dim_df.rename(columns={dim_key: fact_key})
+        ref = ray.put(dim_df)
+
+        class Attach:
+            def __init__(self):
+                self.dim = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                out = df.merge(self.dim, on=fact_key,
+                               how="inner" if how == "inner" else "left")
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+        return fact.map_batches(Attach, batch_format="pyarrow",
+                                concurrency=(1, 8))
+    join_type = "inner" if how == "inner" else "left_outer"
+    return fact.join(dim, join_type, nparts,
+                     on=(fact_key,), right_on=(dim_key,))

@@ -1,0 +1,50 @@
+"""Size-aware lookup join: broadcast path vs hash-shuffle path must agree
+(VERDICT r01 #6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from security_log_analysis_rust_ray.stages.joins import lookup_join
+
+
+def _mk(tmp_path):
+    import pyarrow as pa
+    fact = pd.DataFrame({"k": np.arange(1000) % 60, "v": np.arange(1000)})
+    dim = pd.DataFrame({"dk": np.arange(50), "name": [f"n{i}" for i in range(50)]})
+    fdir, ddir = tmp_path / "fact", tmp_path / "dim"
+    fdir.mkdir(), ddir.mkdir()
+    pq.write_table(pa.Table.from_pandas(fact), str(fdir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(dim), str(ddir / "p.parquet"))
+    return str(fdir), str(ddir), fact, dim
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_lookup_join_paths_agree(tmp_path, how):
+    import ray.data as rd
+    fdir, ddir, fact, dim = _mk(tmp_path)
+    expected = fact.merge(dim.rename(columns={"dk": "k"}), on="k", how=how)
+
+    # broadcast path (dim well under the threshold)
+    bc = lookup_join(rd.read_parquet(fdir), rd.read_parquet(ddir),
+                     "k", "dk", nparts=4, how=how).to_pandas()
+    # shuffle path (threshold forced to zero -> dim "too big" to broadcast)
+    sh = lookup_join(rd.read_parquet(fdir), rd.read_parquet(ddir),
+                     "k", "dk", nparts=4, how=how,
+                     broadcast_max_bytes=0).to_pandas()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), na_position="last") \
+                 .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(bc), canon(expected), check_dtype=False)
+    pd.testing.assert_frame_equal(canon(sh), canon(expected), check_dtype=False)
+    if how == "inner":
+        assert len(bc) == 1000 - len(fact[fact["k"] >= 50])
+    else:
+        assert len(bc) == 1000
