@@ -88,7 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": M.media_frames,              # rows-only (stub frames)
         # streaming-shaped ops
         "sessionize": STR.sessionize,
-        "alert_batches": STR.alert_batches,           # rows-only (stateful scan)
+        "alert_batches": STR.alert_batches,           # recursive-CTE oracle
         # relational coverage
         "lineitem_pricing_summary": REL.lineitem_pricing_summary,
         "orders_by_nation": REL.orders_by_nation,
@@ -288,6 +288,37 @@ def oracle_sql() -> dict[str, str]:
 
     out["media_stats"] = (
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents")
+
+    # alert flush batches: recursive CTE replaying the engine's per-stream
+    # sequential scan (same microsecond age rule, same byte bound)
+    from security_log_analysis_rust_ray.synth import SERVER_MOD
+    _buf, _delay_us = STR.ALERT_BUFFER_BYTES, STR.ALERT_DELAY_S * 1_000_000
+    _cut = (f"s.cur_bytes + o.sz > {_buf} OR "
+            f"date_diff('microsecond', s.batch_start, o.ts) > {_delay_us}")
+    alert_body = (
+        ",\nmsgs AS (SELECT 'srv' || CAST(COALESCE(TRY_CAST("
+        "regexp_extract(conv_id, '^conv_(\\d+)', 1) AS BIGINT), 0)"
+        f" % {SERVER_MOD} AS VARCHAR) AS stream,"
+        " conv_id, turn_idx, log_timestamp AS ts,"
+        " CAST(length(log_message) AS BIGINT) AS sz"
+        " FROM messages WHERE log_level IN ('warn', 'error')),\n"
+        "ordered AS (SELECT *, row_number() OVER (PARTITION BY stream"
+        " ORDER BY ts, conv_id, turn_idx) AS rn FROM msgs),\n"
+        "scan(stream, rn, ts, sz, batch_id, cur_bytes, batch_start) AS ("
+        f" SELECT stream, rn, ts, sz, CASE WHEN sz > {_buf} THEN 1 ELSE 0 END,"
+        " sz, ts FROM ordered WHERE rn = 1"
+        " UNION ALL"
+        f" SELECT o.stream, o.rn, o.ts, o.sz,"
+        f" CASE WHEN {_cut} THEN s.batch_id + 1 ELSE s.batch_id END,"
+        f" CASE WHEN {_cut} THEN o.sz ELSE s.cur_bytes + o.sz END,"
+        f" CASE WHEN {_cut} THEN o.ts ELSE s.batch_start END"
+        " FROM scan s JOIN ordered o ON o.stream = s.stream"
+        " AND o.rn = s.rn + 1)\n"
+        "SELECT stream, batch_id, min(ts) AS first_ts, max(ts) AS last_ts,"
+        " count(*) AS n_messages, sum(sz) AS total_bytes"
+        " FROM scan GROUP BY stream, batch_id")
+    out["alert_batches"] = oracle_query(alert_body).replace(
+        "WITH ", "WITH RECURSIVE ", 1)
 
     out["lineitem_pricing_summary"] = (
         "SELECT l_returnflag, l_linestatus,"

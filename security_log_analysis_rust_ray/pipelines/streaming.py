@@ -59,25 +59,31 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
-def alert_batches(sf_dir: str, threshold: str = "warn",
-                  delay_s: int = ALERT_DELAY_S,
-                  buffer_bytes: int = ALERT_BUFFER_BYTES) -> rd.Dataset:
-    """K6 analog: group at-or-above-threshold messages into flush batches.
-
-    Per (log_level-filtered) message stream ordered by ts: start a new batch
-    when adding the message would exceed ``buffer_bytes`` OR the batch's
-    first message is more than ``delay_s`` older than this one.  Output one
-    row per alert batch (flush manifest): batch_id, first/last ts, n
-    messages, total bytes.  Sequential-scan semantics are inherently
-    per-stream; the stream here is one group (server-shard analog would be
-    the partition key at scale)."""
+def _alert_eligible(sf_dir: str, threshold: str) -> rd.Dataset:
+    """Messages at-or-above the alert level, keyed by their server STREAM
+    (derived shard of conv_id — the reference's alert loop is per-server,
+    src/parse_logs.rs:447-506): the sequential flush scan shards across
+    streams instead of funnelling the whole corpus into one task
+    (VERDICT r01 #5)."""
+    from ..functions import grok
     lvl = LEVEL_ORDER[threshold]
-    ds = reports.messages(sf_dir).map_batches(
-        lambda b: b.filter(pc.is_in(
-            b["log_level"],
-            value_set=pa.array([k for k, v in LEVEL_ORDER.items() if v >= lvl]))),
-        batch_format="pyarrow", batch_size=None)
 
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(
+            b["log_level"],
+            value_set=pa.array([k for k, v in LEVEL_ORDER.items() if v >= lvl])))
+        return b.append_column("stream", grok.server_from_conv(b["conv_id"]))
+
+    return reports.messages(sf_dir).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+
+
+def _batch_scan(delay_s: int, buffer_bytes: int):
+    """Per-stream sequential flush-batch assignment (reference buffer
+    semantics: flush when the buffer would exceed ``buffer_bytes`` OR the
+    batch's first message is more than ``delay_s`` older than this one).
+    Ages compare in MICROSECONDS on both engine and oracle sides (second
+    truncation at a boundary would diverge — same rule as sessionize)."""
     def batch_scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["log_timestamp", "conv_id", "turn_idx"])
         sizes = g["log_message"].str.len().to_numpy()
@@ -85,8 +91,9 @@ def alert_batches(sf_dir: str, threshold: str = "warn",
         batch_ids = np.zeros(len(g), dtype=np.int64)
         cur, cur_bytes, cur_start = 0, 0, ts[0] if len(g) else None
         for i in range(len(g)):
-            age = (ts[i] - cur_start).astype("timedelta64[s]").astype(int)
-            if cur_bytes + sizes[i] > buffer_bytes or age > delay_s:
+            age_us = (ts[i] - cur_start).astype("timedelta64[us]").astype(np.int64)
+            if cur_bytes + sizes[i] > buffer_bytes \
+                    or age_us > delay_s * 1_000_000:
                 cur += 1
                 cur_bytes, cur_start = 0, ts[i]
             batch_ids[i] = cur
@@ -94,14 +101,72 @@ def alert_batches(sf_dir: str, threshold: str = "warn",
         out = g.assign(batch_id=batch_ids, nbytes=sizes).groupby("batch_id").agg(
             first_ts=("log_timestamp", "min"), last_ts=("log_timestamp", "max"),
             n_messages=("log_level", "count"), total_bytes=("nbytes", "sum"))
-        return out.reset_index()
+        out = out.reset_index()
+        out.insert(0, "stream", g["stream"].iloc[0] if len(g) else "")
+        out["total_bytes"] = out["total_bytes"].astype("int64")
+        return out
+    return batch_scan
 
-    # single logical stream (add a key column for the grouped scan)
-    keyed = ds.map_batches(
-        lambda b: b.append_column("stream", pa.array(["all"] * len(b))),
-        batch_format="pyarrow", batch_size=None)
-    out = keyed.groupby("stream").map_groups(batch_scan, batch_format="pandas")
-    return out
+
+def alert_batches(sf_dir: str, threshold: str = "warn",
+                  delay_s: int = ALERT_DELAY_S,
+                  buffer_bytes: int = ALERT_BUFFER_BYTES) -> rd.Dataset:
+    """K6 analog: group at-or-above-threshold messages into flush batches,
+    one sequential scan PER SERVER STREAM (sharded groupby, not a single
+    global group).  Output one row per alert batch (flush manifest):
+    stream, batch_id, first/last ts, n messages, total bytes.  Oracle: a
+    recursive CTE replaying the same scan per stream."""
+    return _alert_eligible(sf_dir, threshold).groupby("stream").map_groups(
+        _batch_scan(delay_s, buffer_bytes), batch_format="pandas")
+
+
+def run_alert_cycle(sf_dir: str, state_path: str, threshold: str = "warn",
+                    delay_s: int = ALERT_DELAY_S,
+                    buffer_bytes: int = ALERT_BUFFER_BYTES) -> "pd.DataFrame":
+    """The alert delivery state machine: buffer -> flush -> MARK PROCESSED
+    (reference src/parse_logs.rs:447-506 + processed_time update
+    src/models.rs:713-720).  Per-stream processed watermarks persist in a
+    manifest (fsync'd JSONL, state/manifest.py); a rerun only flushes
+    batches of messages STRICTLY NEWER than the stream's watermark, so
+    restarts never re-alert — the batch-engine restatement of the
+    processed_time column's restart-safety.
+
+    Returns the newly flushed batches (empty on a no-new-messages rerun).
+    """
+    from ..state.manifest import Manifest
+    manifest = Manifest(state_path)
+    marks = {s: rec.get("watermark")
+             for s, rec in manifest.records.items() if rec.get("watermark")}
+    marks_arr = {s: np.datetime64(w) for s, w in marks.items()}
+
+    eligible = _alert_eligible(sf_dir, threshold)
+
+    def unprocessed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        streams = b["stream"].to_pylist()
+        ts = b["log_timestamp"].to_numpy()
+        keep = np.ones(len(streams), dtype=bool)
+        for s, w in marks_arr.items():
+            keep &= ~((np.asarray(streams, dtype=object) == s) & (ts <= w))
+        return b.filter(pa.array(keep))
+
+    fresh = eligible.map_batches(unprocessed, batch_format="pyarrow",
+                                 batch_size=None)
+    flushed = fresh.groupby("stream").map_groups(
+        _batch_scan(delay_s, buffer_bytes), batch_format="pandas").to_pandas()
+    cols = ["stream", "batch_id", "first_ts", "last_ts",
+            "n_messages", "total_bytes"]
+    if len(flushed) == 0:
+        # Ray drops column metadata on an empty to_pandas; normalize so a
+        # no-new-messages rerun returns a stable empty schema
+        return pd.DataFrame(columns=cols)
+    for s, g in flushed.groupby("stream"):
+        manifest.record(str(s), status="done",
+                        watermark=str(np.datetime64(g["last_ts"].max(), "us")),
+                        n_batches=int(g["batch_id"].nunique()),
+                        n_messages=int(g["n_messages"].sum()))
+    return flushed
 
 
 def watermark_filter(ds: rd.Dataset, watermark: str) -> rd.Dataset:

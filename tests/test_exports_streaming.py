@@ -104,11 +104,30 @@ def test_alert_batches_invariants():
     lvl_rows = R.messages(SF_SMOKE).to_pandas()
     n_eligible = (lvl_rows["log_level"].isin(["warn", "error"])).sum()
     assert df["n_messages"].sum() == n_eligible
-    # flush manifests are time-ordered and non-overlapping
-    d = df.sort_values("batch_id")
-    assert (d["first_ts"] <= d["last_ts"]).all()
-    assert (d["first_ts"].iloc[1:].to_numpy()
-            >= d["last_ts"].iloc[:-1].to_numpy()).all()
+    # flush manifests are time-ordered and non-overlapping WITHIN a stream
+    # (the scan shards per server stream since r02)
+    assert df["stream"].nunique() > 1
+    for _s, g in df.groupby("stream"):
+        g = g.sort_values("batch_id")
+        assert (g["first_ts"] <= g["last_ts"]).all()
+        assert (g["first_ts"].iloc[1:].to_numpy()
+                >= g["last_ts"].iloc[:-1].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alert_cycle_mark_processed(tmp_path):
+    """The alert state machine: a rerun with no new messages re-alerts
+    NOTHING (processed_time restart-safety,
+    /root/reference/src/models.rs:713-720)."""
+    state = str(tmp_path / "alert_state.jsonl")
+    first = STR.run_alert_cycle(SF_SMOKE, state)
+    assert len(first) > 0
+    total = first["n_messages"].sum()
+    again = STR.run_alert_cycle(SF_SMOKE, state)
+    assert len(again) == 0, "rerun must not re-alert flushed messages"
+    # full-batch parity: one cycle from clean state flushes exactly the
+    # alert_batches universe
+    assert total == STR.alert_batches(SF_SMOKE).to_pandas()["n_messages"].sum()
 
 
 def test_cli_surface(tmp_path):
