@@ -82,6 +82,61 @@ def _written_stats(shard_dir: str) -> tuple[int, str | None, dict[str, int]]:
     return rows, (str(max_ts) if max_ts is not None else None), per_sink
 
 
+def scan_pending(in_dir: str, manifest: Manifest) -> list[tuple[str, str, dict]]:
+    """Shards whose manifest record is missing or whose input fingerprint
+    changed (new/landed/replaced files) — the pending-selection shared by
+    the one-shot and follow-mode drivers."""
+    parts = sorted(f for f in os.listdir(in_dir) if f.endswith(".parquet"))
+    pending: list[tuple[str, str, dict]] = []
+    for fn in parts:
+        src = os.path.join(in_dir, fn)
+        shard_id = os.path.splitext(fn)[0]  # identity = input file name
+        fp = input_fingerprint(src)
+        if not manifest.is_done(shard_id, fp):
+            pending.append((shard_id, src, fp))
+    return pending
+
+
+def follow_ingest(sf_dir: str, out_dir: str, in_dir: str,
+                  max_passes: int = 100, idle_stop: int = 2,
+                  enrich: bool = True, aggregate_each_pass: bool = False,
+                  on_pass=None) -> list[list[str]]:
+    """Continuous ingest: the reference daemon's tail loop
+    (/root/reference/src/parse_logs.rs:306-379) re-stated for a landing
+    zone.  Each pass scans ``in_dir`` for pending shards (new files, or
+    files whose fingerprint changed) and runs one incremental ``run_ingest``
+    pass over exactly those; the manifest guarantees each shard VERSION is
+    processed exactly once across passes, restarts included.
+
+    Stops after ``idle_stop`` consecutive empty scans or ``max_passes``.
+    ``on_pass(pass_idx, processed_shard_ids)`` is the test/ops hook fired
+    after every pass (e.g. to observe progress, or in tests to land new
+    shards mid-run); returning False stops the loop.  Returns the list of
+    shard ids processed per pass.
+
+    The per-pass aggregate recompute is off by default (a tail loop wants
+    cheap passes; run the aggregate once at the end or on a timer)."""
+    history: list[list[str]] = []
+    idle = 0
+    for p in range(max_passes):
+        manifest = Manifest(os.path.join(out_dir, "manifest.jsonl"))
+        pending = scan_pending(in_dir, manifest)
+        ids = [sid for sid, _src, _fp in pending]
+        if pending:
+            idle = 0
+            run_ingest(sf_dir, out_dir, in_dir=in_dir, enrich=enrich,
+                       stop_after_shard=None if aggregate_each_pass
+                       else len(pending) - 1)
+        else:
+            idle += 1
+        history.append(ids)
+        if on_pass is not None and on_pass(p, ids) is False:
+            break
+        if idle >= idle_stop:
+            break
+    return history
+
+
 def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
                enrich: bool = True, stop_after_shard: int | None = None,
                in_dir: str | None = None) -> Manifest:
@@ -96,16 +151,7 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
     routed_root = os.path.join(out_dir, ROUTED_DIR)
     os.makedirs(routed_root, exist_ok=True)
 
-    parts = sorted(f for f in os.listdir(in_dir) if f.endswith(".parquet"))
-    # pending = shards whose manifest record is missing or whose input
-    # fingerprint changed (new/landed/replaced files)
-    pending: list[tuple[str, str, dict]] = []
-    for fn in parts:
-        src = os.path.join(in_dir, fn)
-        shard_id = os.path.splitext(fn)[0]  # identity = input file name
-        fp = input_fingerprint(src)
-        if not manifest.is_done(shard_id, fp):
-            pending.append((shard_id, src, fp))
+    pending = scan_pending(in_dir, manifest)
     if stop_after_shard is not None:
         pending = pending[: stop_after_shard + 1]
 

@@ -145,25 +145,81 @@ def import_json(path: str) -> rd.Dataset:
     return rd.read_json(path)
 
 
-_REPORT_TEMPLATE = """<html><head><title>attack report</title></head><body>
-<h1>Attempts per country</h1>
-<table>
-{rows}
-</table>
-</body></html>
+# Geochart report scaffold with the reference's substitution contract: the
+# marker is replaced by `["Country", N],...` rows fed to a geochart data
+# table (templates/COUNTRY_TEMPLATE.html:10-14; substitution at
+# src/parse_opts.rs:186-190).  The scaffold is this engine's own; the
+# MARKER name and row format follow the reference so downstream consumers
+# of the substituted field see identical data rows.
+_GEO_MARKER = "PUTLISTOFCOUNTRIESANDATTEMPTSHERE"
+_REPORT_TEMPLATE = """<html>
+  <head>
+    <script type="text/javascript" src="https://www.google.com/jsapi"></script>
+    <script type="text/javascript">
+      google.load("visualization", "1", {packages:["geochart"]});
+      google.setOnLoadCallback(drawRegionsMap);
+      function drawRegionsMap() {
+        var data = google.visualization.arrayToDataTable([
+          ['Country', 'Number'],
+          PUTLISTOFCOUNTRIESANDATTEMPTSHERE
+        ]);
+        var chart = new google.visualization.GeoChart(
+          document.getElementById('regions_div'));
+        chart.draw(data, {});
+      }
+    </script>
+  </head>
+  <body>
+    <div id="regions_div" style="width: 900px; height: 500px;"></div>
+  </body>
+</html>
 """
 
 
+def geochart_rows(df) -> str:
+    """The reference's row serialization: `["{country}", {count}]` joined
+    with commas (src/parse_opts.rs:186-188)."""
+    return ",".join(f'["{r.country}", {r.cnt}]' for r in df.itertuples())
+
+
 def write_country_report(counts, out_path: str) -> str:
-    """K5 analog (HTML geochart report writer,
-    /root/reference/src/parse_opts.rs:176-204 + templates/COUNTRY_TEMPLATE.html):
-    driver-side template substitution over the TINY aggregate result.
-    ``counts`` is a Dataset/DataFrame with (country, cnt)."""
+    """K5: HTML geochart report writer
+    (/root/reference/src/parse_opts.rs:176-204 +
+    templates/COUNTRY_TEMPLATE.html): driver-side template substitution over
+    the TINY aggregate result.  ``counts`` is a Dataset/DataFrame with
+    (country, cnt)."""
     df = counts.to_pandas() if hasattr(counts, "to_pandas") else counts
-    rows = "\n".join(
-        f"<tr><td>{r.country}</td><td>{r.cnt}</td></tr>"
-        for r in df.itertuples())
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
-        f.write(_REPORT_TEMPLATE.format(rows=rows))
+        f.write(_REPORT_TEMPLATE.replace(_GEO_MARKER, geochart_rows(df)))
     return out_path
+
+
+def write_country_reports_per_sink(sf_dir: str, out_dir: str) -> list[str]:
+    """The reference Plot command's full fan-out: one geochart report per
+    (service x server) named `{service}_intrusion_attempts_{server}.html`
+    (src/parse_opts.rs:181-199).  One distributed aggregate pass computes
+    every (service, server, country) count; the per-file split is a
+    driver-side partition of the tiny result."""
+    from ..pipelines.reports import enriched
+    from ..stages import aggregate as agg
+    import pyarrow.compute as _pc
+    enr = enriched(sf_dir).materialize()
+    inner = enr.map_batches(
+        lambda b: b.filter(_pc.is_valid(b["country"])),
+        batch_format="pyarrow", batch_size=None)
+    counts = agg.grouped_count(
+        inner, ["service", "server", "country"]).to_pandas()
+    # one report per ROUTED (service, server) combination, like the
+    # reference's fixed service x server loop — combos whose hosts have no
+    # country enrichment (e.g. raw-IP services) get an empty data table
+    combos = agg.grouped_count(enr, ["service", "server"]).to_pandas()
+    paths = []
+    for r in combos.itertuples():
+        g = counts[(counts["service"] == r.service)
+                   & (counts["server"] == r.server)]
+        g = g.sort_values(["cnt", "country"], ascending=[False, True])
+        path = os.path.join(out_dir,
+                            f"{r.service}_intrusion_attempts_{r.server}.html")
+        paths.append(write_country_report(g, path))
+    return paths

@@ -66,10 +66,26 @@ def test_pairwise_merge_and_json_roundtrip(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_country_report_writer(tmp_path):
+    """Geochart parity (reference templates/COUNTRY_TEMPLATE.html:10-14 +
+    src/parse_opts.rs:176-204): the marker is fully substituted with
+    `["Country", N]` rows matching the aggregate."""
     counts = R.country_counts(SF_SMOKE)
     p = X.write_country_report(counts, str(tmp_path / "report.html"))
     html = open(p).read()
-    assert "<table>" in html and "Country " in html
+    assert "PUTLISTOFCOUNTRIES" not in html          # marker substituted
+    assert "geochart" in html and "arrayToDataTable" in html
+    df = counts.to_pandas()
+    # every (country, cnt) row appears in the substituted field verbatim
+    for r in df.itertuples():
+        assert f'["{r.country}", {r.cnt}]' in html
+    # per-(service, server) fan-out writes the reference's file names
+    paths = X.write_country_reports_per_sink(SF_SMOKE, str(tmp_path / "rep"))
+    assert paths
+    names = {os.path.basename(p) for p in paths}
+    assert all("_intrusion_attempts_" in n and n.endswith(".html")
+               for n in names)
+    services = {n.split("_")[0] for n in names}
+    assert services == {"ssh", "apache", "nginx"}
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -115,3 +115,49 @@ def test_sink_readback_partition_pruning(tmp_path):
     assert (df["log_level"].notna()).all()
     ssh = ingest.read_sink(out, "ssh").to_pandas()
     assert (ssh["service"] == "ssh").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_ingest_exactly_once(tmp_path):
+    """Follow mode (reference daemon loop): shards landing MID-RUN are
+    picked up by later passes, every shard processed exactly once, loop
+    stops after idle_stop empty scans."""
+    import shutil
+    from security_log_analysis_rust_ray import synth
+
+    src = synth.ensure_transcripts_sharded(SF_SMOKE, shards=4)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for f in files[:2]:
+        shutil.copy2(os.path.join(src, f), os.path.join(landing, f))
+
+    out = str(tmp_path / "o")
+    dropped = {"n": 2}
+
+    def land_more(pass_idx, processed):
+        # the test hook: drop one new shard after each of the first two
+        # passes — simulates journald lines arriving while the daemon runs
+        if dropped["n"] < len(files):
+            shutil.copy2(os.path.join(src, files[dropped["n"]]),
+                         os.path.join(landing, files[dropped["n"]]))
+            dropped["n"] += 1
+
+    history = ingest.follow_ingest(SF_SMOKE, out, landing, enrich=False,
+                                   idle_stop=2, on_pass=land_more)
+    processed = [sid for ids in history for sid in ids]
+    # exactly-once: no shard id appears twice across passes
+    assert len(processed) == len(set(processed)) == 4
+    # trailing passes were idle scans
+    assert history[-1] == [] and history[-2] == []
+    # content equals a one-shot run over the full input
+    import ray.data as rd
+    full_out = str(tmp_path / "full")
+    ingest.run_ingest(SF_SMOKE, full_out, shards=4, enrich=False)
+    got = _routed_df(out)
+    exp = _routed_df(full_out)
+    pd.testing.assert_frame_equal(got, exp)
+    # a follow rerun over the quiet landing zone is a no-op
+    h2 = ingest.follow_ingest(SF_SMOKE, out, landing, enrich=False,
+                              idle_stop=1)
+    assert all(ids == [] for ids in h2)
