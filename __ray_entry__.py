@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_count": D.doc_bpe_token_count,
         "doc_tfidf_top_terms": D.doc_tfidf_top_terms,
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
+        "doc_pack_stats": D.doc_pack_stats,          # invariant oracle
         "doc_weighted_mix": D.doc_weighted_mix,
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
         # multimodal plumbing (decode is a marked stub)
         "media_stats": M.media_stats,
+        "media_checksums": M.media_checksums,        # md5 oracle
         "media_features": M.media_features,          # rows-only (stub decode)
         "media_thumbnails": M.media_thumbnails,      # rows-only (stub resize)
         "media_frames": M.media_frames,              # rows-only (stub frames)
@@ -288,6 +290,12 @@ def oracle_sql() -> dict[str, str]:
 
     out["media_stats"] = (
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents")
+    out["media_checksums"] = (
+        "SELECT doc_id, md5(text) AS checksum_md5 FROM documents")
+    out["doc_pack_stats"] = docs_only + (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs_packed,"
+        " CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,"
+        " CAST(0 AS BIGINT) AS over_budget_multi FROM docs_aug")
 
     # alert flush batches: recursive CTE replaying the engine's per-stream
     # sequential scan (same microsecond age rule, same byte bound)

@@ -409,6 +409,34 @@ def doc_pack(sf_dir: str, budget: int = PACK_BUDGET) -> rd.Dataset:
                                            batch_size=None)
 
 
+def doc_pack_stats(sf_dir: str, budget: int = PACK_BUDGET) -> rd.Dataset:
+    """SQL-checkable invariants of the greedy packing (the packing itself
+    has no SQL formulation, but its CONTRACT does): coverage — every doc
+    packed exactly once, so the bin totals fold back to the corpus totals —
+    and the budget bound — zero multi-doc bins over budget (the oracle
+    states 0 as a constant, so any violation fails the value hash)."""
+    bins = doc_pack(sf_dir, budget)
+
+    def partial(b: pa.Table) -> pa.Table:
+        tt = b["total_tokens"].to_numpy()
+        nd = b["n_docs"].to_numpy()
+        return pa.table({
+            "n_docs_packed": pa.array([int(nd.sum())], pa.int64()),
+            "total_tokens": pa.array([int(tt.sum())], pa.int64()),
+            "over_budget_multi": pa.array(
+                [int(((tt > budget) & (nd > 1)).sum())], pa.int64()),
+        })
+
+    pre = bins.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()  # one row per block
+    out = pd.DataFrame({
+        "n_docs_packed": [int(pre["n_docs_packed"].sum())],
+        "total_tokens": [int(pre["total_tokens"].sum())],
+        "over_budget_multi": [int(pre["over_budget_multi"].sum())],
+    })
+    return rd.from_pandas(out)
+
+
 def doc_weighted_mix(sf_dir: str) -> rd.Dataset:
     """Dataset mixing: keep a deterministic per-source fraction of documents
     (MIX_RATES percent, keyed on doc_id so the mix is stable under

@@ -56,11 +56,16 @@ class DecodeStub:
         return len(a) % 640 + 1, len(a) % 480 + 1, int(a.sum()), feat
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        import hashlib
         payloads = b["payload"].to_pylist()
-        w, h, ck, feats = [], [], [], []
+        w, h, ck, md5s, feats = [], [], [], [], []
         for p in payloads:
             wi, hi, c, f = self._decode(p)
             w.append(wi); h.append(hi); ck.append(c); feats.append(f)
+            # content digest per item: per-row work is the actor-pool model
+            # here (media decode is inherently per-item); md5 hex doubles as
+            # the SQL-checkable lineage id (DuckDB md5() on the oracle side)
+            md5s.append(hashlib.md5(p).hexdigest())
         feat_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(feats) if feats else
                      np.zeros(0), pa.float64()), self.FEATURE_DIM)
@@ -70,6 +75,7 @@ class DecodeStub:
             "width": pa.array(w, pa.int32()),
             "height": pa.array(h, pa.int32()),
             "checksum": pa.array(ck, pa.int64()),
+            "checksum_md5": pa.array(md5s, pa.string()),
             "feature": feat_arr,
         })
 
@@ -143,3 +149,10 @@ def media_stats(sf_dir: str) -> rd.Dataset:
     """Oracle-checkable projection of the media path: (doc_id, n_bytes) —
     byte-length accounting survives the stub boundary."""
     return media_features(sf_dir).select_columns(["doc_id", "n_bytes"])
+
+
+def media_checksums(sf_dir: str) -> rd.Dataset:
+    """Oracle-checkable content digests through the decode stage:
+    (doc_id, checksum_md5) vs DuckDB md5() on the same payload bytes —
+    moves the media pipeline's value check beyond rows-only."""
+    return media_features(sf_dir).select_columns(["doc_id", "checksum_md5"])

@@ -160,3 +160,50 @@ def test_cli_surface(tmp_path):
     stats = _json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["rows"] - stats["after_dedup"] == stats["duplicates_removed"]
     assert stats["duplicates_removed"] > 0  # engineered dedup delta
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_writer_sync_reconciliation(tmp_path):
+    """S3-sync analog (reference src/s3_sync.rs:130-231,337-348): etag-diff
+    flag computation + conflict merge; second sync is all-noop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from security_log_analysis_rust_ray.sources import sync as SY
+
+    def mk_rows(convs):
+        n = len(convs)
+        return pa.table({
+            "service": pa.array(["ssh"] * n), "server": pa.array(["s0"] * n),
+            "datetime": pa.array([1700000000000000] * n, pa.timestamp("us")),
+            "host": pa.array([f"h{c}.example.com" for c in convs]),
+            "username": pa.array(["u"] * n),
+            "ts": pa.array([1700000000000000 + i for i in range(n)],
+                           pa.timestamp("us")),
+            "conv_id": pa.array(convs),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+        })
+
+    local, remote = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(local), os.makedirs(remote)
+    pq.write_table(mk_rows(["a", "b"]), os.path.join(local, "only_local.parquet"))
+    pq.write_table(mk_rows(["c"]), os.path.join(remote, "only_remote.parquet"))
+    pq.write_table(mk_rows(["x", "y"]), os.path.join(local, "conflict.parquet"))
+    pq.write_table(mk_rows(["x", "z"]), os.path.join(remote, "conflict.parquet"))
+
+    plan = {i.key: i.action for i in SY.sync_plan(local, remote)}
+    assert plan == {"only_local.parquet": "upload",
+                    "only_remote.parquet": "download",
+                    "conflict.parquet": "merge"}
+
+    SY.run_sync(local, remote)
+    # both sides converged byte-identically per key
+    ls, rs = SY.scan_store(local), SY.scan_store(remote)
+    assert set(ls) == set(rs) == {"only_local.parquet", "only_remote.parquet",
+                                  "conflict.parquet"}
+    assert all(ls[k]["etag"] == rs[k]["etag"] for k in ls)
+    # merged conflict = keep-first union on the natural key
+    merged = pq.read_table(os.path.join(local, "conflict.parquet")).to_pandas()
+    assert sorted(merged["conv_id"]) == ["x", "y", "z"]
+    # second pass: pure noop
+    assert all(i.action == "noop" for i in SY.sync_plan(local, remote))
