@@ -122,6 +122,14 @@ def run_bench() -> dict:
     # natural-key dedup shuffle over parsed rows
     timed("parsed_dedup", lambda: dd.dedup_keep_first(parsed_ds()).count())
 
+    # similarity tier over the documents table (vectorized hash64 kernels +
+    # dataset-native LSH verify — r02; wall-times tracked vs BENCH_r01)
+    from security_log_analysis_rust_ray.pipelines import docs as docs_pipe
+    timed("simhash64", lambda: docs_pipe.simhash64(SF_DIR).count())
+    timed("doc_fingerprints",
+          lambda: docs_pipe.doc_fingerprints(SF_DIR).count())
+    timed("minhash_pairs", lambda: docs_pipe.minhash_pairs(SF_DIR).count())
+
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",
         "value": queries["flagship_country_counts"],

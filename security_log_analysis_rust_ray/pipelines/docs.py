@@ -191,6 +191,52 @@ def _join_parts(sf_dir: str) -> int:
     return _num_partitions(read_table(sf_dir, "documents", columns=["doc_id"]))
 
 
+def _block_group_pairs(key_cols: list[str]):
+    """Per-BLOCK vectorized pair expansion: the block holds whole groups
+    (hash-repartitioned on ``key_cols``); one Arrow sort + numpy boundary
+    detection, then all (a < b) doc pairs of every group emitted with a
+    loop over DISTINCT GROUP SIZES only (each size handled as one batched
+    triu-index gather) — no Python call per group."""
+    def fn(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if b.num_rows < 2:
+            return empty
+        srt = b.sort_by([(c, "ascending") for c in key_cols]
+                        + [("doc_id", "ascending")])
+        d = srt["doc_id"].to_numpy()
+        change = np.zeros(len(d) - 1, dtype=bool)
+        for c in key_cols:
+            col = srt[c].combine_chunks() if isinstance(srt[c], pa.ChunkedArray) \
+                else srt[c]
+            eq = pc.equal(col.slice(1), col.slice(0, len(d) - 1))
+            change |= ~eq.to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        counts = np.diff(np.append(starts, len(d)))
+        out_a, out_b = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            st = starts[counts == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(d[(st[:, None] + iu[None, :])].ravel())
+            out_b.append(d[(st[:, None] + ju[None, :])].ravel())
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
+    return fn
+
+
+def _group_pairs(ds: rd.Dataset, key_cols: list[str], nparts: int) -> rd.Dataset:
+    """Repartition on the group key, then vectorized per-block expansion."""
+    from ..stages.dedup import _use_hash_shuffle
+    rep = _use_hash_shuffle(ds, nparts).repartition(
+        num_blocks=nparts, keys=key_cols)
+    return rep.map_batches(_block_group_pairs(key_cols),
+                           batch_format="pyarrow", batch_size=None)
+
+
 def _jaccard_filter(co: rd.Dataset, sizes: rd.Dataset, threshold: float,
                     nparts: int) -> rd.Dataset:
     """(a, b, co) x per-doc set sizes -> (a, b, jaccard >= threshold).
@@ -230,16 +276,10 @@ def doc_ngram_jaccard_pairs(sf_dir: str,
     # inputs pinned in the object store
     sizes = agg.grouped_count(sh, ["doc_id"], alias="sz").materialize()
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].to_numpy())
-        if len(d) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        i, j = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"a": d[i], "b": d[j]})
-
-    pairs = sh.groupby("g").map_groups(pairs_of_group, batch_format="pandas")
+    nparts = _join_parts(sf_dir)
+    pairs = _group_pairs(sh, ["g"], nparts)
     co = agg.grouped_count(pairs, ["a", "b"], alias="co").materialize()
-    return _jaccard_filter(co, sizes, threshold, _join_parts(sf_dir))
+    return _jaccard_filter(co, sizes, threshold, nparts)
 
 
 # ---------------------------------------------------------------------------
@@ -327,15 +367,7 @@ def minhash_pairs(sf_dir: str,
     bands = docs_aug_ds(sf_dir).map_batches(
         MinHashActor, batch_format="pyarrow", concurrency=(1, 8))
 
-    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].unique())
-        if len(d) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        i, j = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"a": d[i], "b": d[j]})
-
-    cands = bands.groupby(["band", "band_hash"]).map_groups(
-        cand_pairs, batch_format="pandas")
+    cands = _group_pairs(bands, ["band", "band_hash"], nparts)
     # distinct candidate pairs (same pair can collide in several bands);
     # materialized: the candidate set is tiny relative to the corpus and
     # feeds two joins

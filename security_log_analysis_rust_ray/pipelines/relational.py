@@ -135,18 +135,26 @@ def top_parts_by_revenue(sf_dir: str, k: int = 5) -> rd.Dataset:
 
 def user_running_totals(sf_dir: str) -> rd.Dataset:
     """Per-user running cumulative `value` over time — the windowed
-    cumulative-aggregate shape: groupby(user) + vectorized cumsum over the
-    ts-sorted group (ordering assumption: one user's rows are processed
-    together, sorted; oracle = SQL window SUM OVER)."""
+    cumulative-aggregate shape.  Hash-repartition by user, then ONE
+    vectorized pandas groupby-cumsum per block across all its users (no
+    per-group Python; oracle = SQL window SUM OVER)."""
+    from ..pipelines.streaming import _by_key_blocks
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "ts", "value"])
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = round_half_up(g["value"].cumsum().to_numpy(), 2)
-        return g[["user_id", "event_id", "running_value"]]
+    def block_cum(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "running_value": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        df["running_value"] = round_half_up(
+            df.groupby("user_id", sort=False)["value"].cumsum().to_numpy(), 2)
+        return df[["user_id", "event_id", "running_value"]]
 
-    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+    return _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_cum, batch_format="pandas", batch_size=None)
 
 
 def events_asof_signup(sf_dir: str) -> rd.Dataset:
@@ -156,18 +164,29 @@ def events_asof_signup(sf_dir: str) -> rd.Dataset:
     the group, pandas merge_asof — the guide's documented as-of pattern.
     Partitioning assumption: the join key (user_id) co-locates both sides;
     skewed users are bounded by per-user event counts."""
+    from ..pipelines.streaming import _by_key_blocks
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "ts", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        signups = g[g["event_type"] == "signup"][["ts"]] \
+    def block_asof(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "last_signup_ts": pd.Series([], dtype="datetime64[us]")})
+        # ONE merge_asof across every user in the block (by=user_id keeps
+        # the per-user semantics; both sides globally ts-sorted as the
+        # kernel requires) — no per-group Python
+        df = df.sort_values(["ts", "event_id"], kind="stable") \
+            .reset_index(drop=True)
+        signups = df[df["event_type"] == "signup"][["user_id", "ts"]] \
             .rename(columns={"ts": "last_signup_ts"})
-        out = pd.merge_asof(g, signups, left_on="ts",
+        out = pd.merge_asof(df, signups, by="user_id", left_on="ts",
                             right_on="last_signup_ts", direction="backward")
         return out[["user_id", "event_id", "last_signup_ts"]]
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_asof, batch_format="pandas", batch_size=None)
 
 
 def events_semi_join_purchasers(sf_dir: str) -> rd.Dataset:

@@ -34,29 +34,51 @@ ALERT_BUFFER_BYTES = 10_000   # reference default alert_buffer_size
 LEVEL_ORDER = {"debug": 0, "info": 1, "warn": 2, "error": 3}
 
 
+def _by_key_blocks(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Hash-repartition so all rows of a key land in ONE block — the
+    windowed ops then run one VECTORIZED pandas kernel per block across all
+    of its keys, instead of a Python call per key group (VERDICT r01: many
+    tiny groups pay Python per group under groupby().map_groups())."""
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+    nparts = _num_partitions(ds)
+    return _use_hash_shuffle(ds, nparts).repartition(
+        num_blocks=nparts, keys=keys)
+
+
 def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
     """Session windows per user_id: a new session starts when the gap to the
     previous event exceeds ``gap_s``.  Output: one row per session with
-    event count and span.  Oracle-checkable via SQL window functions."""
+    event count and span.  Oracle-checkable via SQL window functions.
+
+    Vectorized across ALL users in a block: one sort, one diff, one
+    cumsum — the session-boundary mask ORs the user-change mask."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
+    def block_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].to_numpy()
+        user = df["user_id"].to_numpy()
         # microsecond comparison on both engine and oracle sides (second
         # truncation at the boundary would diverge)
         gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        new_session = np.concatenate([[True], gaps > gap_s * 1_000_000])
+        new_session = np.concatenate(
+            [[True], (user[1:] != user[:-1]) | (gaps > gap_s * 1_000_000)])
         sid = np.cumsum(new_session)
-        out = g.assign(session=sid).groupby("session").agg(
+        out = df.assign(session=sid).groupby("session", sort=False).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"), session_end=("ts", "max"),
-            n_events=("event_id", "count"))
-        out = out.reset_index(drop=True)
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+            n_events=("event_id", "count")).reset_index(drop=True)
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return out[["user_id", "session_start", "session_end", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_sessions, batch_format="pandas", batch_size=None)
 
 
 def _alert_eligible(sf_dir: str, threshold: str) -> rd.Dataset:
