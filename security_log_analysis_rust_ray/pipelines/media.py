@@ -101,26 +101,53 @@ class ResizeStub:
 class FrameSampleStub:
     """STUB frame sampler (real impl: ffmpeg keyframes).  Deterministic
     fake: k evenly-spaced 16-byte windows of the payload, EXPLODED to one
-    row per frame (the flat_map shape a video pipeline needs)."""
+    row per frame (the flat_map shape a video pipeline needs).  The window
+    gather is vectorized over the Arrow binary buffer (offset arithmetic +
+    one fancy-index per frame slot — no per-payload Python slicing)."""
 
     K = 4
     WIN = 16
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        doc_ids, frame_idx, frames = [], [], []
-        for doc_id, payload in zip(b["doc_id"].to_pylist(),
-                                   b["payload"].to_pylist()):
-            n = len(payload)
-            step = max(1, n // self.K)
-            for k in range(self.K):
-                off = min(k * step, max(0, n - self.WIN))
-                doc_ids.append(doc_id)
-                frame_idx.append(k)
-                frames.append(payload[off:off + self.WIN])
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int32()),
+                             "frame": pa.array([], pa.binary())})
+        col = b["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.binary())
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                             count=len(col) + 1,
+                             offset=col.offset * 4).astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        starts, n = offs[:-1], np.diff(offs)
+        doc = b["doc_id"].to_numpy()
+        step = np.maximum(1, n // self.K)
+        frames_parts, doc_parts, idx_parts, len_parts = [], [], [], []
+        for k in range(self.K):
+            off = np.minimum(k * step, np.maximum(0, n - self.WIN))
+            lens = np.minimum(self.WIN, n - off)
+            # gather each row's window: repeat starts, add per-window arange
+            tot = int(lens.sum())
+            ends = np.cumsum(lens)
+            local = np.arange(tot, dtype=np.int64) - np.repeat(ends - lens, lens)
+            src = np.repeat(starts + off, lens) + local
+            frames_parts.append(data[src])
+            len_parts.append(lens)
+            doc_parts.append(doc)
+            idx_parts.append(np.full(len(doc), k, dtype=np.int32))
+        values = np.concatenate(frames_parts)
+        lens_all = np.concatenate(len_parts)
+        out_offs = np.concatenate([[0], np.cumsum(lens_all)]).astype(np.int32)
+        frame_arr = pa.Array.from_buffers(
+            pa.binary(), len(lens_all),
+            [None, pa.py_buffer(out_offs.tobytes()),
+             pa.py_buffer(values.tobytes())])
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "frame_idx": pa.array(frame_idx, pa.int32()),
-            "frame": pa.array(frames, pa.binary()),
+            "doc_id": pa.array(np.concatenate(doc_parts), pa.int64()),
+            "frame_idx": pa.array(np.concatenate(idx_parts)),
+            "frame": frame_arr,
         })
 
 

@@ -190,31 +190,22 @@ def events_asof_signup(sf_dir: str) -> rd.Dataset:
 
 
 def events_semi_join_purchasers(sf_dir: str) -> rd.Dataset:
-    """SEMI-JOIN via broadcast key set: events of users who have at least one
-    'purchase' event.  The key set ships once with ray.put and the filter is
-    a vectorized is_in inside map_batches (at 10^9-key scale the set becomes
-    a Bloom filter — same plan shape, probabilistic membership + exact
-    post-verify)."""
+    """SEMI-JOIN, size-aware (stages/joins.semi_join): events of users who
+    have at least one 'purchase' event.  A small distinct key set broadcasts
+    once with a vectorized is_in probe; past the key-count threshold the
+    plan flips to Ray's partitioned left_semi hash join — nothing
+    driver-side at scale."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import semi_join
     keys = read_table(sf_dir, "events", columns=["user_id", "event_type"]) \
         .map_batches(
             lambda b: b.filter(pc.equal(b["event_type"], "purchase"))
                        .select(["user_id"]),
             batch_format="pyarrow", batch_size=None)
-    from ..stages.dedup import distinct_rows
-    key_df = distinct_rows(keys, ["user_id"]).to_pandas()
-    ref = ray.put(set(key_df["user_id"].tolist()))
-
-    class Semi:
-        def __init__(self):
-            self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b["user_id"], value_set=self.keys))
-
-    return read_table(sf_dir, "events",
-                      columns=["user_id", "event_id", "event_type", "ts"]) \
-        .map_batches(Semi, batch_format="pyarrow", batch_size=None,
-                     concurrency=(1, 4))
+    fact = read_table(sf_dir, "events",
+                      columns=["user_id", "event_id", "event_type", "ts"])
+    return semi_join(fact, keys, "user_id", "user_id",
+                     nparts=_num_partitions(fact))
 
 
 def distinct_host_count(sf_dir: str) -> rd.Dataset:
