@@ -130,13 +130,17 @@ def run_bench() -> dict:
     # natural-key dedup shuffle over parsed rows
     timed("parsed_dedup", lambda: dd.dedup_keep_first(parsed_ds()).count())
 
-    # similarity tier over the documents table (vectorized hash64 kernels +
-    # dataset-native LSH verify — r02; wall-times tracked vs BENCH_r01)
+    # similarity tier (vectorized hash64 kernels + dataset-native LSH
+    # verify — r02).  The sf tables' documents (~5k rows) are pure fixed
+    # overhead for these pipelines, so they bench against a deterministic
+    # 100k-doc corpus (SLAR_BENCH_DOCS to resize)
     from security_log_analysis_rust_ray.pipelines import docs as docs_pipe
-    timed("simhash64", lambda: docs_pipe.simhash64(SF_DIR).count())
+    docs_dir = synth.ensure_documents_bench(
+        int(os.environ.get("SLAR_BENCH_DOCS", "100000")))
+    timed("simhash64", lambda: docs_pipe.simhash64(docs_dir).count())
     timed("doc_fingerprints",
-          lambda: docs_pipe.doc_fingerprints(SF_DIR).count())
-    timed("minhash_pairs", lambda: docs_pipe.minhash_pairs(SF_DIR).count())
+          lambda: docs_pipe.doc_fingerprints(docs_dir).count())
+    timed("minhash_pairs", lambda: docs_pipe.minhash_pairs(docs_dir).count())
 
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",

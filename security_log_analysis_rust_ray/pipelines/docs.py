@@ -388,22 +388,35 @@ def minhash_pairs(sf_dir: str,
 
 def simhash64(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash per doc over token hashes (near-dup fingerprint;
-    Hamming-close docs are similar). Rows-only check + pytest properties."""
+    Hamming-close docs are similar). Rows-only check + pytest properties.
+
+    Kernel: no (tokens x 64) bit matrix is ever materialized (2-D
+    ``np.add.reduceat``/cumsum over one was the hot spot — seconds per
+    batch under worker memory pressure).  Instead, 64 one-dimensional
+    passes over the PACKED uint64 token hashes: per bit position j, a
+    shift-and-mask, a cumsum, and a per-doc boundary diff; bit j of the
+    fingerprint is set when more than half the doc's token hashes have it
+    set (2*count > n_tokens — identical decision rule to the +/-1-sum
+    formulation)."""
     def sim(b: pa.Table) -> pa.Table:
         tk = pc.split_pattern(b["text"], " ")
         if isinstance(tk, pa.ChunkedArray):
             tk = tk.combine_chunks()
         flat = hash64(tk.values)
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-                ).astype(np.int64) * 2 - 1
-        offs = np.asarray(tk.offsets)
-        cum = np.vstack([np.zeros(64, dtype=np.int64), np.cumsum(bits, axis=0)])
-        sums = cum[offs[1:]] - cum[offs[:-1]]
-        words = (sums > 0).astype(np.uint64)
-        fp = (words << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        offs = np.asarray(tk.offsets, dtype=np.int64)
+        n_tok = np.diff(offs)
+        fp = np.zeros(len(n_tok), dtype=np.uint64)
+        cum = np.empty(len(flat) + 1, dtype=np.int64)
+        cum[0] = 0
+        for j in range(64):
+            bit_j = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            np.cumsum(bit_j, out=cum[1:])
+            cnt = cum[offs[1:]] - cum[offs[:-1]]
+            fp |= (2 * cnt > n_tok).astype(np.uint64) << np.uint64(j)
         return pa.table({"doc_id": b["doc_id"],
                          "simhash": pa.array(fp.view(np.int64))})
-    return docs_aug_ds(sf_dir).map_batches(sim, batch_format="pyarrow")
+    return docs_aug_ds(sf_dir).map_batches(sim, batch_format="pyarrow",
+                                           batch_size=8192)
 
 
 PACK_BUDGET = 2048

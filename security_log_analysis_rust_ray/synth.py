@@ -290,3 +290,48 @@ def country_code_rows() -> tuple[list[str], list[str]]:
         code = chr(65 + k % 26) + chr(65 + (k * 7) % 26)
         seen.setdefault(code, "Country " + code)
     return list(seen.keys()), list(seen.values())
+
+
+def ensure_documents_bench(n_docs: int = 100_000, seed: int = 7,
+                           shards: int = 32) -> str:
+    """Deterministic LARGE documents corpus for benching the similarity
+    tier (the sf tables' documents are ~5k rows — similarity pipelines are
+    pure fixed-overhead at that size, so scaling numbers there are
+    meaningless).  ~60 vocab tokens per doc drawn from a seeded RNG keyed
+    only by (seed, n_docs); docs_aug_ds plants the exact/near duplicate
+    rows on top of any documents table, so the planted-dup semantics carry
+    over unchanged.  Returns a directory containing documents.parquet
+    (read_table-compatible), written atomically, sharded row groups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(CACHE_ROOT, f"docs_bench_{n_docs}_{seed}")
+    path = os.path.join(d, "documents.parquet")  # a DIRECTORY of shards
+    if os.path.exists(path):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    toks = rng.randint(0, 50_000, size=(n_docs, 60))
+    # vectorized join: 'w<id>' columns folded left-to-right with spaces
+    parts = np.char.add("w", toks.astype("U6"))
+    text = parts[:, 0]
+    for j in range(1, parts.shape[1]):
+        text = np.char.add(np.char.add(text, " "), parts[:, j])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "source": pa.array(np.char.add(
+            "src", (np.arange(n_docs) % 4).astype("U1"))),
+        "text": pa.array(text.tolist(), pa.string()),
+    })
+    # one FILE per shard (input files = read tasks, keeping read->map
+    # fusion parallel — same rule the transcripts bench corpus follows)
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    per = -(-n_docs // shards)
+    for s in range(shards):
+        sl = t.slice(s * per, per)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(tmp, f"part-{s:05d}.parquet"))
+    os.replace(tmp, path)
+    return d
