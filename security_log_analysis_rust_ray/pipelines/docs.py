@@ -143,24 +143,25 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def _distinct_shingles_batch(b: pa.Table) -> pa.Table:
-    """(doc_id, g) rows: DISTINCT word-5-grams per doc. Vectorized: flat
-    token array + window index arithmetic; per-batch Arrow group_by distinct
-    (docs never span batches, so batch-distinct == global-distinct)."""
+    """(doc_id, g) rows: DISTINCT word-5-grams per doc.  Fully Arrow-native:
+    flat token array + window index arithmetic, the 5 window columns
+    gathered with ``take`` and fused with one ``binary_join_element_wise``
+    (no Python-object string concatenation); per-batch Arrow group_by
+    distinct (docs never span batches, so batch-distinct ==
+    global-distinct)."""
     tk = pc.split_pattern(b["text"], " ")
     if isinstance(tk, pa.ChunkedArray):
         tk = tk.combine_chunks()
-    flat = np.asarray(tk.values.to_pandas(), dtype=object)
+    flat = tk.values
     offs = np.asarray(tk.offsets)
     lens = np.diff(offs)
     wins = np.maximum(lens - (NGRAM - 1), 0)
     # start indices of every window across all docs
     starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
-    g = flat[starts]
-    for s in range(1, NGRAM):
-        g = g + " "
-        g = g + flat[starts + s]
+    cols = [flat.take(pa.array(starts + s)) for s in range(NGRAM)]
+    g = pc.binary_join_element_wise(*cols, " ")
     doc_ids = np.repeat(b["doc_id"].to_numpy(), wins)
-    t = pa.table({"doc_id": pa.array(doc_ids), "g": pa.array(g, pa.string())})
+    t = pa.table({"doc_id": pa.array(doc_ids), "g": g})
     return t.group_by(["doc_id", "g"]).aggregate([])
 
 
