@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": D.doc_quality,
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
         "dup_clusters": D.dup_clusters,
+        "doc_near_dedup": D.doc_near_dedup,
+        "approx_distinct_terms": D.approx_distinct_terms,  # rows-only (HLL)
         "vocab_counts": D.vocab_counts,
         "doc_sample": D.doc_sample,
         "doc_bpe_token_count": D.doc_bpe_token_count,
@@ -80,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
         # embedding similarity
         "embedding_near_dup_pairs": ANN.embedding_near_dup_pairs,
+        "embedding_dup_clusters": ANN.embedding_dup_clusters,
         "ann_topk": ANN.ann_topk,
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
         # multimodal plumbing (decode is a marked stub)
@@ -232,15 +235,21 @@ def oracle_sql() -> dict[str, str]:
         " JOIN sizes sb ON co.b = sb.doc_id),\n"
         f"good AS (SELECT a, b FROM jac WHERE j >= {D.JACCARD_THRESHOLD}),\n"
     )
-    out["dup_clusters"] = (
+    _cc_prefix = (
         "WITH RECURSIVE " + D.DOCS_AUG_SQL.strip().lstrip() + ",\n"
         + _jac_ctes +
         "edges AS (SELECT a AS x, b AS y FROM good"
         " UNION SELECT b, a FROM good),\n"
         "nodes AS (SELECT DISTINCT x AS n FROM edges),\n"
         "reach(n, m) AS (SELECT n, n FROM nodes UNION"
-        " SELECT r.n, e.y FROM reach r JOIN edges e ON r.m = e.x)\n"
+        " SELECT r.n, e.y FROM reach r JOIN edges e ON r.m = e.x)\n")
+    out["dup_clusters"] = _cc_prefix + (
         "SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n")
+    out["doc_near_dedup"] = _cc_prefix.rstrip() + (
+        ",\nclusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach"
+        " GROUP BY n)\n"
+        "SELECT d.doc_id, d.text FROM docs_aug d WHERE d.doc_id NOT IN"
+        " (SELECT doc_id FROM clusters WHERE doc_id <> cluster)")
     out["vocab_counts"] = docs_pre + (
         "terms AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
         "SELECT term, count(*) AS cnt FROM terms GROUP BY term"
@@ -276,6 +285,18 @@ def oracle_sql() -> dict[str, str]:
         " FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id"
         f" WHERE list_cosine_similarity(a.embedding, b.embedding)"
         f" >= {ANN.NEAR_DUP_COS}")
+    out["embedding_dup_clusters"] = (
+        "WITH RECURSIVE " + ANN.EMB_AUG_SQL.strip().lstrip() + ",\n"
+        "good AS (SELECT a.vec_id AS a, b.vec_id AS b"
+        " FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id"
+        " WHERE list_cosine_similarity(a.embedding, b.embedding)"
+        f" >= {ANN.NEAR_DUP_COS}),\n"
+        "edges AS (SELECT a AS x, b AS y FROM good"
+        " UNION SELECT b, a FROM good),\n"
+        "nodes AS (SELECT DISTINCT x AS n FROM edges),\n"
+        "reach(n, m) AS (SELECT n, n FROM nodes UNION"
+        " SELECT r.n, e.y FROM reach r JOIN edges e ON r.m = e.x)\n"
+        "SELECT n AS vec_id, min(m) AS cluster FROM reach GROUP BY n")
     out["ann_topk"] = (
         "WITH emb64 AS (SELECT vec_id,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"

@@ -64,6 +64,24 @@ def main(argv: list[str] | None = None) -> int:
     sl.add_argument("--sf-dir", required=True)
     sl.add_argument("--out", required=True)
 
+    sf = sub.add_parser("follow", help="landing-zone tail loop "
+                                       "(reference `parse --daemon` ingest)")
+    sf.add_argument("--sf-dir", required=True)
+    sf.add_argument("--in-dir", required=True)
+    sf.add_argument("--out", required=True)
+    sf.add_argument("--max-passes", type=int, default=100)
+    sf.add_argument("--idle-stop", type=int, default=2)
+
+    ss = sub.add_parser("sync", help="two-store reconciliation "
+                                     "(reference `sync`)")
+    ss.add_argument("--local", required=True)
+    ss.add_argument("--remote", required=True)
+
+    sa = sub.add_parser("alert", help="alert flush cycle w/ processed "
+                                      "watermarks (reference alert loop)")
+    sa.add_argument("--sf-dir", required=True)
+    sa.add_argument("--state", required=True)
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -102,6 +120,25 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.exports import write_country_report
             path = write_country_report(country_counts(a.sf_dir), a.out)
             print(json.dumps({"report": path}))
+        elif a.cmd == "follow":
+            from .pipelines.ingest import follow_ingest
+            history = follow_ingest(a.sf_dir, a.out, a.in_dir,
+                                    max_passes=a.max_passes,
+                                    idle_stop=a.idle_stop)
+            print(json.dumps({"passes": len(history),
+                              "shards_processed":
+                                  sum(len(ids) for ids in history)}))
+        elif a.cmd == "sync":
+            from .sources.sync import run_sync
+            plan = run_sync(a.local, a.remote)
+            print(json.dumps({i.key: i.action for i in plan}))
+        elif a.cmd == "alert":
+            from .pipelines.streaming import run_alert_cycle
+            flushed = run_alert_cycle(a.sf_dir, a.state)
+            print(json.dumps({"batches": int(len(flushed)),
+                              "messages":
+                                  int(flushed["n_messages"].sum())
+                                  if len(flushed) else 0}))
     finally:
         ray.shutdown()
     return 0

@@ -208,6 +208,23 @@ def embedding_near_dup_pairs(sf_dir: str,
     return distinct_rows(pairs, ["a", "b", "cos_sim"])
 
 
+def embedding_dup_clusters(sf_dir: str,
+                           threshold: float = NEAR_DUP_COS) -> rd.Dataset:
+    """Embedding near-dup CLUSTER resolution: distributed connected
+    components (stages/graph.py) over the IVF-bucketed cosine pair graph —
+    the embedding-space analog of docs.dup_clusters; output (vec_id,
+    cluster) with cluster = min vec_id of the component."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.graph import connected_components
+    pairs = embedding_near_dup_pairs(sf_dir, threshold=threshold).materialize()
+    base = read_table(sf_dir, "embeddings", columns=["vec_id"])
+    labels = connected_components(pairs, src="a", dst="b",
+                                  nparts=_num_partitions(base))
+    return labels.map_batches(
+        lambda t: pa.table({"vec_id": t["node"], "cluster": t["label"]}),
+        batch_format="pyarrow", batch_size=None).sort("vec_id")
+
+
 def ann_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
     """Brute-force cosine top-k for query vectors (vec_id < N_QUERIES)
     against the base table: per-batch partial top-k, then a tiny final

@@ -519,6 +519,49 @@ def dup_clusters(sf_dir: str,
         batch_format="pyarrow", batch_size=None).sort("doc_id")
 
 
+def doc_near_dedup(sf_dir: str,
+                   threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+    """The actual near-dup DEDUP step: keep ONE document per near-duplicate
+    cluster (the min doc_id representative), plus every unclustered doc —
+    dup_clusters composed with a broadcast drop-set filter (cluster member
+    lists are tiny relative to the corpus; at larger scale the drop set
+    becomes a left_anti join on doc_id, same plan shape as
+    stages/joins.semi_join)."""
+    clusters = dup_clusters(sf_dir, threshold=threshold).to_pandas()
+    drop = clusters.loc[clusters["doc_id"] != clusters["cluster"], "doc_id"]
+    drop_arr = pa.array(sorted(drop.tolist()), pa.int64())
+    ref = ray.put(drop_arr)
+
+    class Keep:
+        def __init__(self):
+            self.drop = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(b["doc_id"],
+                                               value_set=self.drop)))
+
+    return docs_aug_ds(sf_dir).map_batches(
+        Keep, batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+
+
+def approx_distinct_terms(sf_dir: str) -> rd.Dataset:
+    """Approximate distinct-term count over docs_aug via the mergeable HLL
+    sketch (stages/sketch.py) — the scale path where exact distinct would
+    shuffle the whole vocabulary; error bound asserted in pytest."""
+    from ..stages.sketch import approx_distinct
+
+    def explode(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        return pa.table({"term": tk.values})
+
+    terms = docs_aug_ds(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                            batch_size=None)
+    est = approx_distinct(terms, "term")
+    return rd.from_pandas(pd.DataFrame({"approx_terms": [round(est)]}))
+
+
 def vocab_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
     """Global term frequencies over docs_aug: explode tokens per batch
     (vectorized flatten), partial counts, final groupby — top-k by count

@@ -1,0 +1,77 @@
+"""Mergeable sketches — the approximate path for distinct counts at
+10^12-row scale (the exact path, stages/dedup.distinct_rows + count, moves
+every distinct key through a shuffle; an HLL register array is 4 KB per
+block and merges with an elementwise max).
+
+HyperLogLog (Flajolet et al. 2007, standard bias corrections): p=12 ->
+4096 registers, relative error ~1.04/sqrt(4096) = 1.6%.  The per-block
+partial is one vectorized pass (hash64 -> register index / leading-zero
+rank -> np.maximum.at); partials are one tiny row per block, merged with
+np.maximum.reduce — the canonical partial/final aggregate with mergeable
+state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import hash64
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_partial(keys: pa.Array) -> np.ndarray:
+    """4096-register uint8 HLL state for one batch of keys (vectorized)."""
+    reg = np.zeros(HLL_M, dtype=np.uint8)
+    if len(keys) == 0:
+        return reg
+    h = hash64(keys)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    # bit_length via frexp: 52-bit values are exact in float64, so the
+    # exponent IS the bit length; w == 0 -> rank = 64-p+1
+    _m, exp = np.frexp(w.astype(np.float64))
+    rank = np.where(w == 0, 64 - HLL_P + 1,
+                    64 - HLL_P - exp + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Standard HLL estimate with linear-counting small-range correction."""
+    m = float(HLL_M)
+    est = _alpha(HLL_M) * m * m / np.sum(2.0 ** -reg.astype(np.float64))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: rd.Dataset, col: str) -> float:
+    """Approximate COUNT(DISTINCT col): per-block register partials (one
+    4 KB row each) merged driver-side with an elementwise max."""
+    def partial(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not pa.types.is_string(c.type):
+            c = c.cast(pa.string())
+        reg = hll_partial(c)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if not len(rows):
+        return 0.0
+    regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                     for r in rows["reg"]])
+    return hll_estimate(np.maximum.reduce(regs))

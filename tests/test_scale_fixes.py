@@ -119,3 +119,30 @@ def test_merge_skip_detects_content_change(tmp_path):
     final = rd.read_parquet(os.path.join(out, "year=2024", "month=3"))
     got = final.to_pandas().sort_values("conv_id")
     assert sorted(got["conv_id"]) == ["c0", "c2"]   # c1 replaced, not stale
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_approx_distinct_error_bound():
+    """HLL sketch (p=12, ~1.6% relative error): estimate within 5% of the
+    true distinct count at a cardinality where linear counting no longer
+    applies; partials merge across many blocks."""
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.sketch import approx_distinct
+    n_distinct = 150_000
+    df = pd.DataFrame({"k": [f"key_{i % n_distinct}" for i in range(300_000)]})
+    est = approx_distinct(rd.from_pandas(df).repartition(16), "k")
+    err = abs(est - n_distinct) / n_distinct
+    assert err < 0.05, f"HLL error {err:.3f}"
+
+
+def test_hll_partial_merge_equals_single_pass():
+    """Mergeability: max-merge of split partials == one-shot registers."""
+    import numpy as np
+    import pyarrow as pa
+    from security_log_analysis_rust_ray.stages import sketch
+    keys = pa.array([f"v{i}" for i in range(50_000)])
+    whole = sketch.hll_partial(keys)
+    a = sketch.hll_partial(keys.slice(0, 20_000))
+    b = sketch.hll_partial(keys.slice(20_000))
+    assert np.array_equal(np.maximum(a, b), whole)
+    assert abs(sketch.hll_estimate(whole) - 50_000) / 50_000 < 0.05
