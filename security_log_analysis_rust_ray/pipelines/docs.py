@@ -262,12 +262,24 @@ def _jaccard_filter(co: rd.Dataset, sizes: rd.Dataset, threshold: float,
     return co3.map_batches(jac, batch_format="pyarrow", batch_size=None)
 
 
+# pair-graph memo: dup_clusters and doc_near_dedup both consume the exact
+# jaccard pairs; within one process (the driver runs every query in one
+# session) the materialized pair dataset is tiny and deterministic, so
+# recomputing the full shingle pipeline per consumer would only burn time.
+_PAIR_CACHE: dict[tuple, rd.Dataset] = {}
+
+
 def doc_ngram_jaccard_pairs(sf_dir: str,
                             threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     explode distinct shingles -> groupby(shingle) pair expansion ->
     groupby(pair) co-occurrence count -> jaccard via partitioned size joins
-    (no corpus-sized driver state anywhere in the plan)."""
+    (no corpus-sized driver state anywhere in the plan).  The materialized
+    result is memoized per (sf_dir, threshold)."""
+    import os as _os
+    key = (_os.path.abspath(sf_dir), threshold)
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
     sh = shingles_ds(sf_dir)
     # sizes and co are MUCH smaller than the exploded shingle stream (one
     # row per doc / per co-occurring pair); materializing them (a) lets the
@@ -280,7 +292,9 @@ def doc_ngram_jaccard_pairs(sf_dir: str,
     nparts = _join_parts(sf_dir)
     pairs = _group_pairs(sh, ["g"], nparts)
     co = agg.grouped_count(pairs, ["a", "b"], alias="co").materialize()
-    return _jaccard_filter(co, sizes, threshold, nparts)
+    out = _jaccard_filter(co, sizes, threshold, nparts).materialize()
+    _PAIR_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +525,7 @@ def dup_clusters(sf_dir: str,
     canonical "keep one per near-dup cluster" step of a training-data dedup
     pipeline."""
     from ..stages.graph import connected_components
-    pairs = doc_ngram_jaccard_pairs(sf_dir, threshold=threshold).materialize()
+    pairs = doc_ngram_jaccard_pairs(sf_dir, threshold=threshold)
     labels = connected_components(pairs, src="a", dst="b",
                                   nparts=_join_parts(sf_dir))
     return labels.map_batches(

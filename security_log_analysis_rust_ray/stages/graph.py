@@ -32,10 +32,63 @@ def _rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
                           batch_format="pyarrow", batch_size=None)
 
 
+CC_LOCAL_MAX_EDGES = 5_000_000  # one task's worth of edge arrays (~80 MB)
+
+
+def _cc_one_task(edges: rd.Dataset, src: str, dst: str) -> rd.Dataset:
+    """Small-graph fast path: the whole component resolution in ONE remote
+    task over numpy arrays (vectorized scatter-min + pointer jumping per
+    round — never per-edge Python, never on the driver).  The pair graph of
+    a near-dup pipeline is sparse — orders of magnitude smaller than the
+    corpus — so it usually fits one task; past CC_LOCAL_MAX_EDGES the
+    caller uses the distributed join loop instead."""
+    import numpy as np
+    import ray
+
+    @ray.remote
+    def solve(*blocks):
+        import pyarrow as _pa
+        t = _pa.concat_tables([b for b in blocks if b.num_rows > 0]) \
+            if blocks else None
+        if t is None or t.num_rows == 0:
+            return _pa.table({"node": _pa.array([], _pa.int64()),
+                              "label": _pa.array([], _pa.int64())})
+        a = t[src].to_numpy().astype(np.int64)
+        b = t[dst].to_numpy().astype(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[:len(a)], inv[len(a):]
+        label = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            new = label.copy()
+            np.minimum.at(new, ai, label[bi])
+            np.minimum.at(new, bi, label[ai])
+            new = new[new]  # pointer jump
+            if np.array_equal(new, label):
+                break
+            label = new
+        return _pa.table({"node": _pa.array(nodes),
+                          "label": _pa.array(nodes[label])})
+
+    refs = list(edges.to_arrow_refs())
+    # blocks resolve inside the task (varargs), no driver materialization
+    out = ray.get(solve.remote(*refs))
+    return rd.from_arrow(out)
+
+
 def connected_components(edges: rd.Dataset, src: str = "a", dst: str = "b",
                          nparts: int = 8, max_rounds: int = 50) -> rd.Dataset:
     """(node, cluster) for every node appearing in ``edges``; cluster = min
-    node id of the connected component.  ``edges`` needs int64 src/dst."""
+    node id of the connected component.  ``edges`` needs int64 src/dst.
+
+    Size-aware: a pair graph under CC_LOCAL_MAX_EDGES resolves in one
+    remote numpy task (vectorized, off-driver); larger graphs run the
+    distributed join loop below."""
+    try:
+        n_edges = edges.count()
+    except Exception:
+        n_edges = None
+    if n_edges is not None and n_edges <= CC_LOCAL_MAX_EDGES:
+        return _cc_one_task(edges, src, dst)
     both = edges.map_batches(
         lambda t: pa.table({"x": t[src].cast(pa.int64()),
                             "y": t[dst].cast(pa.int64())}),

@@ -146,3 +146,27 @@ def test_hll_partial_merge_equals_single_pass():
     b = sketch.hll_partial(keys.slice(20_000))
     assert np.array_equal(np.maximum(a, b), whole)
     assert abs(sketch.hll_estimate(whole) - 50_000) / 50_000 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_paths_agree(monkeypatch):
+    """Graph CC: the one-task numpy path and the distributed join loop
+    produce identical components on a graph with chains, triangles and
+    isolated pairs."""
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages import graph
+    edges = pd.DataFrame({
+        "a": [1, 2, 3,  10, 11,  20,  30, 31, 32, 33],
+        "b": [2, 3, 4,  11, 12,  21,  31, 32, 33, 30],
+    })
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30}
+
+    ds = rd.from_pandas(edges)
+    fast = graph.connected_components(ds, "a", "b").to_pandas()
+    assert dict(zip(fast["node"], fast["label"])) == expected
+
+    monkeypatch.setattr(graph, "CC_LOCAL_MAX_EDGES", 0)
+    slow = graph.connected_components(rd.from_pandas(edges), "a", "b",
+                                      nparts=4).to_pandas()
+    assert dict(zip(slow["node"], slow["label"])) == expected
