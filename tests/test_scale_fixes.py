@@ -170,3 +170,29 @@ def test_connected_components_paths_agree(monkeypatch):
     slow = graph.connected_components(rd.from_pandas(edges), "a", "b",
                                       nparts=4).to_pandas()
     assert dict(zip(slow["node"], slow["label"])) == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_query_ttl_cache():
+    """T3 parity (reference TimedSizedCache, 100 entries / 3600s,
+    security_log_http.rs:102-122): hit serves from memory, TTL expiry and
+    LRU size bound evict."""
+    from security_log_analysis_rust_ray.pipelines.reports import country_counts
+    from security_log_analysis_rust_ray.state.query_cache import (
+        TTLCache, cached_query)
+    from .conftest import SF_SMOKE
+
+    t = {"now": 0.0}
+    cache = TTLCache(max_size=3, ttl_s=10.0, clock=lambda: t["now"])
+    a = cached_query("country_counts", SF_SMOKE, country_counts, cache)
+    b = cached_query("country_counts", SF_SMOKE, country_counts, cache)
+    assert cache.hits == 1 and cache.misses == 1
+    assert a is b                       # served from memory, no re-execution
+    t["now"] = 11.0                     # past TTL -> recompute
+    c = cached_query("country_counts", SF_SMOKE, country_counts, cache)
+    assert c is not b and cache.misses == 2
+    # LRU size bound
+    for i in range(4):
+        cache.get_or_compute(f"k{i}", lambda i=i: i)
+    assert len(cache) == 3
+    assert cache.get_or_compute("k0", lambda: "recomputed") == "recomputed"
