@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
+        "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         # embedding similarity
         "embedding_near_dup_pairs": ANN.embedding_near_dup_pairs,
         "embedding_dup_clusters": ANN.embedding_dup_clusters,

@@ -684,6 +684,69 @@ def doc_bpe_token_count(sf_dir: str) -> rd.Dataset:
                                            batch_size=None)
 
 
+WINNOW_W = 8  # winnowing window (shingle-hash positions)
+
+
+def doc_winnow_fingerprints(sf_dir: str, w: int = WINNOW_W) -> rd.Dataset:
+    """Rolling-hash WINNOWING fingerprints (the MOSS scheme: per doc, the
+    minimum shingle hash of every sliding w-window, deduplicated) — the
+    position-robust document fingerprint a plagiarism/near-dup index is
+    built on.  Two near-duplicate docs share most winnowed fingerprints
+    (asserted in pytest); vectorized via a sliding-window minimum over the
+    per-doc hash sequence (numpy stride tricks), no per-window Python.
+    Output: (doc_id, fp) distinct rows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def winnow(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        offs = np.asarray(tk.offsets)
+        lens = np.diff(offs)
+        wins = np.maximum(lens - (NGRAM - 1), 0)
+        starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
+        cols = [flat.take(pa.array(starts + s)) for s in range(NGRAM)]
+        g = pc.binary_join_element_wise(*cols, " ")
+        h = hash64(g)  # ordered shingle-hash sequence, docs concatenated
+        doc_ids = np.repeat(b["doc_id"].to_numpy(), wins)
+        # per-doc sliding minima WITHOUT crossing doc boundaries: pad each
+        # doc's tail conceptually by processing the global array but masking
+        # windows that span docs (their doc id changes within the window)
+        if len(h) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        k = min(w, len(h))
+        sw = sliding_window_view(h, k)
+        mins = sw.min(axis=1)
+        d_sw = sliding_window_view(doc_ids, k)
+        same_doc = d_sw[:, 0] == d_sw[:, -1]
+        # docs shorter than w keep their single global min
+        out_doc = [doc_ids[: len(mins)][same_doc]]
+        out_fp = [mins[same_doc]]
+        short = wins[(wins > 0) & (wins < k)]
+        if len(short):
+            # per short doc: min over its whole hash slice
+            sel = (wins > 0) & (wins < k)
+            s_starts = np.concatenate([[0], np.cumsum(wins)])[:-1][sel]
+            s_lens = wins[sel]
+            ends = np.cumsum(s_lens)
+            local = np.arange(int(s_lens.sum())) - np.repeat(ends - s_lens,
+                                                             s_lens)
+            idx = np.repeat(s_starts, s_lens) + local
+            seg = np.repeat(np.arange(len(s_lens)), s_lens)
+            m = np.full(len(s_lens), np.iinfo(np.uint64).max, dtype=np.uint64)
+            np.minimum.at(m, seg, h[idx])
+            out_doc.append(b["doc_id"].to_numpy()[sel])
+            out_fp.append(m)
+        t = pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
+                      "fp": pa.array(np.concatenate(out_fp).view(np.int64))})
+        return t.group_by(["doc_id", "fp"]).aggregate([])
+
+    return docs_aug_ds(sf_dir).map_batches(winnow, batch_format="pyarrow",
+                                           batch_size=4096)
+
+
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """Content fingerprint per doc (vectorized stable 64-bit hash of the
     text + token count) — the lineage/dedup id analog of the reference's

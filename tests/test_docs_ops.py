@@ -106,3 +106,23 @@ def test_doc_pack_invariants():
     # bins are usefully full (greedy: average fill > 50% of budget)
     multi = bins[bins["n_docs"] > 1]
     assert multi["total_tokens"].mean() > D.PACK_BUDGET * 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_fingerprints_properties():
+    """Winnowing (MOSS): exact duplicates share ALL fingerprints; near
+    duplicates (5 appended tokens) share most; unrelated docs share few."""
+    df = D.doc_winnow_fingerprints(SF_SMOKE).to_pandas()
+    sets = {d: set(g["fp"]) for d, g in df.groupby("doc_id")}
+    base = [i for i in sets if i < 1_000_000 and i % 10 == 0
+            and i + 1_000_000 in sets]
+    assert base
+    for i in base[:20]:
+        assert sets[i] == sets[i + 1_000_000]          # exact dup: identical
+    near = [i for i in sets if i < 1_000_000 and i % 7 == 0
+            and i + 2_000_000 in sets]
+    overlaps = []
+    for i in near:
+        a, b = sets[i], sets[i + 2_000_000]
+        overlaps.append(len(a & b) / max(1, len(a | b)))
+    assert np.mean(overlaps) > 0.6, f"near-dup winnow overlap {np.mean(overlaps)}"
