@@ -387,9 +387,21 @@ def minhash_pairs(sf_dir: str,
     # materialized: the candidate set is tiny relative to the corpus and
     # feeds two joins
     from ..stages.dedup import distinct_rows
+    from ..stages.joins import semi_join
     cands = distinct_rows(cands, ["a", "b"]).materialize()
 
-    sh = hashed_shingles_ds(sf_dir).materialize()
+    # prune the shingle stream to CANDIDATE docs before the verification
+    # joins — only docs that share an LSH bucket matter, typically a small
+    # fraction of the corpus; the size-aware semi_join broadcasts the id
+    # set while it is small and flips to a left_semi hash join at scale
+    cand_ids = cands.map_batches(
+        lambda t: pa.table({"doc_id": t["a"]}),
+        batch_format="pyarrow", batch_size=None).union(
+        cands.map_batches(
+            lambda t: pa.table({"doc_id": t["b"]}),
+            batch_format="pyarrow", batch_size=None))
+    sh = semi_join(hashed_shingles_ds(sf_dir), cand_ids, "doc_id", "doc_id",
+                   nparts=nparts).materialize()
     sizes = agg.grouped_count(sh, ["doc_id"], alias="sz").materialize()
 
     # candidate pair x a-side shingles (join on a), then keep only shingle
