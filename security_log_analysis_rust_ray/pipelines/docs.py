@@ -549,25 +549,18 @@ def doc_near_dedup(sf_dir: str,
                    threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
     """The actual near-dup DEDUP step: keep ONE document per near-duplicate
     cluster (the min doc_id representative), plus every unclustered doc —
-    dup_clusters composed with a broadcast drop-set filter (cluster member
-    lists are tiny relative to the corpus; at larger scale the drop set
-    becomes a left_anti join on doc_id, same plan shape as
-    stages/joins.semi_join)."""
-    clusters = dup_clusters(sf_dir, threshold=threshold).to_pandas()
-    drop = clusters.loc[clusters["doc_id"] != clusters["cluster"], "doc_id"]
-    drop_arr = pa.array(sorted(drop.tolist()), pa.int64())
-    ref = ray.put(drop_arr)
-
-    class Keep:
-        def __init__(self):
-            self.drop = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            return b.filter(pc.invert(pc.is_in(b["doc_id"],
-                                               value_set=self.drop)))
-
-    return docs_aug_ds(sf_dir).map_batches(
-        Keep, batch_format="pyarrow", batch_size=None, concurrency=(1, 8))
+    dup_clusters composed with a size-aware ANTI-JOIN on the drop set
+    (stages/joins.anti_join: inverted broadcast probe while the drop set is
+    small, partitioned left_anti hash join when a high dup rate makes it
+    corpus-scale)."""
+    from ..stages.joins import anti_join
+    clusters = dup_clusters(sf_dir, threshold=threshold)
+    drop = clusters.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], t["cluster"]))
+                   .select(["doc_id"]),
+        batch_format="pyarrow", batch_size=None)
+    return anti_join(docs_aug_ds(sf_dir), drop, "doc_id", "doc_id",
+                     nparts=_join_parts(sf_dir))
 
 
 def approx_distinct_terms(sf_dir: str) -> rd.Dataset:

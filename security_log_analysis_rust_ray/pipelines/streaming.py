@@ -164,13 +164,14 @@ def run_alert_cycle(sf_dir: str, state_path: str, threshold: str = "warn",
     eligible = _alert_eligible(sf_dir, threshold)
 
     def unprocessed(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
+        if b.num_rows == 0 or not marks_arr:
             return b
-        streams = b["stream"].to_pylist()
+        # vectorized per-stream watermark compare: map stream -> watermark
+        # (NaT for never-flushed streams keeps everything), one comparison
+        streams = pd.Series(b["stream"].to_pandas())
+        wm = streams.map(marks_arr).to_numpy(dtype="datetime64[us]")
         ts = b["log_timestamp"].to_numpy()
-        keep = np.ones(len(streams), dtype=bool)
-        for s, w in marks_arr.items():
-            keep &= ~((np.asarray(streams, dtype=object) == s) & (ts <= w))
+        keep = ~(ts <= wm)  # NaT compares False -> kept
         return b.filter(pa.array(keep))
 
     fresh = eligible.map_batches(unprocessed, batch_format="pyarrow",

@@ -100,3 +100,38 @@ def semi_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
             lambda t: t.rename_columns([fact_key]),
             batch_format="pyarrow", batch_size=None)
     return fact.join(keys, "left_semi", nparts, on=(fact_key,))
+
+
+def anti_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
+              key_col: str, nparts: int = 8,
+              broadcast_max_keys: int | None = None) -> rd.Dataset:
+    """Drop fact rows whose ``fact_key`` appears in ``keys_ds[key_col]`` —
+    the J3 anti-join shape, size-aware like semi_join: inverted ``is_in``
+    probe against a broadcast key set while it is small, Ray's partitioned
+    ``left_anti`` hash join beyond the threshold."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from .dedup import distinct_rows
+
+    limit = SEMI_BROADCAST_MAX_KEYS if broadcast_max_keys is None \
+        else broadcast_max_keys
+    keys = distinct_rows(keys_ds, [key_col]).materialize()
+    if keys.count() <= limit:
+        vals = keys.to_pandas()[key_col].tolist()
+        ref = ray.put(sorted(vals))
+
+        class Anti:
+            def __init__(self):
+                self.keys = pa.array(ray.get(ref))
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                return b.filter(pc.invert(
+                    pc.is_in(b[fact_key], value_set=self.keys)))
+
+        return fact.map_batches(Anti, batch_format="pyarrow",
+                                batch_size=None, concurrency=(1, 8))
+    if key_col != fact_key:
+        keys = keys.map_batches(
+            lambda t: t.rename_columns([fact_key]),
+            batch_format="pyarrow", batch_size=None)
+    return fact.join(keys, "left_anti", nparts, on=(fact_key,))

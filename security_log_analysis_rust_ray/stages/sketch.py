@@ -56,9 +56,22 @@ def hll_estimate(reg: np.ndarray) -> float:
     return float(est)
 
 
+def _merge_rows(b: pa.Table) -> pa.Table:
+    """Max-merge all register rows in a block into one."""
+    if b.num_rows == 0:
+        return b
+    regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                     for r in b["reg"].to_pylist()])
+    return pa.table({"reg": pa.array([np.maximum.reduce(regs).tobytes()],
+                                     pa.binary())})
+
+
 def approx_distinct(ds: rd.Dataset, col: str) -> float:
     """Approximate COUNT(DISTINCT col): per-block register partials (one
-    4 KB row each) merged driver-side with an elementwise max."""
+    4 KB row each) -> distributed second-level max-merge (repartition to a
+    handful of blocks) -> tiny final merge.  The driver never sees more
+    than a few rows, regardless of block count (at 100 TB the first level
+    alone would be ~400k rows)."""
     def partial(b: pa.Table) -> pa.Table:
         c = b[col]
         if isinstance(c, pa.ChunkedArray):
@@ -69,7 +82,10 @@ def approx_distinct(ds: rd.Dataset, col: str) -> float:
         return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
 
     rows = ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=None).to_pandas()
+                          batch_size=None) \
+        .repartition(8) \
+        .map_batches(_merge_rows, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
     if not len(rows):
         return 0.0
     regs = np.stack([np.frombuffer(r, dtype=np.uint8)

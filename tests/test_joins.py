@@ -73,3 +73,28 @@ def test_semi_join_paths_agree(tmp_path):
                    "k", "kk", nparts=4, broadcast_max_keys=0).to_pandas()
     pd.testing.assert_frame_equal(canon(bc), canon(expected), check_dtype=False)
     pd.testing.assert_frame_equal(canon(sh), canon(expected), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_join_paths_agree(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import anti_join
+    fdir, kdir = tmp_path / "f3", tmp_path / "k3"
+    fdir.mkdir(), kdir.mkdir()
+    fact = pd.DataFrame({"k": np.arange(2000) % 97, "v": np.arange(2000)})
+    keys = pd.DataFrame({"kk": np.arange(0, 97, 3)})
+    pq.write_table(pa.Table.from_pandas(fact), str(fdir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(keys), str(kdir / "p.parquet"))
+    expected = fact[~fact["k"].isin(set(keys["kk"]))]
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    bc = anti_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(kdir)),
+                   "k", "kk", nparts=4).to_pandas()
+    sh = anti_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(kdir)),
+                   "k", "kk", nparts=4, broadcast_max_keys=0).to_pandas()
+    pd.testing.assert_frame_equal(canon(bc), canon(expected), check_dtype=False)
+    pd.testing.assert_frame_equal(canon(sh), canon(expected), check_dtype=False)
