@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": M.media_features,          # rows-only (stub decode)
         "media_thumbnails": M.media_thumbnails,      # rows-only (stub resize)
         "media_frames": M.media_frames,              # rows-only (stub frames)
+        "media_frame_stats": M.media_frame_stats,    # invariant oracle
         # streaming-shaped ops
         "sessionize": STR.sessionize,
         "alert_batches": STR.alert_batches,           # recursive-CTE oracle
@@ -314,6 +315,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents")
     out["media_checksums"] = (
         "SELECT doc_id, md5(text) AS checksum_md5 FROM documents")
+    out["media_frame_stats"] = (
+        f"SELECT doc_id, CAST({M.FrameSampleStub.K} AS BIGINT) AS n_frames,"
+        f" CAST(least(strlen(text), {M.FrameSampleStub.WIN}) AS BIGINT)"
+        " AS max_frame_bytes FROM documents")
     out["doc_pack_stats"] = docs_only + (
         "SELECT CAST(count(*) AS BIGINT) AS n_docs_packed,"
         " CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,"

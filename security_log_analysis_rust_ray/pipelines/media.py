@@ -178,6 +178,27 @@ def media_stats(sf_dir: str) -> rd.Dataset:
     return media_features(sf_dir).select_columns(["doc_id", "n_bytes"])
 
 
+def media_frame_stats(sf_dir: str) -> rd.Dataset:
+    """Oracle-checkable invariants of the frame sampler: exactly K frames
+    per doc, max frame length = min(WIN, payload bytes).  All K frames of a
+    doc are emitted in one output batch, so the per-batch Arrow group_by is
+    globally correct."""
+    def stats(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_frames": pa.array([], pa.int64()),
+                             "max_frame_bytes": pa.array([], pa.int64())})
+        t = pa.table({"doc_id": b["doc_id"],
+                      "fb": pc.cast(pc.binary_length(b["frame"]), pa.int64())})
+        g = t.group_by(["doc_id"]).aggregate([([], "count_all"), ("fb", "max")])
+        return g.rename_columns(["doc_id", "n_frames", "max_frame_bytes"])
+
+    # batch_size=None: operate on the sampler's whole output blocks (each
+    # holds complete docs); a row-count re-batch could split a doc's frames
+    return media_frames(sf_dir).map_batches(stats, batch_format="pyarrow",
+                                            batch_size=None)
+
+
 def media_checksums(sf_dir: str) -> rd.Dataset:
     """Oracle-checkable content digests through the decode stage:
     (doc_id, checksum_md5) vs DuckDB md5() on the same payload bytes —
