@@ -14,8 +14,13 @@ Scale notes (these run over 10^9-doc corpora in production):
   hot-shingle groups are the skew hazard (k^2 pair blowup), which is exactly
   why MinHash+LSH (`minhash_pairs`) exists as the scale path: candidates per
   LSH bucket, then exact verification only on candidates;
-- shingling/minhash per-batch kernels are numpy-vectorized across the whole
-  batch (no per-row Python in the shingle construction).
+- shingling is Arrow-native (take + binary_join_element_wise), hashing is
+  the shared C-backed hash64 kernel, minhash signatures fold with
+  np.minimum.reduceat, and pair expansion is per-block batched triu
+  gathers — no per-row/per-group Python anywhere in the tier;
+- verification and size attachment run as partitioned hash joins on doc
+  ids (never a corpus-sized broadcast or driver structure), candidate docs
+  pruned with a size-aware semi-join first.
 """
 
 from __future__ import annotations

@@ -98,3 +98,25 @@ def test_anti_join_paths_agree(tmp_path):
                    "k", "kk", nparts=4, broadcast_max_keys=0).to_pandas()
     pd.testing.assert_frame_equal(canon(bc), canon(expected), check_dtype=False)
     pd.testing.assert_frame_equal(canon(sh), canon(expected), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lookup_join_hot_key_shuffle_path(tmp_path):
+    """Skew: one fact key owns 90% of rows; the hash-join path must stay
+    correct (row multiplication against the dim side) under the skew."""
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import lookup_join
+    n = 100_000
+    k = np.where(np.arange(n) % 10 == 0, (np.arange(n) // 10) % 50 + 1, 0)
+    fact = pd.DataFrame({"k": k, "v": np.arange(n)})
+    dim = pd.DataFrame({"dk": np.arange(51), "name": [f"n{i}" for i in range(51)]})
+    fdir, ddir = tmp_path / "hf", tmp_path / "hd"
+    fdir.mkdir(), ddir.mkdir()
+    pq.write_table(pa.Table.from_pandas(fact), str(fdir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(dim), str(ddir / "p.parquet"))
+    out = lookup_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(ddir)),
+                      "k", "dk", nparts=4, broadcast_max_bytes=0).to_pandas()
+    assert len(out) == n
+    assert (out[out["k"] == 0]["name"] == "n0").all()
+    assert out[out["k"] == 0].shape[0] == (k == 0).sum()
