@@ -155,6 +155,8 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
     if stop_after_shard is not None:
         pending = pending[: stop_after_shard + 1]
 
+    import time as _time
+    t_pass = _time.monotonic()
     if pending:
         # ONE streaming pass over every pending shard (not a per-shard job):
         # the shard column is derived from the source file path, the write is
@@ -199,6 +201,22 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
             manifest.record(shard_id, status="done", input=fp, rows=rows,
                             watermark=watermark, sink_rows=per_sink)
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+        # pass-level METRICS (north rule: lineage records + metrics): shards
+        # / rows / input bytes / wall-clock per pass, appended to a sibling
+        # metrics journal so successive passes build an auditable
+        # throughput history without polluting the shard lineage records
+        metrics = Manifest(os.path.join(out_dir, "metrics.jsonl"))
+        pass_rows = sum(
+            manifest.records[sid]["rows"] for sid, _s, _f in pending
+            if sid in manifest.records)
+        pass_bytes = sum(fp.get("size", 0) for _sid, _s, fp in pending)
+        dt = _time.monotonic() - t_pass
+        metrics.record(f"pass-{len(metrics.records)}", status="metrics",
+                       n_shards=len(pending), rows=pass_rows,
+                       input_bytes=pass_bytes, seconds=round(dt, 3),
+                       rows_per_sec=round(pass_rows / dt, 1) if dt > 0
+                       else None)
 
     if stop_after_shard is not None:
         return manifest
