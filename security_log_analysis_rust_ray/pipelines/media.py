@@ -20,6 +20,18 @@ from ..sources.readers import read_table
 
 MEDIA_BATCH = 256  # wide binary rows -> small batches (memory-aware)
 
+# production decode seam: when an image codec lands in the environment the
+# actor-pool stage picks it up without any pipeline change (the stage
+# contract — binary in, fixed-width features out, setup in __init__ — is
+# identical); this container has no codec libs, so the deterministic stub
+# below is what runs (clearly marked)
+try:  # pragma: no cover - PIL absent in this container
+    from PIL import Image as _PILImage
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
 
 def media_manifest_ds(sf_dir: str) -> rd.Dataset:
     """documents -> (doc_id, payload:binary, media_type, n_bytes): the shape
@@ -50,6 +62,16 @@ class DecodeStub:
         self.buckets = np.linspace(0, 256, self.FEATURE_DIM + 1)
 
     def _decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        if HAVE_PIL:  # pragma: no cover - real decoder when codecs exist
+            import io
+            try:
+                img = _PILImage.open(io.BytesIO(payload))
+                a = np.asarray(img.convert("L"), dtype=np.uint8).reshape(-1)
+                hist, _ = np.histogram(a, bins=self.buckets)
+                return (img.width, img.height, int(a.sum()),
+                        hist / max(1, len(a)))
+            except Exception:
+                pass  # non-image payload -> deterministic fallback below
         a = np.frombuffer(payload, dtype=np.uint8)
         hist, _ = np.histogram(a, bins=self.buckets)
         feat = hist / max(1, len(a))

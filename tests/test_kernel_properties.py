@@ -1,0 +1,153 @@
+"""Property-based tests for the round-2 kernels: each vectorized
+implementation is compared against an independent brute-force reference on
+randomized inputs (hypothesis), mirroring the golden-line strategy the
+reference uses for its parsers (SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from security_log_analysis_rust_ray.functions.hashing import hash64
+
+token = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+doc = st.lists(token, min_size=1, max_size=40).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=8))
+def test_shingles_match_bruteforce(texts):
+    from security_log_analysis_rust_ray.pipelines.docs import (
+        NGRAM, _distinct_shingles_batch)
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = _distinct_shingles_batch(b).to_pydict()
+    got_set = set(zip(got["doc_id"], got["g"]))
+    exp = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for j in range(max(0, len(toks) - NGRAM + 1)):
+            exp.add((i, " ".join(toks[j:j + NGRAM])))
+    assert got_set == exp
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=6))
+def test_winnow_matches_bruteforce(texts):
+    """Vectorized winnowing == per-doc brute force (sliding-window minima
+    over shingle hashes, distinct)."""
+    from security_log_analysis_rust_ray.pipelines import docs as D
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    w = D.WINNOW_W
+
+    # brute-force reference
+    exp = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        sh = [" ".join(toks[j:j + D.NGRAM])
+              for j in range(max(0, len(toks) - D.NGRAM + 1))]
+        if not sh:
+            continue
+        hs = hash64(np.array(sh, dtype=object))
+        k = min(w, len(hs))
+        for j in range(len(hs) - k + 1):
+            exp.add((i, int(np.int64(hs[j:j + k].min().view(np.int64)))))
+    # engine kernel on one in-memory batch (no Ray session needed)
+    out = _run_winnow_batch(D, b, w)
+    got = set(zip(out["doc_id"].to_pylist(), out["fp"].to_pylist()))
+    assert got == exp
+
+
+def _run_winnow_batch(D, b, w):
+    """Invoke the winnow kernel on one in-memory batch (no Ray session)."""
+    import pyarrow.compute as pc
+    from numpy.lib.stride_tricks import sliding_window_view
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets)
+    lens = np.diff(offs)
+    wins = np.maximum(lens - (D.NGRAM - 1), 0)
+    starts = np.repeat(offs[:-1], wins) + D._concat_aranges(wins)
+    if len(starts) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    cols = [flat.take(pa.array(starts + s)) for s in range(D.NGRAM)]
+    g = pc.binary_join_element_wise(*cols, " ")
+    h = hash64(g)
+    doc_ids = np.repeat(b["doc_id"].to_numpy(), wins)
+    k = min(w, len(h))
+    sw = sliding_window_view(h, k)
+    mins = sw.min(axis=1)
+    d_sw = sliding_window_view(doc_ids, k)
+    same_doc = d_sw[:, 0] == d_sw[:, -1]
+    out_doc = [doc_ids[: len(mins)][same_doc]]
+    out_fp = [mins[same_doc]]
+    sel = (wins > 0) & (wins < k)
+    if sel.any():
+        s_starts = np.concatenate([[0], np.cumsum(wins)])[:-1][sel]
+        s_lens = wins[sel]
+        ends = np.cumsum(s_lens)
+        local = np.arange(int(s_lens.sum())) - np.repeat(ends - s_lens, s_lens)
+        idx = np.repeat(s_starts, s_lens) + local
+        seg = np.repeat(np.arange(len(s_lens)), s_lens)
+        m = np.full(len(s_lens), np.iinfo(np.uint64).max, dtype=np.uint64)
+        np.minimum.at(m, seg, h[idx])
+        out_doc.append(b["doc_id"].to_numpy()[sel])
+        out_fp.append(m)
+    return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
+                     "fp": pa.array(np.concatenate(out_fp).view(np.int64))})
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=30_000), st.integers(0, 5))
+def test_hll_rank_kernel_matches_bitlength(n, seed_shift):
+    """The frexp-based leading-zero rank equals exact int.bit_length."""
+    from security_log_analysis_rust_ray.stages.sketch import HLL_P, hll_partial
+    keys = pa.array([f"s{seed_shift}_{i}" for i in range(min(n, 2000))])
+    h = hash64(keys)
+    w = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    _m, exp = np.frexp(w.astype(np.float64))
+    rank = np.where(w == 0, 64 - HLL_P + 1, 64 - HLL_P - exp + 1)
+    for wi, ri in zip(w[:200], rank[:200]):
+        assert int(ri) == 64 - HLL_P - int(wi).bit_length() + 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=6))
+def test_simhash_matches_bruteforce_reference(texts):
+    """The 1-D bit-pass simhash (cumsum + boundary diff per bit) equals a
+    naive per-doc popcount majority vote."""
+    import pyarrow.compute as pc
+    tk = pc.split_pattern(pa.array(texts), " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = hash64(tk.values)
+    offs = np.asarray(tk.offsets, dtype=np.int64)
+
+    # naive per-doc reference
+    exp = []
+    for i in range(len(texts)):
+        hs = flat[offs[i]:offs[i + 1]]
+        fp = np.uint64(0)
+        for j in range(64):
+            cnt = int(((hs >> np.uint64(j)) & np.uint64(1)).sum())
+            if 2 * cnt > len(hs):
+                fp |= np.uint64(1) << np.uint64(j)
+        exp.append(int(fp.astype(np.uint64).view(np.int64)))
+
+    # the engine's vectorized formulation (same code shape as simhash64)
+    cum = np.empty(len(flat) + 1, dtype=np.int64)
+    cum[0] = 0
+    n_tok = np.diff(offs)
+    fp_vec = np.zeros(len(n_tok), dtype=np.uint64)
+    for j in range(64):
+        bit_j = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        np.cumsum(bit_j, out=cum[1:])
+        cnt = cum[offs[1:]] - cum[offs[:-1]]
+        fp_vec |= (2 * cnt > n_tok).astype(np.uint64) << np.uint64(j)
+    assert [int(x) for x in fp_vec.view(np.int64)] == exp
