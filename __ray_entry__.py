@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": REL.lineitem_pricing_summary,
         "orders_by_nation": REL.orders_by_nation,
         "top_parts_by_revenue": REL.top_parts_by_revenue,
+        "shipping_priority": REL.shipping_priority,
         "events_daily_counts": REL.events_daily_counts,
         "events_sliding_3d_counts": REL.events_sliding_3d_counts,
         "user_running_totals": REL.user_running_totals,
@@ -366,6 +367,15 @@ def oracle_sql() -> dict[str, str]:
         " AS total_price "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name")
+    out["shipping_priority"] = (
+        "SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,"
+        " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE c.c_mktsegment = '{REL.Q3_SEGMENT}'"
+        f" AND o.o_orderdate < DATE '{REL.Q3_DATE}'"
+        f" AND l.l_shipdate > DATE '{REL.Q3_DATE}' "
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10")
     out["top_parts_by_revenue"] = (
         "SELECT p.p_brand AS brand,"
         " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "

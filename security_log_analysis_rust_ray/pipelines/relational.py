@@ -133,6 +133,70 @@ def top_parts_by_revenue(sf_dir: str, k: int = 5) -> rd.Dataset:
         .sort(["revenue", "brand"], descending=[True, False]).limit(k)
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+
+
+def shipping_priority(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """TPC-H Q3-flavored 3-way join: customer (segment filter) |x| orders
+    (date filter) |x| lineitem (date filter) -> revenue per order ->
+    top-k.  All joins go through the size-aware lookup_join; filters push
+    into the batch scans before any join, so only qualifying rows shuffle.
+    Output: (o_orderkey, o_orderdate, o_orderpriority, revenue)."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    cutoff = pd.Timestamp(Q3_DATE)
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"]),
+            batch_format="pyarrow", batch_size=None)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b["o_orderdate"], pa.scalar(cutoff))),
+            batch_format="pyarrow", batch_size=None)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater(b["l_shipdate"], pa.scalar(cutoff))),
+            batch_format="pyarrow", batch_size=None)
+
+    nparts = _num_partitions(read_table(sf_dir, "lineitem",
+                                        columns=["l_orderkey"]))
+    j1 = lookup_join(orders, cust, "o_custkey", "c_custkey", nparts=nparts)
+    j2 = lookup_join(li, j1, "l_orderkey", "o_orderkey", nparts=nparts)
+
+    def derive(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "revenue": rev})
+
+    keys = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    partial = j2.map_batches(derive, batch_format="pyarrow",
+                             batch_size=None) \
+        .map_batches(_partial_sums(keys, {"revenue": "sum"}),
+                     batch_format="pyarrow")
+    out = partial.groupby(keys).aggregate(
+        Sum("revenue_sum", alias_name="rev_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue": pa.array(round_half_up(b["rev_f"].to_numpy(), 2)),
+        })
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+
 def user_running_totals(sf_dir: str) -> rd.Dataset:
     """Per-user running cumulative `value` over time — the windowed
     cumulative-aggregate shape.  Hash-repartition by user, then ONE
