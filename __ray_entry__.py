@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_signup": REL.events_asof_signup,
         "events_semi_join_purchasers": REL.events_semi_join_purchasers,
         "distinct_host_count": REL.distinct_host_count,
+        "hot_hosts": REL.hot_hosts,
     }
 
 
@@ -399,6 +400,10 @@ def oracle_sql() -> dict[str, str]:
         " WHERE event_type = 'purchase')")
     out["distinct_host_count"] = oracle_query(
         "SELECT count(DISTINCT host) AS n_hosts FROM parsed")
+    out["hot_hosts"] = oracle_query(
+        "SELECT host, count(*) AS cnt FROM parsed GROUP BY host"
+        f" HAVING count(*) > (SELECT count(*) FROM parsed) / {REL.HH_K + 1}.0"
+        " ORDER BY cnt DESC, host")
     out["user_running_totals"] = (
         "SELECT user_id, event_id,"
         " round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"

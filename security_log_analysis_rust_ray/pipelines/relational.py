@@ -272,6 +272,49 @@ def events_semi_join_purchasers(sf_dir: str) -> rd.Dataset:
                      nparts=_num_partitions(fact))
 
 
+HH_K = 256
+
+
+def hot_hosts(sf_dir: str, k: int = HH_K) -> rd.Dataset:
+    """EXACT heavy hitters via the classic two-pass sketch plan: a
+    Misra-Gries pass finds candidate keys (guaranteed superset of every
+    host with frequency > n/(k+1)), then a cheap second pass exact-counts
+    only the candidates and applies the threshold — deterministic, so it
+    oracle-checks against plain GROUP BY/HAVING while the sketch pass is
+    what scales (per-block summaries of k counters instead of a full
+    distinct-key shuffle).  Output: (host, cnt) above the threshold."""
+    from ..pipelines.reports import parsed
+    from ..stages.aggregate import grouped_count
+    from ..stages.sketch import heavy_hitters
+
+    base = parsed(sf_dir)
+    n = base.count()
+    cand = heavy_hitters(base.map_batches(
+        lambda b: b.select(["host"]), batch_format="pyarrow",
+        batch_size=None), "host", k=k)
+    cand_arr = pa.array(sorted(cand["key"].tolist()), pa.string())
+    ref = ray.put(cand_arr)
+
+    class OnlyCands:
+        def __init__(self):
+            self.cands = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.select(["host"]).filter(
+                pc.is_in(b["host"], value_set=self.cands))
+
+    counted = grouped_count(
+        base.map_batches(OnlyCands, batch_format="pyarrow",
+                         batch_size=None, concurrency=(1, 8)),
+        ["host"], alias="cnt")
+    thresh = n / (k + 1)
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater(pc.cast(b["cnt"], pa.float64()),
+                                      thresh)),
+        batch_format="pyarrow", batch_size=None) \
+        .sort(["cnt", "host"], descending=[True, False])
+
+
 def distinct_host_count(sf_dir: str) -> rd.Dataset:
     """Exact COUNT(DISTINCT host) over parsed rows: per-block distinct
     (combiner) -> hash-partitioned distinct -> count, returned as one row.

@@ -56,6 +56,73 @@ def hll_estimate(reg: np.ndarray) -> float:
     return float(est)
 
 
+def mg_partial(keys: pa.Array, k: int) -> dict[str, int]:
+    """Misra-Gries summary of one batch: at most k counters; any key with
+    frequency > n/(k+1) is guaranteed to survive.  Vectorized: exact
+    in-batch counts (Arrow value_counts), keep the top-k counters and
+    subtract the (k+1)-th count from them — the batched equivalent of the
+    classic decrement step (each discarded counter decrements the kept
+    ones' lower bound)."""
+    if len(keys) == 0:
+        return {}
+    vc = keys.value_counts()
+    vals = vc.field("values").to_pylist()
+    cnts = np.asarray(vc.field("counts"))
+    if len(vals) <= k:
+        return dict(zip(vals, cnts.tolist()))
+    order = np.argsort(-cnts, kind="stable")
+    thresh = int(cnts[order[k]])
+    out = {}
+    for i in order[:k]:
+        kept = int(cnts[i]) - thresh
+        if kept > 0:
+            out[vals[i]] = kept
+    return out
+
+
+def mg_merge(a: dict[str, int], b: dict[str, int], k: int) -> dict[str, int]:
+    """Standard mergeable-summaries MG merge: add counters, then subtract
+    the (k+1)-th largest and drop non-positive."""
+    m = dict(a)
+    for key, c in b.items():
+        m[key] = m.get(key, 0) + c
+    if len(m) <= k:
+        return m
+    counts = sorted(m.values(), reverse=True)
+    thresh = counts[k]
+    return {key: c - thresh for key, c in m.items() if c - thresh > 0}
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 32) -> "pd.DataFrame":
+    """Approximate heavy hitters over ``col``: per-block Misra-Gries
+    summaries (k counters each, a few KB) merged pairwise — every key with
+    true frequency > n/(k+1) is GUARANTEED present (classic MG bound); the
+    returned lower-bound counts undercount by at most n/(k+1).  The hot-key
+    detector a 100-TB groupby wants before choosing a salting strategy."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not pa.types.is_string(c.type):
+            c = c.cast(pa.string())
+        summ = mg_partial(c, k)
+        return pa.table({
+            "keys": pa.array([list(summ.keys())], pa.list_(pa.string())),
+            "cnts": pa.array([list(summ.values())], pa.list_(pa.int64())),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    merged: dict[str, int] = {}
+    for r in rows.itertuples():
+        merged = mg_merge(merged, dict(zip(r.keys, r.cnts)), k)
+    out = pd.DataFrame(sorted(merged.items(), key=lambda kv: (-kv[1], kv[0])),
+                       columns=["key", "min_count"])
+    return out
+
+
 def _merge_rows(b: pa.Table) -> pa.Table:
     """Max-merge all register rows in a block into one."""
     if b.num_rows == 0:

@@ -196,3 +196,30 @@ def test_query_ttl_cache():
         cache.get_or_compute(f"k{i}", lambda i=i: i)
     assert len(cache) == 3
     assert cache.get_or_compute("k0", lambda: "recomputed") == "recomputed"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_misra_gries_heavy_hitters_guarantee():
+    """MG guarantee: every key with true frequency > n/(k+1) appears in the
+    merged sketch, and reported counts never exceed true counts."""
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.sketch import heavy_hitters
+    n = 120_000
+    # 3 hot keys own 60% of rows; the tail is uniform over 5000 keys
+    hot = np.random.RandomState(5).choice(["H0", "H1", "H2"], size=int(n * 0.6))
+    tail = [f"t{i % 5000}" for i in range(n - len(hot))]
+    vals = np.concatenate([hot, np.array(tail, dtype=object)])
+    rng = np.random.RandomState(6); rng.shuffle(vals)
+    df = pd.DataFrame({"k": vals})
+    true = df["k"].value_counts()
+
+    k = 32
+    out = heavy_hitters(rd.from_pandas(df).repartition(16), "k", k=k)
+    got = dict(zip(out["key"], out["min_count"]))
+    threshold = n / (k + 1)
+    for key, cnt in true.items():
+        if cnt > threshold:
+            assert key in got, f"heavy hitter {key} ({cnt}) missing"
+    for key, lb in got.items():
+        assert lb <= true.get(key, 0), f"{key} lower bound {lb} overcounts"
+    assert {"H0", "H1", "H2"} <= set(got)
