@@ -113,8 +113,23 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 32) -> "pd.DataFrame":
             "cnts": pa.array([list(summ.values())], pa.list_(pa.int64())),
         })
 
+    def merge_block(b: pa.Table) -> pa.Table:
+        m: dict[str, int] = {}
+        for keys_, cnts_ in zip(b["keys"].to_pylist(), b["cnts"].to_pylist()):
+            m = mg_merge(m, dict(zip(keys_, cnts_)), k)
+        return pa.table({
+            "keys": pa.array([list(m.keys())], pa.list_(pa.string())),
+            "cnts": pa.array([list(m.values())], pa.list_(pa.int64())),
+        })
+
+    # two-level merge (same shape as approx_distinct): distributed
+    # second-level MG merges so the driver folds a handful of summaries,
+    # not one per block
     rows = ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=None).to_pandas()
+                          batch_size=None) \
+        .repartition(8) \
+        .map_batches(merge_block, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
     merged: dict[str, int] = {}
     for r in rows.itertuples():
         merged = mg_merge(merged, dict(zip(r.keys, r.cnts)), k)
