@@ -217,9 +217,13 @@ def run_stats() -> None:
         .map_batches(enrich_batch, batch_format="pyarrow", batch_size=None) \
         .map_batches(lambda b: b.filter(pc.is_valid(b["code"])),
                      batch_format="pyarrow", batch_size=None)
-    out = agg.grouped_count(inner, ["country"], small_keyspace=True)
-    out.to_pandas()
-    print(out.stats())
+    # materialize the INNER pipeline for stats: the small_keyspace final
+    # combine builds a fresh driver-side dataset, which would hide the
+    # read->parse->enrich operator chain (fusion check) from .stats()
+    m = inner.materialize()
+    print(m.stats())
+    out = agg.grouped_count(m, ["country"], small_keyspace=True)
+    print(out.to_pandas().head(30).to_string())
     ray.shutdown()
 
 
