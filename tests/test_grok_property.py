@@ -19,7 +19,7 @@ _mon = st.sampled_from(["Jan", "Feb", "Mar", "Apr", "May", "Jun",
                         "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(user=_user, h1=_hostpart, h2=_hostpart, mon=_mon,
        day=st.integers(1, 28), hour=st.integers(0, 23),
        minute=st.integers(0, 59), sec=st.integers(0, 59),
@@ -37,7 +37,7 @@ def test_ssh_roundtrip(user, h1, h2, mon, day, hour, minute, sec, port, year):
     assert pc.year(dt).to_pylist() == [year]
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(a=st.integers(0, 300), b=st.integers(0, 300),
        c=st.integers(0, 300), d=st.integers(0, 300))
 def test_nginx_octet_validation(a, b, c, d):
@@ -47,7 +47,7 @@ def test_nginx_octet_validation(a, b, c, d):
     assert ok.to_pylist() == [expect]
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(host=_hostpart, day=st.integers(1, 28), hour=st.integers(0, 23),
        off_h=st.integers(0, 12), sign=st.sampled_from(["+", "-"]))
 def test_apache_offset_arithmetic(host, day, hour, off_h, sign):
@@ -60,7 +60,7 @@ def test_apache_offset_arithmetic(host, day, hour, off_h, sign):
     assert pc.hour(dt).to_pylist() == [expect % 24]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(words=st.lists(st.sampled_from(
     ["alpha", "beta", "ERROR", "warn", "info", "DEBUG", "gamma"]),
     min_size=1, max_size=8))

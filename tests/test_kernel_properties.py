@@ -16,7 +16,7 @@ token = st.text(alphabet="abcdefg", min_size=1, max_size=4)
 doc = st.lists(token, min_size=1, max_size=40).map(" ".join)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.lists(doc, min_size=1, max_size=8))
 def test_shingles_match_bruteforce(texts):
     from security_log_analysis_rust_ray.pipelines.docs import (
@@ -33,7 +33,7 @@ def test_shingles_match_bruteforce(texts):
     assert got_set == exp
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20, deadline=None, derandomize=True)
 @given(st.lists(doc, min_size=1, max_size=6))
 def test_winnow_matches_bruteforce(texts):
     """Vectorized winnowing == per-doc brute force (sliding-window minima
@@ -103,7 +103,7 @@ def _run_winnow_batch(D, b, w):
                      "fp": pa.array(np.concatenate(out_fp).view(np.int64))})
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(st.integers(min_value=1, max_value=30_000), st.integers(0, 5))
 def test_hll_rank_kernel_matches_bitlength(n, seed_shift):
     """The frexp-based leading-zero rank equals exact int.bit_length."""
@@ -117,7 +117,7 @@ def test_hll_rank_kernel_matches_bitlength(n, seed_shift):
         assert int(ri) == 64 - HLL_P - int(wi).bit_length() + 1
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(st.lists(doc, min_size=1, max_size=6))
 def test_simhash_matches_bruteforce_reference(texts):
     """The 1-D bit-pass simhash (cumsum + boundary diff per bit) equals a
