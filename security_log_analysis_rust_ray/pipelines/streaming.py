@@ -28,9 +28,13 @@ import ray.data as rd
 from ..sources.readers import read_table
 from . import reports
 
+from ..config import get_config as _get_config
+
 SESSION_GAP_S = 1800          # 30 min
-ALERT_DELAY_S = 60            # reference default alert_log_delay
-ALERT_BUFFER_BYTES = 10_000   # reference default alert_buffer_size
+# reference defaults alert_log_delay / alert_buffer_size
+# (src/parse_logs.rs:448-449), overridable via the unified Config
+ALERT_DELAY_S = _get_config().alert_log_delay
+ALERT_BUFFER_BYTES = _get_config().alert_buffer_size
 LEVEL_ORDER = {"debug": 0, "info": 1, "warn": 2, "error": 3}
 
 

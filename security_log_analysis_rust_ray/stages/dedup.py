@@ -95,27 +95,30 @@ def _estimate_bytes(ds: rd.Dataset) -> int | None:
     return total * _PARQUET_TO_ARROW if total else None
 
 
-def _num_partitions(ds: rd.Dataset | None = None) -> int:
+def _num_partitions(ds: rd.Dataset | None = None,
+                    expansion: float = 1.0) -> int:
     """Hash-exchange partition count, derived from DATA VOLUME (estimated
     input bytes / target-partition-bytes, floor 8), not CPU count: each
     partition is an aggregator actor with real per-partition scatter
     overhead (measured: 8 partitions beat 64 by 5x on small data), while a
-    constant count would mean 12.5 TB/partition at 100 TB.  Overrides:
-    SLAR_SHUFFLE_PARTITIONS pins the count; SLAR_TARGET_PARTITION_BYTES
-    changes the per-partition target (default 256 MB)."""
-    import os
-    env = os.environ.get("SLAR_SHUFFLE_PARTITIONS")
-    if env:
-        return int(env)
+    constant count would mean 12.5 TB/partition at 100 TB.  Overrides via
+    the unified Config: ``shuffle_partitions`` pins the count;
+    ``target_partition_bytes`` changes the per-partition target (default
+    256 MB).  ``expansion`` scales the estimate for explode-shaped inputs
+    (a shingle stream is ~NGRAM x its document bytes — sizing those off
+    the root files alone under-partitions them)."""
+    from ..config import get_config
+    cfg = get_config()
+    if cfg.shuffle_partitions:
+        return cfg.shuffle_partitions
     floor = 8
     if ds is None:
         return floor
-    target = int(os.environ.get("SLAR_TARGET_PARTITION_BYTES",
-                                str(256 << 20)))
     est = _estimate_bytes(ds)
     if not est:
         return floor
-    return max(floor, min(4096, -(-est // target)))
+    est = int(est * expansion)
+    return max(floor, min(4096, -(-est // cfg.target_partition_bytes)))
 
 
 def dedup_keep_first(ds: rd.Dataset, keys: list[str] | None = None,

@@ -40,16 +40,14 @@ N_HOSTS = 50            # distinct ssh attacker hosts h{k}.example.com
 HOST_MISSING_MOD = 7    # k % 7 == 0  ->  host absent from host_country dim
 SERVER_MOD = 4          # server = 'srv' + (conv number % 4)
 
-# Negative filter substrings, verbatim from the reference defaults
-# (/root/reference/src/config.rs:38-45).
-SYSTEMD_LOG_FILTERS = (
-    "kex_exchange_identification",
-    "error: maximum authentication attempts exceeded for invalid user",
-    "Disconnected from invalid user",
-    "Failed password for invalid user",
-)
+# Negative filter substrings (reference defaults, src/config.rs:38-45) and
+# the cache root both come from the unified Config (config.py) — overridable
+# via config.env / SLAR_SYSTEMD_LOG_FILTERS / SLAR_CACHE_DIR.  Resolved at
+# import, like the reference's once-at-start Config::init_config.
+from .config import get_config as _get_config
 
-CACHE_ROOT = os.environ.get("SLAR_CACHE_DIR", "/tmp/slar_cache")
+SYSTEMD_LOG_FILTERS = tuple(_get_config().systemd_log_filters)
+CACHE_ROOT = _get_config().cache_dir
 
 # ---------------------------------------------------------------------------
 # Canonical SQL — the single source of truth for the synthetic corpus.

@@ -30,12 +30,13 @@ def test_num_partitions_tracks_data_volume(tmp_path):
 
     ds_small = rd.read_parquet(str(small))
     ds_big = rd.read_parquet(str(big))
+    from security_log_analysis_rust_ray.config import override, set_config
+    prev = override(target_partition_bytes=64 << 10)  # 64 KB
     try:
-        os.environ["SLAR_TARGET_PARTITION_BYTES"] = str(64 << 10)  # 64 KB
         n_small = dd._num_partitions(ds_small)
         n_big = dd._num_partitions(ds_big)
     finally:
-        del os.environ["SLAR_TARGET_PARTITION_BYTES"]
+        set_config(prev)
     assert n_small == 8                  # floor
     assert n_big > n_small               # grows with bytes
     assert dd._num_partitions(ds_big) == 8   # default 256MB target -> floor
