@@ -113,9 +113,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
-        "media_features": M.media_features,          # decode via pure-py BMP
-        "media_thumbnails": M.media_thumbnails,      # resize via pure-py BMP
+        "media_features": M.media_features,          # rows-only (fake payloads)
+        "media_thumbnails": M.media_thumbnails,      # rows-only (stub resize)
         "media_frames": M.media_frames,              # rows-only (stub frames)
+        # genuine BMP decode (functions/bmp.py): HAS an oracle (pixel-sum
+        # formula restated in SQL) even though it sits past the driver's
+        # 50-row window — the parity sweep and pytest check it every run
+        "media_bmp_features": M.media_bmp_features,
     }
 
 
@@ -329,6 +333,15 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, CAST({M.FrameSampleStub.K} AS BIGINT) AS n_frames,"
         f" CAST(least(strlen(text), {M.FrameSampleStub.WIN}) AS BIGINT)"
         " AS max_frame_bytes FROM documents")
+    # genuine BMP decode: SQL restatement of media_bmp_manifest_ds's pixel
+    # formula — the engine value is the sum of actually-decoded pixels
+    out["media_bmp_features"] = (
+        f"SELECT d.doc_id, {M.BMP_W} AS width, {M.BMP_H} AS height,"
+        " CAST(sum((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT)"
+        " AS checksum FROM documents d,"
+        f" unnest(generate_series(0, {M.BMP_W - 1})) x(x),"
+        f" unnest(generate_series(0, {M.BMP_H - 1})) y(y)"
+        " GROUP BY d.doc_id")
     out["doc_pack_stats"] = docs_only + (
         "SELECT CAST(count(*) AS BIGINT) AS n_docs_packed,"
         " CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,"

@@ -1,0 +1,66 @@
+"""Dependency-free 24-bit uncompressed BMP codec (public Windows
+BITMAPINFOHEADER layout) — the REAL decode branch of the media pipeline.
+
+The container has no image libraries, so the media decode stage ran only
+its deterministic fallback in CI (VERDICT r02 "Next round" #9).  BMP is
+simple enough to implement from the public spec with numpy alone: 54-byte
+header (14-byte file header + 40-byte info header), bottom-up rows of BGR
+triples padded to 4-byte strides.  ``encode_gray`` / ``decode`` are both
+vectorized (one reshape/pad per image, no per-pixel Python), and the
+decode stage tries this codec before PIL, so a genuine parse-pixels path
+runs in CI end-to-end.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FILE_HEADER = struct.Struct("<2sIHHI")   # magic, file size, res, res, off
+_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+HEADER_BYTES = 54
+
+
+def _stride(width: int) -> int:
+    return (width * 3 + 3) & ~3
+
+
+def encode_gray(img: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> 24-bit BMP bytes (B=G=R=value)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    stride = _stride(w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = np.repeat(img[:, :, None], 3, axis=2)          # gray -> B,G,R
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows[::-1].tobytes()                          # bottom-up rows
+    size = HEADER_BYTES + len(body)
+    head = _FILE_HEADER.pack(b"BM", size, 0, 0, HEADER_BYTES) + \
+        _INFO_HEADER.pack(40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return head + body
+
+
+def decode(payload: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w) uint8 grayscale (blue channel; for images
+    produced by ``encode_gray`` all channels are equal).  Raises
+    ``ValueError`` on anything but an uncompressed 24-bit bottom-up BMP."""
+    if len(payload) < HEADER_BYTES or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    magic, _size, _r1, _r2, off = _FILE_HEADER.unpack_from(payload, 0)
+    (hdr, w, h, _planes, bpp, comp, _img_size,
+     _xp, _yp, _cu, _ci) = _INFO_HEADER.unpack_from(payload, 14)
+    if hdr != 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = _stride(w)
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, : w * 3].reshape(h, w, 3)[:, :, 0].copy()

@@ -66,6 +66,61 @@ def hash64(col, seed: int = HASH_SEED) -> np.ndarray:
     return _fnv1a64(col)
 
 
+_FMIX_1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def hash64_stable(col, seed: int = HASH_SEED) -> np.ndarray:
+    """PINNED 64-bit hash for PERSISTED fingerprints (lineage ids, winnow
+    / simhash outputs): self-contained word-blocked FNV-style fold +
+    murmur fmix finalizer, defined entirely here — unlike ``hash64``'s
+    polars fast path, its values can never change under a library upgrade
+    (ADVICE r02: a polars bump would silently rewrite every stored
+    fingerprint).  Vectorized: one gather-and-fold per 8-byte WORD
+    position (loop length = max_len/8, each step full-width numpy), then
+    up to 7 tail-byte steps, then a length mix — O(total_bytes) work with
+    no per-row Python.  Little-endian byte order (pinned; all supported
+    platforms are LE)."""
+    if isinstance(col, np.ndarray):
+        col = pa.array(col, pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc_cast_binary(col)
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=n + 1, offset=col.offset * 4).astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    h = np.full(n, _FNV_OFFSET ^ np.uint64(seed), dtype=np.uint64)
+    max_len = int(lens.max()) if n else 0
+    word_cols = np.arange(8, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(0, max_len - 7, 8):
+            active = lens >= j + 8
+            if not active.any():
+                break
+            idx = starts[active] + j
+            w = data[idx[:, None] + word_cols].copy().view(np.uint64).ravel()
+            h[active] = (h[active] ^ w) * _FNV_PRIME
+        tail_words = (lens // 8) * 8
+        for t in range(7):
+            active = (lens - tail_words) > t
+            if not active.any():
+                break
+            idx = starts[active] + tail_words[active] + t
+            h[active] = (h[active] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+        # finalize: mix in the length, then murmur3 fmix64
+        h = (h ^ lens.astype(np.uint64)) * _FNV_PRIME
+        h ^= h >> np.uint64(33)
+        h *= _FMIX_1
+        h ^= h >> np.uint64(33)
+        h *= _FMIX_2
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def mix64(cols: list[np.ndarray], seed: int = HASH_SEED) -> np.ndarray:
     """Combine several uint64 arrays into one hash (vectorized xor-multiply
     mixer) — used to hash fixed-width tuples (e.g. LSH band rows) without a

@@ -177,7 +177,16 @@ def embedding_near_dup_pairs(sf_dir: str,
         batch_size=4096)
     rep = _bucket_repartition(exploded, nparts)
 
+    # hot-bucket guard (VERDICT r02 #6): a bucket whose pair count exceeds
+    # Config.max_group_pairs would do an s x s matmul and emit a k^2 pair
+    # stream — skip it and log (same semantics as the hot-shingle guard in
+    # docs._block_group_pairs).  Read at PLAN-BUILD time on the driver so
+    # config overrides ship with the closure.
+    from ..config import get_config
+    cap = get_config().max_group_pairs
+
     def bucket_pairs(b: pa.Table) -> pa.Table:
+        import logging
         if b.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
@@ -192,6 +201,12 @@ def embedding_near_dup_pairs(sf_dir: str,
         for k in range(len(uniq)):
             idx = order[bounds[k]:bounds[k + 1]]
             if len(idx) < 2:
+                continue
+            if len(idx) * (len(idx) - 1) // 2 > cap:
+                logging.getLogger(__name__).warning(
+                    "hot-bucket guard: dropping IVF bucket %s with %d "
+                    "vectors (> max_group_pairs=%d)",
+                    uniq[k], len(idx), cap)
                 continue
             m, mid = v[idx], ids[idx]
             sims = m @ m.T
@@ -238,9 +253,12 @@ def ann_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
     """Brute-force cosine top-k for query vectors (vec_id < N_QUERIES)
     against the base table: per-batch partial top-k, then a tiny final
     per-query reduction (the canonical partial/final ANN plan)."""
-    qds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
-        .filter(lambda r: r["vec_id"] < N_QUERIES)
-    qt = qds.to_pandas()
+    # vectorized streaming selection (VERDICT r02 #4: a per-row Python
+    # ds.filter(lambda) scanned the whole table through the interpreter)
+    qt = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(lambda b: b.filter(pc.less(b["vec_id"], N_QUERIES)),
+                     batch_format="pyarrow", batch_size=None) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
     q_ids = qt["vec_id"].to_numpy()
     qm = _normalize(np.stack(qt["embedding"].to_numpy()).astype(np.float64))
     ref = ray.put((q_ids, qm))

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.hashing import hash64, mix64
+from ..functions.hashing import hash64, hash64_stable, mix64
 from ..functions.util import round_half_up
 
 from ..sources.readers import read_table
@@ -191,10 +191,14 @@ def _rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
 
 
 def _join_parts(sf_dir: str) -> int:
-    """Hash-join partition count sized to the DOCUMENT corpus bytes (the
-    pair/shingle datasets derive from it)."""
+    """Hash-join partition count sized to the SHINGLE stream, not the raw
+    corpus: the pair/shingle datasets this count partitions are explode-
+    shaped (~NGRAM rows per token), so the root-file estimate is scaled by
+    ``expansion=NGRAM`` (ADVICE r02: sizing exploded intermediates off
+    input files alone under-partitions them at the 100-TB design point)."""
     from ..stages.dedup import _num_partitions
-    return _num_partitions(read_table(sf_dir, "documents", columns=["doc_id"]))
+    return _num_partitions(read_table(sf_dir, "documents", columns=["doc_id"]),
+                           expansion=float(NGRAM))
 
 
 def _block_group_pairs(key_cols: list[str]):
@@ -202,7 +206,21 @@ def _block_group_pairs(key_cols: list[str]):
     (hash-repartitioned on ``key_cols``); one Arrow sort + numpy boundary
     detection, then all (a < b) doc pairs of every group emitted with a
     loop over DISTINCT GROUP SIZES only (each size handled as one batched
-    triu-index gather) — no Python call per group."""
+    triu-index gather) — no Python call per group.
+
+    Hot-group guard (VERDICT r02 #6): a group whose pair count exceeds
+    ``Config.max_group_pairs`` (a degenerate hot shingle / LSH band — at
+    corpus scale a single such key would emit a k^2 pair stream that
+    dwarfs the corpus) is SKIPPED and logged with its size.  Splitting
+    would only spread the k^2 output around, not bound it; dropping with
+    a loud log is the honest semantics, and the default cap (4M pairs,
+    i.e. group size ~2.8k) is far above anything a non-adversarial key
+    produces at the tested scales."""
+    import logging
+    from ..config import get_config
+    log = logging.getLogger(__name__)
+    cap = get_config().max_group_pairs
+
     def fn(b: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64())})
@@ -222,6 +240,14 @@ def _block_group_pairs(key_cols: list[str]):
         out_a, out_b = [], []
         for s in np.unique(counts):
             if s < 2:
+                continue
+            if int(s) * (int(s) - 1) // 2 > cap:
+                n_hot = int((counts == s).sum())
+                log.warning(
+                    "hot-group guard: dropping %d group(s) of size %d on "
+                    "key %s (%d pairs each > max_group_pairs=%d)",
+                    n_hot, int(s), key_cols,
+                    int(s) * (int(s) - 1) // 2, cap)
                 continue
             st = starts[counts == s]
             iu, ju = np.triu_indices(int(s), k=1)
@@ -434,7 +460,7 @@ def simhash64(sf_dir: str) -> rd.Dataset:
         tk = pc.split_pattern(b["text"], " ")
         if isinstance(tk, pa.ChunkedArray):
             tk = tk.combine_chunks()
-        flat = hash64(tk.values)
+        flat = hash64_stable(tk.values)  # persisted: pinned hash
         offs = np.asarray(tk.offsets, dtype=np.int64)
         n_tok = np.diff(offs)
         fp = np.zeros(len(n_tok), dtype=np.uint64)
@@ -718,7 +744,7 @@ def doc_winnow_fingerprints(sf_dir: str, w: int = WINNOW_W) -> rd.Dataset:
         starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
         cols = [flat.take(pa.array(starts + s)) for s in range(NGRAM)]
         g = pc.binary_join_element_wise(*cols, " ")
-        h = hash64(g)  # ordered shingle-hash sequence, docs concatenated
+        h = hash64_stable(g)  # persisted fingerprints: pinned hash
         doc_ids = np.repeat(b["doc_id"].to_numpy(), wins)
         # per-doc sliding minima WITHOUT crossing doc boundaries: pad each
         # doc's tail conceptually by processing the global array but masking
@@ -762,7 +788,7 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     text + token count) — the lineage/dedup id analog of the reference's
     md5 path (/root/reference/src/lib.rs:69-88)."""
     def fp(b: pa.Table) -> pa.Table:
-        h = hash64(b["text"])
+        h = hash64_stable(b["text"])  # lineage id: pinned hash
         nt = pc.add(pc.count_substring(b["text"], " "), 1)
         return pa.table({
             "doc_id": b["doc_id"],

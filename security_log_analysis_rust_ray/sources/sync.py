@@ -96,12 +96,22 @@ def run_sync(local: str, remote: str, keys: list[str] | None = None,
             merge_parquet_pair(lp, rp, tmp,
                                keys=keys or dd.NATURAL_KEY,
                                order=order or dd.ORDER_COLS)
-            # one-file store layout: rewrite the merged dir as a single file
-            merged = rd.read_parquet(tmp).to_arrow_refs()
+            # one-file store layout: rewrite the merged dir as a single
+            # file.  Both conflicting files can be empty (ADVICE r02: the
+            # old unconditional concat of an empty block list raised
+            # ArrowInvalid and aborted the whole sync run) — a zero-row
+            # merge writes NO parquet files, so fall back to an empty
+            # table with the local file's schema.
             import pyarrow as pa
             import ray
-            t = pa.concat_tables([b for b in ray.get(list(merged))
-                                  if b.num_rows > 0])
+            files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            if files:
+                merged = rd.read_parquet(tmp).to_arrow_refs()
+                blocks = [b for b in ray.get(list(merged)) if b.num_rows > 0]
+            else:
+                blocks = []
+            t = pa.concat_tables(blocks) if blocks \
+                else pq.read_schema(lp).empty_table()
             one = tmp + ".parquet"
             pq.write_table(t, one)
             shutil.rmtree(tmp)

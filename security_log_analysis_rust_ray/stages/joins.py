@@ -4,28 +4,44 @@ small, hash-shuffle join when it is not.
 Round-1 broadcast every lookup side unconditionally — including a
 customer-sized table (VERDICT r01 #6: customer is fact-scale, GBs at 100x,
 not a 25-row dim).  This helper makes the decision explicit and data-driven:
-the dim's estimated bytes (input-file sizes, metadata only) against a
-threshold (default 64 MB — a dict that every task can comfortably hold).
-Small side: shipped once with ray.put, probed with a vectorized pandas merge
-per batch (the reference's J1/J2 broadcast-lookup shape,
-/root/reference/src/polars_analysis.rs:96-107).  Large side: Ray Data's
-partitioned hash join — both sides shuffle on the key, nothing lands on the
-driver.
+the dim's estimated bytes against a byte threshold from the unified Config
+(default 64 MB — a table every task can comfortably hold).  Small side:
+shipped once with ray.put, probed per batch with an Arrow ``index_in`` +
+``take`` (zero pandas round-trips, and both paths emit the SAME Arrow
+schema — the old pandas merge coerced unmatched int dims to float64 NaN).
+Large side: Ray Data's partitioned hash join — both sides shuffle on the
+key, nothing lands on the driver.  The reference's J1/J2 broadcast-lookup
+shape is /root/reference/src/polars_analysis.rs:96-107.
+
+``semi_join`` / ``anti_join`` gate their broadcast on the key set's
+MATERIALIZED byte size (VERDICT r02 #5: the old 5M-KEY threshold could put
+hundreds of MB of wide string keys on the driver), ship the probe as an
+Arrow array (never a sorted Python list — null keys made ``sorted()``
+raise), and drop nulls from the probe set: a null key never matches a
+semi/anti probe, in SQL or in Ray's hash join.
 """
 
 from __future__ import annotations
 
-import os
-
-import pandas as pd
+import pandas as pd  # noqa: F401  (kept: callers type against pandas)
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..config import get_config
 from .dedup import _estimate_bytes
 
-BROADCAST_MAX_BYTES = int(os.environ.get("SLAR_BROADCAST_MAX_BYTES",
-                                         str(64 << 20)))
+
+def _collect_table(ds: rd.Dataset) -> pa.Table:
+    """Materialize a SMALL dataset to one Arrow table on the driver
+    (callers gate on size first).  Avoids the pandas round-trip of
+    ``to_pandas`` so dim column types survive exactly."""
+    tbls = ray.get(ds.to_arrow_refs())
+    tbls = [t for t in tbls if t.num_rows > 0]
+    if not tbls:
+        return ds.schema().base_schema.empty_table()
+    return pa.concat_tables(tbls, promote_options="default")
 
 
 def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
@@ -34,25 +50,42 @@ def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
     """Attach ``dim``'s non-key columns to ``fact`` rows on
     ``fact_key == dim_key``.  ``how`` in {"inner", "left"}.  The output
     drops the dim key column (like Ray's join does), keeping the fact key.
+    Assumes ``dim_key`` is unique in ``dim`` (it is a dim lookup); with
+    duplicate dim keys use the hash path (``broadcast_max_bytes=0``).
     """
-    limit = BROADCAST_MAX_BYTES if broadcast_max_bytes is None \
+    limit = get_config().broadcast_max_bytes if broadcast_max_bytes is None \
         else broadcast_max_bytes
     est = _estimate_bytes(dim)
     if est is not None and est <= limit:
-        dim_df = dim.to_pandas()
-        if dim_key != fact_key:
-            dim_df = dim_df.rename(columns={dim_key: fact_key})
-        ref = ray.put(dim_df)
+        dim_tbl = _collect_table(dim).combine_chunks()
+        keys = dim_tbl[dim_key].combine_chunks()
+        payload = dim_tbl.drop_columns([dim_key])
+        ref = ray.put((keys, payload))
+        inner = how == "inner"
 
         class Attach:
             def __init__(self):
-                self.dim = ray.get(ref)
+                self.keys, self.payload = ray.get(ref)
+                self._cast_for: pa.DataType | None = None
 
             def __call__(self, b: pa.Table) -> pa.Table:
-                df = b.to_pandas()
-                out = df.merge(self.dim, on=fact_key,
-                               how="inner" if how == "inner" else "left")
-                return pa.Table.from_pandas(out, preserve_index=False)
+                probe = b[fact_key].combine_chunks() \
+                    if isinstance(b[fact_key], pa.ChunkedArray) else b[fact_key]
+                keys = self.keys
+                if keys.type != probe.type:
+                    if self._cast_for != probe.type:
+                        self.keys = keys = keys.cast(probe.type)
+                        self._cast_for = probe.type
+                idx = pc.index_in(probe, value_set=keys)
+                if inner:
+                    valid = pc.is_valid(idx)
+                    b = b.filter(valid)
+                    idx = idx.filter(valid)
+                # take with null indices yields null payload rows (left join)
+                taken = self.payload.take(idx)
+                for name in taken.column_names:
+                    b = b.append_column(name, taken[name])
+                return b
 
         return fact.map_batches(Attach, batch_format="pyarrow",
                                 concurrency=(1, 8))
@@ -61,77 +94,146 @@ def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
                      on=(fact_key,), right_on=(dim_key,))
 
 
-SEMI_BROADCAST_MAX_KEYS = int(os.environ.get("SLAR_SEMI_BROADCAST_MAX_KEYS",
-                                             str(5_000_000)))
+def _distinct_probe_keys(keys_ds: rd.Dataset, key_col: str, fact_key: str,
+                         limit: int) -> tuple[rd.Dataset, pa.Array | None]:
+    """Distinct ``key_col`` values; if the materialized distinct set fits
+    the byte budget, also return the non-null values as one Arrow array
+    for a broadcast ``is_in`` probe (else ``None`` -> shuffled-probe path,
+    with the keys dataset renamed to ``fact_key``).
+
+    Hash-partitioned distinct emits ZERO-COLUMN empty blocks when the
+    partition count exceeds the key count; normalize those to the real
+    one-column schema (the keys are materialized here — the byte gate
+    needs that anyway — so the key type is known)."""
+    from .dedup import distinct_rows
+    keys = distinct_rows(keys_ds, [key_col]).materialize()
+    size = keys.size_bytes()
+    if size is not None and size <= limit:
+        tbl = _collect_table(keys)
+        arr = tbl[key_col].combine_chunks().drop_null()
+        return keys, arr
+    ktype = None
+    for f in keys.schema().base_schema:
+        if f.name == key_col:
+            ktype = f.type
+    if ktype is None:       # unified schema degenerate: scan for a block
+        for t in ray.get(keys.to_arrow_refs()):
+            if key_col in t.schema.names:
+                ktype = t.schema.field(key_col).type
+                break
+    sch = pa.schema([pa.field(fact_key, ktype or pa.string())])
+    keys = keys.map_batches(
+        lambda t: t.rename_columns([fact_key]) if t.num_columns
+        else sch.empty_table(),
+        batch_format="pyarrow", batch_size=None)
+    return keys, None
+
+
+_MARKER = "__slar_probe__"
+
+
+def _shuffled_membership(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
+                         nparts: int, keep_members: bool) -> rd.Dataset:
+    """Large-key-set semi/anti: tag both sides, hash-repartition the UNION
+    on the key, then one vectorized per-block ``is_in`` probe.
+
+    Same cost shape as a partitioned left_semi hash join (one all-to-all
+    exchange, nothing driver-side) — but deliberately NOT ``Dataset.join``:
+    Ray 2.49.2's JoinOperator materializes a hash partition that received
+    no shards as a zero-column table, and ``pa.Table.join`` then fails
+    schema resolution ("No match ... for FieldRef") whenever ANY partition
+    is empty on one side (join.py:104-126 builds each side with a bare
+    ArrowBlockBuilder).  The tagged-union probe has no such edge: an
+    all-fact partition just probes an empty key set."""
+    import numpy as np
+    from .dedup import _use_hash_shuffle
+
+    def tag_fact(t: pa.Table) -> pa.Table:
+        assert _MARKER not in t.schema.names, _MARKER
+        return t.append_column(
+            _MARKER, pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            _MARKER, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    uni = fact.map_batches(tag_fact, batch_format="pyarrow",
+                           batch_size=None) \
+        .union(keys.map_batches(tag_keys, batch_format="pyarrow",
+                                batch_size=None))
+    parts = _use_hash_shuffle(uni, nparts).repartition(
+        num_blocks=nparts, keys=[fact_key])
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        is_key = pc.equal(t[_MARKER], 1)
+        keyvals = t.filter(is_key)[fact_key].combine_chunks().drop_null()
+        fact_rows = t.filter(pc.invert(is_key)).drop_columns([_MARKER])
+        mask = pc.fill_null(
+            pc.is_in(fact_rows[fact_key], value_set=keyvals), False)
+        if not keep_members:
+            mask = pc.invert(mask)
+        return fact_rows.filter(mask)
+
+    return parts.map_batches(probe, batch_format="pyarrow", batch_size=None)
 
 
 def semi_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
               key_col: str, nparts: int = 8,
-              broadcast_max_keys: int | None = None) -> rd.Dataset:
+              broadcast_max_bytes: int | None = None) -> rd.Dataset:
     """Keep fact rows whose ``fact_key`` appears in ``keys_ds[key_col]``.
 
-    Small key set (count under the threshold): distinct keys broadcast once
-    with ray.put, vectorized ``is_in`` per batch — the reference's J3-style
-    membership probe.  Large key set: Ray's partitioned ``left_semi`` hash
-    join (both sides shuffle; nothing driver-side).  The distinct key set
-    is computed and materialized either way (its count decides the path)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from .dedup import distinct_rows
-
-    limit = SEMI_BROADCAST_MAX_KEYS if broadcast_max_keys is None \
-        else broadcast_max_keys
-    keys = distinct_rows(keys_ds, [key_col]).materialize()
-    if keys.count() <= limit:
-        vals = keys.to_pandas()[key_col].tolist()
-        ref = ray.put(sorted(vals))
+    Small key set (materialized bytes under the Config threshold): distinct
+    non-null keys broadcast once with ray.put, vectorized ``is_in`` per
+    batch — the reference's J3-style membership probe.  Large key set:
+    tagged-union hash-partitioned probe (both sides shuffle; nothing
+    driver-side).  Null fact keys never match, matching SQL semantics."""
+    limit = get_config().semi_broadcast_max_bytes \
+        if broadcast_max_bytes is None else broadcast_max_bytes
+    keys, arr = _distinct_probe_keys(keys_ds, key_col, fact_key, limit)
+    if arr is not None:
+        ref = ray.put(arr)
 
         class Semi:
             def __init__(self):
-                self.keys = pa.array(ray.get(ref))
+                self.keys = ray.get(ref)
 
             def __call__(self, b: pa.Table) -> pa.Table:
-                return b.filter(pc.is_in(b[fact_key], value_set=self.keys))
+                mask = pc.fill_null(
+                    pc.is_in(b[fact_key], value_set=self.keys), False)
+                return b.filter(mask)
 
         return fact.map_batches(Semi, batch_format="pyarrow",
                                 batch_size=None, concurrency=(1, 8))
-    if key_col != fact_key:
-        keys = keys.map_batches(
-            lambda t: t.rename_columns([fact_key]),
-            batch_format="pyarrow", batch_size=None)
-    return fact.join(keys, "left_semi", nparts, on=(fact_key,))
+    return _shuffled_membership(fact, keys, fact_key, nparts,
+                                keep_members=True)
 
 
 def anti_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
               key_col: str, nparts: int = 8,
-              broadcast_max_keys: int | None = None) -> rd.Dataset:
+              broadcast_max_bytes: int | None = None) -> rd.Dataset:
     """Drop fact rows whose ``fact_key`` appears in ``keys_ds[key_col]`` —
     the J3 anti-join shape, size-aware like semi_join: inverted ``is_in``
-    probe against a broadcast key set while it is small, Ray's partitioned
-    ``left_anti`` hash join beyond the threshold."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from .dedup import distinct_rows
-
-    limit = SEMI_BROADCAST_MAX_KEYS if broadcast_max_keys is None \
-        else broadcast_max_keys
-    keys = distinct_rows(keys_ds, [key_col]).materialize()
-    if keys.count() <= limit:
-        vals = keys.to_pandas()[key_col].tolist()
-        ref = ray.put(sorted(vals))
+    probe against a broadcast key set while it is small, the tagged-union
+    hash-partitioned probe beyond the threshold.  Null fact keys never
+    match the probe, so anti KEEPS them (LEFT JOIN ... IS NULL parity)."""
+    limit = get_config().semi_broadcast_max_bytes \
+        if broadcast_max_bytes is None else broadcast_max_bytes
+    keys, arr = _distinct_probe_keys(keys_ds, key_col, fact_key, limit)
+    if arr is not None:
+        ref = ray.put(arr)
 
         class Anti:
             def __init__(self):
-                self.keys = pa.array(ray.get(ref))
+                self.keys = ray.get(ref)
 
             def __call__(self, b: pa.Table) -> pa.Table:
-                return b.filter(pc.invert(
-                    pc.is_in(b[fact_key], value_set=self.keys)))
+                mask = pc.fill_null(
+                    pc.is_in(b[fact_key], value_set=self.keys), False)
+                return b.filter(pc.invert(mask))
 
         return fact.map_batches(Anti, batch_format="pyarrow",
                                 batch_size=None, concurrency=(1, 8))
-    if key_col != fact_key:
-        keys = keys.map_batches(
-            lambda t: t.rename_columns([fact_key]),
-            batch_format="pyarrow", batch_size=None)
-    return fact.join(keys, "left_anti", nparts, on=(fact_key,))
+    return _shuffled_membership(fact, keys, fact_key, nparts,
+                                keep_members=False)

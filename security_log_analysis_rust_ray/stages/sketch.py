@@ -93,12 +93,18 @@ def mg_merge(a: dict[str, int], b: dict[str, int], k: int) -> dict[str, int]:
     return {key: c - thresh for key, c in m.items() if c - thresh > 0}
 
 
-def heavy_hitters(ds: rd.Dataset, col: str, k: int = 32) -> "pd.DataFrame":
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 32,
+                  return_total: bool = False):
     """Approximate heavy hitters over ``col``: per-block Misra-Gries
     summaries (k counters each, a few KB) merged pairwise — every key with
     true frequency > n/(k+1) is GUARANTEED present (classic MG bound); the
     returned lower-bound counts undercount by at most n/(k+1).  The hot-key
-    detector a 100-TB groupby wants before choosing a salting strategy."""
+    detector a 100-TB groupby wants before choosing a salting strategy.
+
+    ``return_total=True`` additionally returns the exact total row count,
+    folded through the SAME pass (each summary row carries its block's n;
+    merges sum it) — a caller that needs n for the n/(k+1) threshold then
+    makes one scan, not two (VERDICT r02 #8)."""
     import pandas as pd
 
     def partial(b: pa.Table) -> pa.Table:
@@ -111,15 +117,18 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 32) -> "pd.DataFrame":
         return pa.table({
             "keys": pa.array([list(summ.keys())], pa.list_(pa.string())),
             "cnts": pa.array([list(summ.values())], pa.list_(pa.int64())),
+            "n": pa.array([b.num_rows], pa.int64()),
         })
 
     def merge_block(b: pa.Table) -> pa.Table:
         m: dict[str, int] = {}
         for keys_, cnts_ in zip(b["keys"].to_pylist(), b["cnts"].to_pylist()):
             m = mg_merge(m, dict(zip(keys_, cnts_)), k)
+        n = int(pa.compute.sum(b["n"]).as_py() or 0)
         return pa.table({
             "keys": pa.array([list(m.keys())], pa.list_(pa.string())),
             "cnts": pa.array([list(m.values())], pa.list_(pa.int64())),
+            "n": pa.array([n], pa.int64()),
         })
 
     # two-level merge (same shape as approx_distinct): distributed
@@ -131,10 +140,14 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 32) -> "pd.DataFrame":
         .map_batches(merge_block, batch_format="pyarrow",
                      batch_size=None).to_pandas()
     merged: dict[str, int] = {}
+    total = 0
     for r in rows.itertuples():
         merged = mg_merge(merged, dict(zip(r.keys, r.cnts)), k)
+        total += int(r.n)
     out = pd.DataFrame(sorted(merged.items(), key=lambda kv: (-kv[1], kv[0])),
                        columns=["key", "min_count"])
+    if return_total:
+        return out, total
     return out
 
 

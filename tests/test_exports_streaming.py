@@ -207,3 +207,35 @@ def test_two_writer_sync_reconciliation(tmp_path):
     assert sorted(merged["conv_id"]) == ["x", "y", "z"]
     # second pass: pure noop
     assert all(i.action == "noop" for i in SY.sync_plan(local, remote))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sync_conflict_merge_of_empty_files(tmp_path):
+    """ADVICE r02: two conflicting files that BOTH hold zero rows (but
+    differ byte-wise, e.g. different writer metadata) crashed the merge
+    with ArrowInvalid on an empty concat — it must converge to an empty
+    file with the merged schema instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from security_log_analysis_rust_ray.sources import sync as SY
+
+    schema = pa.schema([
+        ("service", pa.string()), ("server", pa.string()),
+        ("datetime", pa.timestamp("us")), ("host", pa.string()),
+        ("username", pa.string()), ("ts", pa.timestamp("us")),
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ])
+    local, remote = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(local), os.makedirs(remote)
+    empty = schema.empty_table()
+    pq.write_table(empty, os.path.join(local, "e.parquet"),
+                   compression="snappy")
+    pq.write_table(empty, os.path.join(remote, "e.parquet"),
+                   compression="none")   # different bytes -> etag conflict
+
+    plan = {i.key: i.action for i in SY.sync_plan(local, remote)}
+    assert plan == {"e.parquet": "merge"}
+    SY.run_sync(local, remote)
+    t = pq.read_table(os.path.join(local, "e.parquet"))
+    assert t.num_rows == 0 and set(t.schema.names) == set(schema.names)
+    assert all(i.action == "noop" for i in SY.sync_plan(local, remote))

@@ -70,7 +70,7 @@ def test_semi_join_paths_agree(tmp_path):
     bc = semi_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(kdir)),
                    "k", "kk", nparts=4).to_pandas()
     sh = semi_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(kdir)),
-                   "k", "kk", nparts=4, broadcast_max_keys=0).to_pandas()
+                   "k", "kk", nparts=4, broadcast_max_bytes=0).to_pandas()
     pd.testing.assert_frame_equal(canon(bc), canon(expected), check_dtype=False)
     pd.testing.assert_frame_equal(canon(sh), canon(expected), check_dtype=False)
 
@@ -95,7 +95,7 @@ def test_anti_join_paths_agree(tmp_path):
     bc = anti_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(kdir)),
                    "k", "kk", nparts=4).to_pandas()
     sh = anti_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(kdir)),
-                   "k", "kk", nparts=4, broadcast_max_keys=0).to_pandas()
+                   "k", "kk", nparts=4, broadcast_max_bytes=0).to_pandas()
     pd.testing.assert_frame_equal(canon(bc), canon(expected), check_dtype=False)
     pd.testing.assert_frame_equal(canon(sh), canon(expected), check_dtype=False)
 
@@ -120,3 +120,66 @@ def test_lookup_join_hot_key_shuffle_path(tmp_path):
     assert len(out) == n
     assert (out[out["k"] == 0]["name"] == "n0").all()
     assert out[out["k"] == 0].shape[0] == (k == 0).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_null_keys_both_paths(tmp_path):
+    """ADVICE r02: a null key in the key set crashed the broadcast path
+    (sorted() on None) — and null FACT keys must never match: semi drops
+    them, anti keeps them (SQL LEFT JOIN ... IS NULL parity), on BOTH
+    paths."""
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import anti_join, semi_join
+    fdir, kdir = tmp_path / "fn", tmp_path / "kn"
+    fdir.mkdir(), kdir.mkdir()
+    fact = pd.DataFrame({"k": ["a", "b", None, "c", None, "d"],
+                         "v": range(6)})
+    keys = pd.DataFrame({"kk": ["b", None, "d", "zz"]})
+    pq.write_table(pa.Table.from_pandas(fact), str(fdir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(keys), str(kdir / "p.parquet"))
+
+    for bmax in (None, 0):   # broadcast path, then hash-join path
+        kw = {} if bmax is None else {"broadcast_max_bytes": 0}
+        semi = semi_join(rd.read_parquet(str(fdir)),
+                         rd.read_parquet(str(kdir)), "k", "kk",
+                         nparts=4, **kw).to_pandas()
+        anti = anti_join(rd.read_parquet(str(fdir)),
+                         rd.read_parquet(str(kdir)), "k", "kk",
+                         nparts=4, **kw).to_pandas()
+        assert sorted(semi["k"].tolist()) == ["b", "d"], f"bmax={bmax}"
+        kept = anti["k"].tolist()
+        assert kept.count(None) == 2 and sorted(
+            x for x in kept if x is not None) == ["a", "c"], f"bmax={bmax}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lookup_join_left_schema_parity(tmp_path):
+    """ADVICE r02: the broadcast left-join path used a pandas merge that
+    coerced unmatched INT dim columns to float64 NaN while the hash path
+    emitted nullable int64 — the two paths must emit the same dtypes."""
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import lookup_join
+    fdir, ddir = tmp_path / "fs", tmp_path / "ds"
+    fdir.mkdir(), ddir.mkdir()
+    fact = pd.DataFrame({"k": [1, 2, 3, 99], "v": range(4)})
+    dim = pd.DataFrame({"dk": [1, 2, 3], "num": np.array([10, 20, 30],
+                                                         dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(fact), str(fdir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(dim), str(ddir / "p.parquet"))
+
+    bc = lookup_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(ddir)),
+                     "k", "dk", nparts=4, how="left")
+    sh = lookup_join(rd.read_parquet(str(fdir)), rd.read_parquet(str(ddir)),
+                     "k", "dk", nparts=4, how="left", broadcast_max_bytes=0)
+    bt = pa.concat_tables(
+        [b for b in bc.iter_batches(batch_format="pyarrow")][:: 1],
+        promote_options="default")
+    st = pa.concat_tables(
+        [b for b in sh.iter_batches(batch_format="pyarrow")][:: 1],
+        promote_options="default")
+    assert bt.schema.field("num").type == st.schema.field("num").type \
+        == pa.int64()
+    got = bt.to_pandas().sort_values("v").reset_index(drop=True)
+    assert got["num"].isna().tolist() == [False, False, False, True]

@@ -151,3 +151,33 @@ def test_simhash_matches_bruteforce_reference(texts):
         cnt = cum[offs[1:]] - cum[offs[:-1]]
         fp_vec |= (2 * cnt > n_tok).astype(np.uint64) << np.uint64(j)
     assert [int(x) for x in fp_vec.view(np.int64)] == exp
+
+
+def test_hash64_stable_pinned_goldens():
+    """hash64_stable is the PERSISTED-fingerprint hash: its values are
+    pinned forever (ADVICE r02: the polars-backed hash64 can change under
+    a library upgrade; this one cannot — it is defined entirely in
+    functions/hashing.py).  These goldens must NEVER change."""
+    import pyarrow as pa
+    from security_log_analysis_rust_ray.functions.hashing import hash64_stable
+    got = [int(x) for x in hash64_stable(
+        pa.array(["", "a", "security", "log analysis"]))]
+    assert got == [16132506952055667079, 1000318964316841956,
+                   7310207410189655051, 17580693851026809863]
+
+
+def test_hash64_stable_properties():
+    import numpy as np
+    import pyarrow as pa
+    from security_log_analysis_rust_ray.functions.hashing import hash64_stable
+    strs = [f"token-{i}" for i in range(5000)] + \
+        ["x" * n for n in range(1, 40)] + ["abc", "abc\x00", "abc\x00\x00"]
+    h = hash64_stable(pa.array(strs))
+    # injective on this corpus (incl. zero-padding distinctions)
+    assert len(set(h.tolist())) == len(strs)
+    # deterministic across calls and input container types
+    h2 = hash64_stable(np.array(strs, dtype=object))
+    assert (h == h2).all()
+    # seed changes the values
+    h3 = hash64_stable(pa.array(strs), seed=999)
+    assert (h != h3).any()

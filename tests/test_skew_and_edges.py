@@ -140,3 +140,75 @@ def test_stream_dedup_shared_index():
     got = set(map(tuple, out.fillna("<N>").itertuples(index=False)))
     exp = set(map(tuple, expected.fillna("<N>").itertuples(index=False)))
     assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_group_pair_guard():
+    """VERDICT r02 #6: one degenerate key holding ~all docs must NOT emit a
+    k^2 pair block — the guard drops groups whose pair count exceeds
+    Config.max_group_pairs, while normal-size groups still pair up."""
+    import pandas as pd
+    import ray.data as rd
+    from security_log_analysis_rust_ray.config import override, set_config
+    from security_log_analysis_rust_ray.pipelines.docs import _group_pairs
+
+    n_hot = 200                      # hot band: 200 docs -> 19,900 pairs
+    hot = pd.DataFrame({"band_hash": 7, "doc_id": range(n_hot)})
+    cold = pd.DataFrame({"band_hash": [8, 8, 9, 9, 9],
+                         "doc_id": [1000, 1001, 2000, 2001, 2002]})
+    ds = rd.from_pandas(pd.concat([hot, cold], ignore_index=True))
+    prev = override(max_group_pairs=100)   # cap well under 19,900
+    try:
+        pairs = _group_pairs(ds, ["band_hash"], nparts=4).to_pandas()
+    finally:
+        set_config(prev)
+    # hot group fully dropped; cold groups intact (1 + 3 pairs)
+    assert len(pairs) == 1 + 3
+    assert set(map(tuple, pairs[["a", "b"]].values)) == {
+        (1000, 1001), (2000, 2001), (2000, 2002), (2001, 2002)}
+
+    # control: with the default cap the hot group pairs normally
+    pairs_full = _group_pairs(ds, ["band_hash"], nparts=4).count()
+    assert pairs_full == n_hot * (n_hot - 1) // 2 + 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_ivf_bucket_guard(tmp_path):
+    """Same guard on the IVF bucket pair expansion (ann.bucket_pairs):
+    capped buckets are skipped, small buckets still emit pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from security_log_analysis_rust_ray.config import override, set_config
+    from security_log_analysis_rust_ray.pipelines import ann
+
+    rng = np.random.default_rng(11)
+    # 60 near-identical vectors (one hot bucket) + 4 in a distinct direction
+    dim = ann.DIM
+    base = rng.normal(size=dim)
+    hot = base + rng.normal(scale=1e-3, size=(60, dim))
+    other = -base + rng.normal(scale=1e-3, size=(4, dim))
+    emb = np.vstack([hot, other])
+    df = pd.DataFrame({"vec_id": np.arange(len(emb), dtype=np.int64),
+                       "embedding": list(emb.astype(np.float64))})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(d / "embeddings.parquet"))
+
+    prev = override(max_group_pairs=50)   # hot bucket: 60C2=1770 > 50
+    try:
+        ann._PAIR_CACHE.clear()
+        guarded = ann.embedding_near_dup_pairs(str(d)).to_pandas()
+    finally:
+        set_config(prev)
+        ann._PAIR_CACHE.clear()
+    control = ann.embedding_near_dup_pairs(str(d)).to_pandas()
+    ann._PAIR_CACHE.clear()
+    # the k^2 hot bucket is dropped (a few pairs may survive via small
+    # secondary multi-probe buckets); the cold bucket still pairs up
+    assert len(control) > 1000            # unguarded: hot bucket explodes
+    assert len(guarded) < len(control) / 5
+    cold = {60, 61, 62, 63}
+    got_ids = set(guarded["a"]) | set(guarded["b"])
+    assert cold & got_ids, "small buckets must still emit pairs"
