@@ -249,6 +249,28 @@ def embedding_dup_clusters(sf_dir: str,
         batch_format="pyarrow", batch_size=None).sort("vec_id")
 
 
+def embedding_near_dedup(sf_dir: str,
+                         threshold: float = NEAR_DUP_COS) -> rd.Dataset:
+    """Embedding-cosine near-dup DEDUP: keep ONE vector per near-duplicate
+    cluster (the min vec_id representative) plus every unclustered vector —
+    the embedding-space analog of docs.doc_near_dedup, composed from
+    embedding_dup_clusters and the size-aware anti_join on the drop set.
+    Output: (vec_id,) of the surviving vectors."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import anti_join
+    clusters = embedding_dup_clusters(sf_dir, threshold=threshold)
+    drop = clusters.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], t["cluster"]))
+                   .select(["vec_id"]),
+        batch_format="pyarrow", batch_size=None)
+    base = embeddings_aug_ds(sf_dir).map_batches(
+        lambda t: t.select(["vec_id"]),
+        batch_format="pyarrow", batch_size=None)
+    raw = read_table(sf_dir, "embeddings", columns=["vec_id"])
+    return anti_join(base, drop, "vec_id", "vec_id",
+                     nparts=_num_partitions(raw)).sort("vec_id")
+
+
 def ann_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
     """Brute-force cosine top-k for query vectors (vec_id < N_QUERIES)
     against the base table: per-batch partial top-k, then a tiny final

@@ -197,6 +197,94 @@ def shipping_priority(sf_dir: str, k: int = 10) -> rd.Dataset:
         .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def local_supplier_volume(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5-flavored 6-table join: revenue per nation for lineitems
+    where the CUSTOMER and the SUPPLIER sit in the same nation of one
+    region, over a one-year order window.  Exercises the full snowflake
+    (region -> nation -> {customer, supplier} -> orders -> lineitem) as a
+    chain of size-aware lookup_joins with every filter pushed below the
+    joins: region x nation collapse to a tiny broadcast dim, orders are
+    date-pruned at the scan, and lineitem (the only true fact stream)
+    never shuffles — it probes broadcast sides batch-by-batch while they
+    fit the Config byte budget and flips to partitioned hash joins beyond
+    it.  Output: (nation, revenue) sorted by revenue desc."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    lo, hi = pd.Timestamp(Q5_DATE_LO), pd.Timestamp(Q5_DATE_HI)
+
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["r_name"], Q5_REGION)).select(["r_regionkey"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+    # materialized: a derived dim reports no input files, so the size gate
+    # could not see how tiny this is (<=25 rows by construction) and would
+    # send the whole lineitem stream through a needless nation-key shuffle
+    nation = lookup_join(
+        read_table(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"]),
+        region, "n_regionkey", "r_regionkey", how="inner") \
+        .map_batches(lambda b: b.select(["n_nationkey", "n_name"]),
+                     batch_format="pyarrow", batch_size=None).materialize()
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow", batch_size=None)
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    nparts = _num_partitions(li)
+
+    # orders gain the customer's nation; lineitems gain (order, cust
+    # nation), then the supplier's nation; "local" = the two nations agree
+    o_cust = lookup_join(orders, cust, "o_custkey", "c_custkey",
+                         nparts=nparts, how="inner")
+    j = lookup_join(li, o_cust.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow", batch_size=None),
+        "l_orderkey", "o_orderkey", nparts=nparts, how="inner")
+    j = lookup_join(j, supp, "l_suppkey", "s_suppkey",
+                    nparts=nparts, how="inner")
+    j = j.map_batches(lambda b: b.filter(
+        pc.equal(b["c_nationkey"], b["s_nationkey"])),
+        batch_format="pyarrow", batch_size=None)
+    j = lookup_join(j, nation, "s_nationkey", "n_nationkey",
+                    nparts=nparts, how="inner")
+
+    ds = j.map_batches(
+        lambda b: pa.table({
+            "nation": b["n_name"],
+            "revenue": pc.multiply(
+                b["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), b["l_discount"]))}),
+        batch_format="pyarrow", batch_size=None)
+    partial = ds.map_batches(_partial_sums(["nation"], {"revenue": "sum"}),
+                             batch_format="pyarrow")
+    out = partial.groupby("nation").aggregate(
+        Sum("revenue_sum", alias_name="rev_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": b["nation"],
+            "revenue": pa.array(round_half_up(b["rev_f"].to_numpy(), 2)),
+        })
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "nation"], descending=[True, False])
+
+
 def user_running_totals(sf_dir: str) -> rd.Dataset:
     """Per-user running cumulative `value` over time — the windowed
     cumulative-aggregate shape.  Hash-repartition by user, then ONE
@@ -296,17 +384,16 @@ def hot_hosts(sf_dir: str, k: int = HH_K) -> rd.Dataset:
     cand_arr = pa.array(sorted(cand["key"].tolist()), pa.string())
     ref = ray.put(cand_arr)
 
-    class OnlyCands:
-        def __init__(self):
-            self.cands = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            return b.select(["host"]).filter(
-                pc.is_in(b["host"], value_set=self.cands))
+    def only_cands(b: pa.Table) -> pa.Table:
+        # task pool, not actor pool: ray.get of the tiny candidate array is
+        # a zero-copy plasma read, and a min-1 actor reservation would make
+        # this stage non-composable with hash exchanges at small CPU counts
+        return b.select(["host"]).filter(
+            pc.is_in(b["host"], value_set=ray.get(ref)))
 
     counted = grouped_count(
-        base.map_batches(OnlyCands, batch_format="pyarrow",
-                         batch_size=None, concurrency=(1, 8)),
+        base.map_batches(only_cands, batch_format="pyarrow",
+                         batch_size=None),
         ["host"], alias="cnt")
     thresh = n / (k + 1)
     return counted.map_batches(

@@ -68,10 +68,41 @@ def _use_hash_shuffle(ds: rd.Dataset, nparts: int | None = None) -> rd.Dataset:
     Also caps ``default_hash_shuffle_parallelism`` to the data-sized
     partition count: Ray's default is 200 hash-aggregate partitions, whose
     actor pool starves small CPU budgets (observed deadlock at 4 CPUs when a
-    downstream groupby inherited HASH_SHUFFLE from a join)."""
+    downstream groupby inherited HASH_SHUFFLE from a join).
+
+    Also caps each hash op's TOTAL aggregator-actor CPU reservation to
+    ~1/4 of the session's CPUs: on a CLUSTER (cluster-config resources
+    visible) Ray reserves min(1, CPU/2/nparts) per partition — half the
+    cluster per hash op — so a plan with two hash exchanges (a partitioned
+    join feeding a groupby) would reserve every core for long-lived
+    aggregator actors and the 1-CPU shuffle-map tasks that feed them could
+    never schedule.  The override may only ever LOWER the reservation:
+    Ray's local-mode fallbacks (0.0625 shuffle / 0.01 aggregate / 0.125
+    join per partition) are already small, and raising them toward a
+    "budget" deadlocked a 4-CPU session running two exchanges at once
+    (observed with IVF's bucket shuffle + final aggregate)."""
+    import ray as _ray
     from ray.data.context import ShuffleStrategy
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.default_hash_shuffle_parallelism = nparts or _num_partitions(ds)
+    n = nparts or _num_partitions(ds)
+    ds.context.default_hash_shuffle_parallelism = n
+    try:
+        cpus = _ray.cluster_resources().get("CPU", 0) or 0
+    except Exception:
+        cpus = 0
+    if cpus:
+        budget = (cpus / 4.0) / n   # per-partition share of a CPU/4 pool
+        for knob, local_default in (
+                ("hash_shuffle_operator_actor_num_cpus_per_partition_override",
+                 0.0625),
+                ("hash_aggregate_operator_actor_num_cpus_per_partition_override",
+                 0.01),
+                ("join_operator_actor_num_cpus_per_partition_override",
+                 0.125)):
+            per_part = min(local_default, budget)
+            cur = getattr(ds.context, knob, None)
+            if cur is None or cur > per_part:
+                setattr(ds.context, knob, per_part)
     return ds
 
 
@@ -79,10 +110,21 @@ _PARQUET_TO_ARROW = 3  # text parquet decompresses ~3x into Arrow memory
 
 
 def _estimate_bytes(ds: rd.Dataset) -> int | None:
-    """Estimated in-memory bytes of ``ds`` from its INPUT FILE sizes
-    (metadata only — never triggers execution; ``ds.size_bytes()`` would
-    run the plan)."""
+    """Estimated in-memory bytes of ``ds`` — metadata only, never triggers
+    execution.  A MATERIALIZED dataset reports its exact block bytes
+    (``size_bytes`` is metadata there); a lazy one is sized from its INPUT
+    FILE sizes (``ds.size_bytes()`` would run the plan).  Derived lazy
+    datasets (map_batches output) report no input files -> ``None``
+    (unknown), so a caller that wants a small derived dim broadcast should
+    ``materialize()`` it first."""
     import os
+    if isinstance(ds, rd.dataset.MaterializedDataset):
+        try:
+            sz = ds.size_bytes()
+            if sz is not None:
+                return sz
+        except Exception:
+            pass
     try:
         files = ds.input_files()
     except Exception:

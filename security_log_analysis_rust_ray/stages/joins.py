@@ -9,8 +9,10 @@ the dim's estimated bytes against a byte threshold from the unified Config
 shipped once with ray.put, probed per batch with an Arrow ``index_in`` +
 ``take`` (zero pandas round-trips, and both paths emit the SAME Arrow
 schema — the old pandas merge coerced unmatched int dims to float64 NaN).
-Large side: Ray Data's partitioned hash join — both sides shuffle on the
-key, nothing lands on the driver.  The reference's J1/J2 broadcast-lookup
+Large side: a partitioned hash join expressed as a tagged-union probe
+(``_hash_lookup_join``) — both sides shuffle on the key, nothing lands on
+the driver, and (unlike Ray 2.49's JoinOperator) empty hash partitions
+cannot crash schema resolution.  The reference's J1/J2 broadcast-lookup
 shape is /root/reference/src/polars_analysis.rs:96-107.
 
 ``semi_join`` / ``anti_join`` gate their broadcast on the key set's
@@ -63,35 +65,116 @@ def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
         ref = ray.put((keys, payload))
         inner = how == "inner"
 
-        class Attach:
-            def __init__(self):
-                self.keys, self.payload = ray.get(ref)
-                self._cast_for: pa.DataType | None = None
+        # plain TASK pool, deliberately not an actor pool: ray.get of a
+        # plasma-resident Arrow table is a zero-copy mmap after the first
+        # fetch per node, while an actor pool's min-1 CPU reservation makes
+        # join chains non-composable — three broadcast probes plus one hash
+        # exchange reserve a whole 4-CPU session and the 1-CPU shuffle
+        # tasks starve forever (observed: TPC-H Q5 deadlock at 4 CPUs)
+        def attach(b: pa.Table) -> pa.Table:
+            keys, payload = ray.get(ref)
+            probe = b[fact_key].combine_chunks() \
+                if isinstance(b[fact_key], pa.ChunkedArray) else b[fact_key]
+            if keys.type != probe.type:
+                keys = keys.cast(probe.type)
+            idx = pc.index_in(probe, value_set=keys)
+            if inner:
+                valid = pc.is_valid(idx)
+                b = b.filter(valid)
+                idx = idx.filter(valid)
+            # take with null indices yields null payload rows (left join)
+            taken = payload.take(idx)
+            for name in taken.column_names:
+                b = b.append_column(name, taken[name])
+            return b
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                probe = b[fact_key].combine_chunks() \
-                    if isinstance(b[fact_key], pa.ChunkedArray) else b[fact_key]
-                keys = self.keys
-                if keys.type != probe.type:
-                    if self._cast_for != probe.type:
-                        self.keys = keys = keys.cast(probe.type)
-                        self._cast_for = probe.type
-                idx = pc.index_in(probe, value_set=keys)
-                if inner:
-                    valid = pc.is_valid(idx)
-                    b = b.filter(valid)
-                    idx = idx.filter(valid)
-                # take with null indices yields null payload rows (left join)
-                taken = self.payload.take(idx)
-                for name in taken.column_names:
-                    b = b.append_column(name, taken[name])
-                return b
+        return fact.map_batches(attach, batch_format="pyarrow")
+    return _hash_lookup_join(fact, dim, fact_key, dim_key, nparts, how)
 
-        return fact.map_batches(Attach, batch_format="pyarrow",
-                                concurrency=(1, 8))
-    join_type = "inner" if how == "inner" else "left_outer"
-    return fact.join(dim, join_type, nparts,
-                     on=(fact_key,), right_on=(dim_key,))
+
+_DIM_PREFIX = "__slar_dim__"
+
+
+def _hash_lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
+                      dim_key: str, nparts: int, how: str) -> rd.Dataset:
+    """Partitioned hash path of ``lookup_join``: tag both sides, rename the
+    dim key to the fact key and prefix its payload columns, hash-repartition
+    the UNION on the key, then one vectorized ``index_in``/``take`` probe
+    per block (same mechanism as ``_shuffled_membership``).
+
+    Deliberately NOT ``Dataset.join``: Ray 2.49's JoinOperator fails Arrow
+    schema resolution whenever ANY hash partition is empty on one side
+    ("No match ... for FieldRef" — join.py:104-126 builds each side with a
+    bare ArrowBlockBuilder), which a small or skewed dim hits immediately.
+    Here an all-fact partition just probes an empty dim (left -> nulls,
+    inner -> dropped).  Every output block is normalized to ONE schema
+    (fact schema + null-able dim payload), so empty partitions cannot leak
+    schema drift downstream.  Null dim keys are dropped from the probe side
+    (SQL: NULL never equals NULL in a join)."""
+    import numpy as np
+    from .dedup import _use_hash_shuffle
+
+    fact_schema = fact.schema().base_schema
+    dim_schema = dim.schema().base_schema
+    payload_fields = [f for f in dim_schema if f.name != dim_key]
+    out_schema = pa.schema(
+        list(fact_schema)
+        + [pa.field(f.name, f.type) for f in payload_fields])
+    inner = how == "inner"
+
+    def tag_fact(t: pa.Table) -> pa.Table:
+        assert _MARKER not in t.schema.names, _MARKER
+        return t.append_column(
+            _MARKER, pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_dim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[dim_key]))
+        names = [fact_key if c == dim_key else _DIM_PREFIX + c
+                 for c in t.column_names]
+        return t.rename_columns(names).append_column(
+            _MARKER, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    uni = fact.map_batches(tag_fact, batch_format="pyarrow",
+                           batch_size=None) \
+        .union(dim.map_batches(tag_dim, batch_format="pyarrow",
+                               batch_size=None))
+    parts = _use_hash_shuffle(uni, nparts).repartition(
+        num_blocks=nparts, keys=[fact_key])
+
+    def probe(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pylist([], schema=out_schema)
+        if t.num_columns == 0 or t.num_rows == 0 \
+                or _MARKER not in t.schema.names:
+            return empty
+        is_dim = pc.fill_null(pc.equal(t[_MARKER], 1), False)
+        fact_rows = t.filter(pc.invert(is_dim))
+        if fact_rows.num_rows == 0:
+            return empty
+        dim_rows = t.filter(is_dim)
+        keys = dim_rows[fact_key].combine_chunks() \
+            if dim_rows.num_rows else None
+        probe_col = fact_rows[fact_key]
+        if keys is not None and len(keys):
+            idx = pc.index_in(probe_col, value_set=keys)
+        else:
+            idx = pa.nulls(fact_rows.num_rows, pa.int32())
+        if inner:
+            valid = pc.is_valid(idx)
+            fact_rows = fact_rows.filter(valid)
+            idx = idx.filter(valid)
+        cols = [fact_rows[f.name].combine_chunks()
+                if isinstance(fact_rows[f.name], pa.ChunkedArray)
+                else fact_rows[f.name]
+                for f in fact_schema]
+        for f in payload_fields:
+            pref = _DIM_PREFIX + f.name
+            if pref in t.schema.names and dim_rows.num_rows:
+                cols.append(dim_rows[pref].combine_chunks().take(idx))
+            else:
+                cols.append(pa.nulls(fact_rows.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return parts.map_batches(probe, batch_format="pyarrow", batch_size=None)
 
 
 def _distinct_probe_keys(keys_ds: rd.Dataset, key_col: str, fact_key: str,
@@ -195,17 +278,13 @@ def semi_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
     if arr is not None:
         ref = ray.put(arr)
 
-        class Semi:
-            def __init__(self):
-                self.keys = ray.get(ref)
+        def semi(b: pa.Table) -> pa.Table:   # task pool (see lookup_join)
+            mask = pc.fill_null(
+                pc.is_in(b[fact_key], value_set=ray.get(ref)), False)
+            return b.filter(mask)
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                mask = pc.fill_null(
-                    pc.is_in(b[fact_key], value_set=self.keys), False)
-                return b.filter(mask)
-
-        return fact.map_batches(Semi, batch_format="pyarrow",
-                                batch_size=None, concurrency=(1, 8))
+        return fact.map_batches(semi, batch_format="pyarrow",
+                                batch_size=None)
     return _shuffled_membership(fact, keys, fact_key, nparts,
                                 keep_members=True)
 
@@ -224,16 +303,12 @@ def anti_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
     if arr is not None:
         ref = ray.put(arr)
 
-        class Anti:
-            def __init__(self):
-                self.keys = ray.get(ref)
+        def anti(b: pa.Table) -> pa.Table:   # task pool (see lookup_join)
+            mask = pc.fill_null(
+                pc.is_in(b[fact_key], value_set=ray.get(ref)), False)
+            return b.filter(pc.invert(mask))
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                mask = pc.fill_null(
-                    pc.is_in(b[fact_key], value_set=self.keys), False)
-                return b.filter(pc.invert(mask))
-
-        return fact.map_batches(Anti, batch_format="pyarrow",
-                                batch_size=None, concurrency=(1, 8))
+        return fact.map_batches(anti, batch_format="pyarrow",
+                                batch_size=None)
     return _shuffled_membership(fact, keys, fact_key, nparts,
                                 keep_members=False)
