@@ -273,13 +273,17 @@ def _jaccard_filter(co: rd.Dataset, sizes: rd.Dataset, threshold: float,
                     nparts: int) -> rd.Dataset:
     """(a, b, co) x per-doc set sizes -> (a, b, jaccard >= threshold).
 
-    Sizes attach via two PARTITIONED hash joins on the doc id (never a
-    driver-side dict of the corpus — VERDICT r01 #1): both sides shuffle on
-    the same key, so a and b rows co-locate with their size rows."""
-    co2 = co.join(_rename(sizes, ["doc_id", "sz_a"]), "inner", nparts,
-                  on=("a",), right_on=("doc_id",))
-    co3 = co2.join(_rename(sizes, ["doc_id", "sz_b"]), "inner", nparts,
-                   on=("b",), right_on=("doc_id",))
+    Sizes attach via two size-aware ``lookup_join``s on the doc id (never a
+    driver-side dict of the corpus — VERDICT r01 #1): ``sizes`` arrives
+    MATERIALIZED, so while its exact block bytes fit the broadcast budget
+    the attach is a per-batch Arrow probe with no shuffle at all, and past
+    the budget both sides hash-partition on the same key.  (Also sidesteps
+    Ray 2.49's JoinOperator empty-partition schema crash — joins.py.)"""
+    from ..stages.joins import lookup_join
+    co2 = lookup_join(co, sizes, "a", "doc_id", nparts=nparts,
+                      how="inner", rename={"sz": "sz_a"})
+    co3 = lookup_join(co2, sizes, "b", "doc_id", nparts=nparts,
+                      how="inner", rename={"sz": "sz_b"})
 
     def jac(b: pa.Table) -> pa.Table:
         co_ = b["co"].to_numpy().astype(np.float64)
@@ -681,7 +685,11 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     df = agg.grouped_count(tf, ["term"], alias="df",
                            high_cardinality=True).materialize()
 
-    scored = tf.join(df, "inner", nparts, on=("term",))
+    # df is unique per term and MATERIALIZED: the size-aware lookup_join
+    # broadcasts it while the vocab fits the byte budget (no term shuffle
+    # for the scoring attach) and hash-partitions both sides beyond it
+    from ..stages.joins import lookup_join
+    scored = lookup_join(tf, df, "term", "term", nparts=nparts, how="inner")
     rep = _use_hash_shuffle(scored, nparts).repartition(
         num_blocks=nparts, keys=["doc_id"])
 

@@ -27,11 +27,6 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 
-def _rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
-    return ds.map_batches(lambda t, n=tuple(names): t.rename_columns(list(n)),
-                          batch_format="pyarrow", batch_size=None)
-
-
 CC_LOCAL_MAX_EDGES = 5_000_000  # one task's worth of edge arrays (~80 MB)
 
 
@@ -104,10 +99,16 @@ def connected_components(edges: rd.Dataset, src: str = "a", dst: str = "b",
     if labels.count() == 0:
         return labels
 
+    # labels are unique per node, so every per-round join is a dim-unique
+    # lookup: the size-aware lookup_join broadcasts the label table while
+    # it fits the byte budget and hash-partitions both sides beyond it
+    # (also sidesteps Ray 2.49's JoinOperator empty-partition crash)
+    from .joins import lookup_join
+
     for _ in range(max_rounds):
         # neighbor-min: every dst's label flows to its src
-        nbr = both.join(labels, "inner", nparts,
-                        on=("y",), right_on=("node",))
+        nbr = lookup_join(both, labels, "y", "node",
+                          nparts=nparts, how="inner")
         nbr = nbr.map_batches(
             lambda t: pa.table({"node": t["x"], "label": t["label"]}),
             batch_format="pyarrow", batch_size=None)
@@ -116,13 +117,13 @@ def connected_components(edges: rd.Dataset, src: str = "a", dst: str = "b",
         # pointer jump: label <- label(label) (labels are node ids, so the
         # lookup is a self-join; every label exists as a node by induction;
         # materialized first so the self-join doesn't re-execute the plan)
-        new = new.join(_rename(new, ["jnode", "jlabel"]), "inner", nparts,
-                       on=("label",), right_on=("jnode",))
+        new = lookup_join(new, new, "label", "node", nparts=nparts,
+                          how="inner", rename={"label": "jlabel"})
         new = new.map_batches(
             lambda t: pa.table({"node": t["node"], "label": t["jlabel"]}),
             batch_format="pyarrow", batch_size=None).materialize()
-        changed = new.join(_rename(labels, ["node", "old"]), "inner", nparts,
-                           on=("node",), right_on=("node",))
+        changed = lookup_join(new, labels, "node", "node", nparts=nparts,
+                              how="inner", rename={"label": "old"})
         n_changed = changed.map_batches(
             lambda t: t.filter(pa.compute.not_equal(t["label"], t["old"])),
             batch_format="pyarrow", batch_size=None).count()

@@ -48,20 +48,28 @@ def _collect_table(ds: rd.Dataset) -> pa.Table:
 
 def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
                 dim_key: str, nparts: int = 8, how: str = "inner",
-                broadcast_max_bytes: int | None = None) -> rd.Dataset:
+                broadcast_max_bytes: int | None = None,
+                rename: dict[str, str] | None = None) -> rd.Dataset:
     """Attach ``dim``'s non-key columns to ``fact`` rows on
     ``fact_key == dim_key``.  ``how`` in {"inner", "left"}.  The output
     drops the dim key column (like Ray's join does), keeping the fact key.
     Assumes ``dim_key`` is unique in ``dim`` (it is a dim lookup); with
     duplicate dim keys use the hash path (``broadcast_max_bytes=0``).
+    ``rename`` maps dim payload column names to output names INSIDE the
+    join (a caller-side map_batches rename would turn a MATERIALIZED dim
+    lazy again and blind the broadcast size gate).
     """
     limit = get_config().broadcast_max_bytes if broadcast_max_bytes is None \
         else broadcast_max_bytes
+    rename = rename or {}
     est = _estimate_bytes(dim)
     if est is not None and est <= limit:
         dim_tbl = _collect_table(dim).combine_chunks()
         keys = dim_tbl[dim_key].combine_chunks()
         payload = dim_tbl.drop_columns([dim_key])
+        if rename:
+            payload = payload.rename_columns(
+                [rename.get(c, c) for c in payload.column_names])
         ref = ray.put((keys, payload))
         inner = how == "inner"
 
@@ -89,14 +97,16 @@ def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
             return b
 
         return fact.map_batches(attach, batch_format="pyarrow")
-    return _hash_lookup_join(fact, dim, fact_key, dim_key, nparts, how)
+    return _hash_lookup_join(fact, dim, fact_key, dim_key, nparts, how,
+                             rename)
 
 
 _DIM_PREFIX = "__slar_dim__"
 
 
 def _hash_lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
-                      dim_key: str, nparts: int, how: str) -> rd.Dataset:
+                      dim_key: str, nparts: int, how: str,
+                      rename: dict[str, str] | None = None) -> rd.Dataset:
     """Partitioned hash path of ``lookup_join``: tag both sides, rename the
     dim key to the fact key and prefix its payload columns, hash-repartition
     the UNION on the key, then one vectorized ``index_in``/``take`` probe
@@ -114,9 +124,11 @@ def _hash_lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
     import numpy as np
     from .dedup import _use_hash_shuffle
 
+    rename = rename or {}
     fact_schema = fact.schema().base_schema
     dim_schema = dim.schema().base_schema
-    payload_fields = [f for f in dim_schema if f.name != dim_key]
+    payload_fields = [pa.field(rename.get(f.name, f.name), f.type)
+                      for f in dim_schema if f.name != dim_key]
     out_schema = pa.schema(
         list(fact_schema)
         + [pa.field(f.name, f.type) for f in payload_fields])
@@ -129,7 +141,8 @@ def _hash_lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
 
     def tag_dim(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[dim_key]))
-        names = [fact_key if c == dim_key else _DIM_PREFIX + c
+        names = [fact_key if c == dim_key
+                 else _DIM_PREFIX + rename.get(c, c)
                  for c in t.column_names]
         return t.rename_columns(names).append_column(
             _MARKER, pa.array(np.ones(t.num_rows, dtype=np.int8)))
