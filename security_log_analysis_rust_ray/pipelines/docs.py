@@ -415,7 +415,7 @@ def minhash_pairs(sf_dir: str,
     """
     nparts = _join_parts(sf_dir)
     bands = docs_aug_ds(sf_dir).map_batches(
-        MinHashActor, batch_format="pyarrow", concurrency=(1, 8))
+        MinHashActor, batch_format="pyarrow", concurrency=(1, 16))
 
     cands = _group_pairs(bands, ["band", "band_hash"], nparts)
     # distinct candidate pairs (same pair can collide in several bands);
@@ -440,10 +440,18 @@ def minhash_pairs(sf_dir: str,
     sizes = agg.grouped_count(sh, ["doc_id"], alias="sz").materialize()
 
     # candidate pair x a-side shingles (join on a), then keep only shingle
-    # hashes the b side also has (join on b AND h) -> intersection rows
-    with_a = cands.join(sh, "inner", nparts, on=("a",), right_on=("doc_id",))
-    inter = with_a.join(_rename(sh, ["b_doc", "h"]), "inner", nparts,
-                        on=("b", "h"), right_on=("b_doc", "h"))
+    # hashes the b side also has (join on b AND h) -> intersection rows.
+    # Both joins are m:n (a pair's doc appears once per shingle) through
+    # the size-aware hash_join: the pruned shingle stream usually fits the
+    # broadcast budget (candidates are a small corpus fraction), making
+    # each a local Acero join with NO shuffle; past the budget both sides
+    # hash-partition.  Also removes the last Ray 2.49 JoinOperator
+    # empty-partition crash risk from the repo.
+    from ..stages.joins import hash_join
+    with_a = hash_join(cands, sh, on=("a",), right_on=("doc_id",),
+                       nparts=nparts)
+    inter = hash_join(with_a, sh, on=("b", "h"), right_on=("doc_id", "h"),
+                      nparts=nparts)
     co = agg.grouped_count(inter, ["a", "b"], alias="co").materialize()
     return _jaccard_filter(co, sizes, threshold, nparts)
 

@@ -190,6 +190,137 @@ def _hash_lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
     return parts.map_batches(probe, batch_format="pyarrow", batch_size=None)
 
 
+def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    """``ds.schema().base_schema`` as a ``pa.Schema`` even when the dataset
+    is pandas-backed (``from_pandas`` yields a PandasBlockSchema)."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return sch
+    import numpy as np
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if t is None or t == np.dtype("O"):
+            fields.append(pa.field(n, pa.string()))
+        else:
+            fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+    return pa.schema(fields)
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
+              nparts: int = 8, how: str = "inner",
+              rename: dict[str, str] | None = None,
+              broadcast_max_bytes: int | None = None) -> rd.Dataset:
+    """General m:n equi-join (duplicate keys allowed on BOTH sides, unlike
+    ``lookup_join``'s dim-unique contract), size-aware like the other joins:
+
+    - right side under the Config byte budget: collected once, shipped with
+      ``ray.put``, and every left batch runs a LOCAL ``pa.Table.join``
+      (Acero) against it — no shuffle at all.
+    - otherwise: tag both sides, hash-repartition the UNION on the key
+      (one all-to-all exchange), then a LOCAL ``pa.Table.join`` per
+      partition.  Deliberately NOT ``Dataset.join`` — Ray 2.49's
+      JoinOperator crashes schema resolution when any hash partition is
+      empty on one side; here an all-left partition just joins an empty
+      (schema-complete) right table.
+
+    ``on`` / ``right_on`` are column-name tuples (composite keys fine).
+    Output = left columns + right's non-key columns (``rename`` maps right
+    payload names); right key columns are dropped.  ``how`` in
+    {"inner", "left"}.  Null keys never match (SQL semantics); with
+    ``how="left"`` null-key left rows survive with null payload."""
+    import numpy as np
+    from .dedup import _use_hash_shuffle
+
+    on = tuple(on)
+    right_on = tuple(right_on) if right_on is not None else on
+    assert how in ("inner", "left"), how
+    assert len(on) == len(right_on)
+    rename = rename or {}
+    join_type = "inner" if how == "inner" else "left outer"
+    limit = get_config().broadcast_max_bytes if broadcast_max_bytes is None \
+        else broadcast_max_bytes
+
+    left_schema = _arrow_schema(left)
+    right_schema = _arrow_schema(right)
+    key_types = {k: left_schema.field(k).type for k in on}
+    payload_fields = [pa.field(rename.get(f.name, f.name), f.type)
+                      for f in right_schema if f.name not in right_on]
+    overlap = {f.name for f in payload_fields} & set(left_schema.names)
+    assert not overlap, f"column collision {overlap}: pass rename="
+    out_schema = pa.schema(list(left_schema) + payload_fields)
+
+    def _right_names(cols) -> list[str]:
+        # right keys take the LEFT key names; payload gets its output name
+        return [on[right_on.index(c)] if c in right_on else rename.get(c, c)
+                for c in cols]
+
+    def _cast_keys(t: pa.Table) -> pa.Table:
+        # pre-cast right keys to the left key types so neither the union's
+        # schema promotion nor Acero's key matching sees mixed types
+        for k in on:
+            f = t.schema.field(k)
+            if f.type != key_types[k]:
+                t = t.set_column(t.schema.get_field_index(k), k,
+                                 t[k].cast(key_types[k]))
+        return t
+
+    def _local_join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        out = lt.join(rt, keys=list(on), join_type=join_type)
+        return out.select(out_schema.names).cast(out_schema)
+
+    est = _estimate_bytes(right)
+    if est is not None and est <= limit:
+        rt = _collect_table(right).combine_chunks()
+        rt = _cast_keys(rt.rename_columns(_right_names(rt.column_names)))
+        ref = ray.put(rt)
+
+        def attach(b: pa.Table) -> pa.Table:   # task pool (see lookup_join)
+            return _local_join(b, ray.get(ref))
+
+        return left.map_batches(attach, batch_format="pyarrow")
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        assert _MARKER not in t.schema.names, _MARKER
+        return t.append_column(
+            _MARKER, pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = _cast_keys(t.rename_columns(_right_names(t.column_names)))
+        for k in on:                      # null keys never match: drop early
+            t = t.filter(pc.is_valid(t[k]))
+        names = [c if c in on else _DIM_PREFIX + c for c in t.column_names]
+        return t.rename_columns(names).append_column(
+            _MARKER, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    uni = left.map_batches(tag_left, batch_format="pyarrow",
+                           batch_size=None) \
+        .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                 batch_size=None))
+    parts = _use_hash_shuffle(uni, nparts).repartition(
+        num_blocks=nparts, keys=list(on))
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0 \
+                or _MARKER not in t.schema.names:
+            return out_schema.empty_table()
+        is_right = pc.fill_null(pc.equal(t[_MARKER], 1), False)
+        left_rows = t.filter(pc.invert(is_right))
+        if left_rows.num_rows == 0:
+            return out_schema.empty_table()
+        lt = pa.table(
+            {f.name: left_rows[f.name].cast(f.type) for f in left_schema})
+        right_rows = t.filter(is_right)
+        rcols = {k: right_rows[k] for k in on}
+        for f in payload_fields:
+            pref = _DIM_PREFIX + f.name
+            rcols[f.name] = right_rows[pref].cast(f.type) \
+                if pref in t.schema.names \
+                else pa.nulls(right_rows.num_rows, f.type)
+        return _local_join(lt, pa.table(rcols))
+
+    return parts.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
 def _distinct_probe_keys(keys_ds: rd.Dataset, key_col: str, fact_key: str,
                          limit: int) -> tuple[rd.Dataset, pa.Array | None]:
     """Distinct ``key_col`` values; if the materialized distinct set fits

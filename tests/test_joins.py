@@ -226,3 +226,73 @@ def test_hash_join_empty_dim_left_keeps_payload_schema(tmp_path):
                       nparts=8, how="left", broadcast_max_bytes=0).to_pandas()
     assert len(out) == len(fact)
     assert "name" in out.columns and out["name"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("path", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_mn_hash_join_matches_pandas(tmp_path, path, how):
+    """General m:n hash_join (duplicate keys BOTH sides, null keys) vs a
+    pandas merge oracle, on both the broadcast and partitioned paths."""
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import hash_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "a": rng.randint(0, 40, size=500).astype("float64"),
+        "lv": np.arange(500)})
+    left.loc[::50, "a"] = np.nan                    # null left keys
+    right = pd.DataFrame({
+        "k": rng.randint(0, 50, size=300).astype("float64"),
+        "rv": np.arange(300) * 10})
+    right.loc[::40, "k"] = np.nan                   # null right keys
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    pq.write_table(pa.Table.from_pandas(left), str(ldir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(right), str(rdir / "p.parquet"))
+
+    bmax = None if path == "broadcast" else 0
+    out = hash_join(rd.read_parquet(ldir), rd.read_parquet(rdir),
+                    on=("a",), right_on=("k",), how=how, nparts=6,
+                    broadcast_max_bytes=bmax).to_pandas()
+    exp = left.merge(right.dropna(subset=["k"]), how=how,
+                     left_on="a", right_on="k")[["a", "lv", "rv"]]
+    if how == "inner":
+        exp = exp.dropna(subset=["a"])
+
+    def canon(df):
+        return df[["a", "lv", "rv"]] \
+            .sort_values(["a", "lv", "rv"], na_position="last") \
+            .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(out), canon(exp), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mn_hash_join_composite_key_rename_and_empty_parts(tmp_path):
+    """Composite-key m:n join with payload rename; nparts far above the
+    distinct key count so several hash partitions are one-sided or empty
+    (the Ray 2.49 JoinOperator crash shape)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"x": [1, 1, 2, 3], "h": [7, 8, 7, 9],
+                         "p": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"doc": [1, 1, 2, 9, 3], "h": [7, 7, 9, 7, 9],
+                          "w": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    pq.write_table(pa.Table.from_pandas(left), str(ldir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(right), str(rdir / "p.parquet"))
+
+    for bmax in (None, 0):
+        out = hash_join(rd.read_parquet(ldir), rd.read_parquet(rdir),
+                        on=("x", "h"), right_on=("doc", "h"),
+                        rename={"w": "wt"}, nparts=16,
+                        broadcast_max_bytes=bmax).to_pandas()
+        got = out.sort_values(list(out.columns)).reset_index(drop=True)
+        exp = pd.DataFrame({"x": [1, 1, 3], "h": [7, 7, 9],
+                            "p": ["a", "a", "d"], "wt": [1.0, 2.0, 5.0]})
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
