@@ -1,0 +1,120 @@
+"""Local correctness sweep: run EVERY ``queries()`` entry against its
+``oracle_sql()`` DuckDB statement (same compare the grading driver uses:
+column-name-sorted values, datetimes normalized to microseconds) and write
+one JSON report.
+
+The driver's own gate covers the first ~50 ``queries()`` entries; this
+sweep is the in-repo evidence for the full surface (63 queries as of r03),
+runnable any time:
+
+    python tools/parity_sweep.py [--sf-dir /root/testdata/sf0.01] \
+        [--out CORRECTNESS_LOCAL.json] [query ...]
+
+Exit code 1 if any query fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    import pandas as pd
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), na_position="last") \
+             .reset_index(drop=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("names", nargs="*", help="optional subset of queries")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as mod
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{args.sf_dir}/{t}.parquet')")
+
+    report, n_fail = {}, 0
+    for name, fn in qs.items():
+        if args.names and name not in args.names:
+            continue
+        t0 = time.time()
+        row = {"oracle": name in osql}
+        try:
+            res = fn(args.sf_dir)
+            got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            row["rows"] = len(got)
+            if name in osql:
+                exp = con.execute(osql[name]).df()
+                g, e = canon(got), canon(exp)
+                row["rows_match"] = len(g) == len(e)
+                row["schema_match"] = list(g.columns) == list(e.columns)
+                # the driver hashes VALUES: int 38 vs float 38.0 mismatches
+                # even when numerically equal, so flag dtype-KIND drift
+                for c in (set(g.columns) & set(e.columns)):
+                    gk, ek = g[c].dtype.kind, e[c].dtype.kind
+                    if {gk, ek} <= {"i", "u", "f"} and (gk == "f") != (ek == "f"):
+                        raise AssertionError(
+                            f"dtype-kind drift col {c}: {g[c].dtype} vs {e[c].dtype}")
+                pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                              rtol=1e-9, atol=1e-9)
+                row["values_match"] = True
+                status = "ORACLE-OK"
+            else:
+                status = "rows-only"
+            row["err"] = None
+        except Exception as exc:  # noqa: BLE001 — report, don't abort sweep
+            row["err"] = f"{type(exc).__name__}: {exc}"[:500]
+            status = "FAIL"
+            n_fail += 1
+        row["sec"] = round(time.time() - t0, 2)
+        report[name] = row
+        print(f"{name}: {status} {row.get('rows', '-')} rows {row['sec']}s",
+              flush=True)
+
+    n_oracle = sum(1 for r in report.values() if r["oracle"] and not r["err"])
+    summary = {"sf_dir": args.sf_dir, "queries": len(report),
+               "oracle_ok": n_oracle,
+               "rows_only": sum(1 for r in report.values()
+                                if not r["oracle"] and not r["err"]),
+               "failures": n_fail}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"summary": summary, "results": report}, f, indent=1)
+    ray.shutdown()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
