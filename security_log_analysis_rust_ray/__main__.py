@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--sf-dir", required=True)
     sa.add_argument("--state", required=True)
 
+    sv = sub.add_parser("serve", help="HTTP serving layer: the reference's "
+                                      "11 /security_log routes (loopback)")
+    sv.add_argument("--sf-dir", required=True)
+    sv.add_argument("--state-dir", required=True)
+    sv.add_argument("--port", type=int, default=0)
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -132,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.sync import run_sync
             plan = run_sync(a.local, a.remote)
             print(json.dumps({i.key: i.action for i in plan}))
+        elif a.cmd == "serve":
+            from .serve import run_server
+            run_server(a.sf_dir, a.state_dir, a.port)
         elif a.cmd == "alert":
             from .pipelines.streaming import run_alert_cycle
             flushed = run_alert_cycle(a.sf_dir, a.state)
