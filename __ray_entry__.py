@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_stats": D.doc_pack_stats,          # invariant oracle
         "media_frame_stats": M.media_frame_stats,    # invariant oracle
         "media_stats": M.media_stats,                # r02-passed, unchanged
+        "doc_incremental_dedup": D.doc_incremental_dedup,  # oracle (sweep)
+        "doc_length_quantiles": D.doc_length_quantiles,    # oracle (sweep)
         "approx_distinct_terms": D.approx_distinct_terms,  # rows-only (HLL)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
@@ -210,6 +212,17 @@ def oracle_sql() -> dict[str, str]:
     )
     out["doc_exact_dedup"] = docs_only + (
         "SELECT min(doc_id) AS doc_id, text FROM docs_aug GROUP BY text")
+    out["doc_incremental_dedup"] = docs_only + (
+        "SELECT d.doc_id, d.text FROM docs_aug d WHERE d.doc_id % 2 = 1"
+        " AND NOT EXISTS (SELECT 1 FROM docs_aug p"
+        " WHERE p.doc_id % 2 = 0 AND p.text = d.text)")
+    out["doc_length_quantiles"] = docs_pre + (
+        "lens AS (SELECT CAST(len(str_split(text, ' ')) AS BIGINT)"
+        " AS n_tokens FROM docs_aug)\n"
+        + " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q,"
+            f" quantile_disc(n_tokens, {q}) AS n_tokens FROM lens"
+            for q in (0.25, 0.5, 0.9, 0.99)))
     out["doc_token_stats"] = docs_pre + token_cte + (
         "SELECT doc_id, n_tokens, n_chars, stop_cnt, stop_ratio FROM stats2")
     out["doc_quality"] = docs_pre + token_cte + (

@@ -799,6 +799,64 @@ def doc_winnow_fingerprints(sf_dir: str, w: int = WINNOW_W) -> rd.Dataset:
                                            batch_size=4096)
 
 
+def doc_incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """Incremental (snapshot-vs-snapshot) exact dedup — the nightly-crawl
+    shape: drop NEW docs whose content already exists in the PRIOR corpus
+    snapshot, keep the rest.  Deterministic split of the augmented corpus:
+    prior = even doc_id, new = odd.
+
+    The membership test is the size-aware ``anti_join`` on the content key:
+    the prior snapshot's distinct keys broadcast while they fit the Config
+    byte budget and flip to the tagged-union partitioned probe beyond it —
+    at 100 TB you would key on the pinned content fingerprint
+    (``doc_fingerprints``) instead of raw text, same plan shape with
+    8-byte keys."""
+    from ..stages.joins import anti_join
+
+    def side(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            m = np.mod(b["doc_id"].to_numpy(), 2) == parity
+            return b.filter(pa.array(m))
+        return f
+
+    base = docs_aug_ds(sf_dir)
+    new = base.map_batches(side(1), batch_format="pyarrow", batch_size=None)
+    prior = base.map_batches(side(0), batch_format="pyarrow",
+                             batch_size=None) \
+        .map_batches(lambda b: b.select(["text"]),
+                     batch_format="pyarrow", batch_size=None)
+    return anti_join(new, prior, "text", "text",
+                     nparts=_join_parts(sf_dir))
+
+
+def doc_length_quantiles(sf_dir: str,
+                         qs: tuple = (0.25, 0.5, 0.9, 0.99)) -> rd.Dataset:
+    """EXACT distributed quantiles of per-doc token counts via the
+    value-histogram plan: vectorized per-doc lengths -> distributed
+    grouped count on the length VALUE (domain bounded by max doc length,
+    so the histogram is tiny regardless of corpus size) -> cumulative walk
+    over the sorted histogram driver-side.  ``quantile_disc`` semantics
+    (smallest value with 1-based rank >= ceil(q*n)) shared with the
+    DuckDB oracle — no sample, no sort of the corpus."""
+    def lens(b: pa.Table) -> pa.Table:
+        nt = pc.add(pc.count_substring(b["text"], " "), 1)
+        return pa.table({"n_tokens": pc.cast(nt, pa.int64())})
+
+    hist = agg.grouped_count(
+        docs_aug_ds(sf_dir).map_batches(lens, batch_format="pyarrow",
+                                        batch_size=None),
+        ["n_tokens"], alias="cnt").to_pandas() \
+        .sort_values("n_tokens").reset_index(drop=True)
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    rows = []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)), 1)
+        val = int(hist.loc[cum >= rank, "n_tokens"].iloc[0])
+        rows.append({"q": q, "n_tokens": val})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """Content fingerprint per doc (vectorized stable 64-bit hash of the
     text + token count) — the lineage/dedup id analog of the reference's

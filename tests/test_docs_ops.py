@@ -126,3 +126,49 @@ def test_winnow_fingerprints_properties():
         a, b = sets[i], sets[i + 2_000_000]
         overlaps.append(len(a & b) / max(1, len(a | b)))
     assert np.mean(overlaps) > 0.6, f"near-dup winnow overlap {np.mean(overlaps)}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_vs_duckdb():
+    """Snapshot dedup (new-vs-prior anti-join on content) against the
+    NOT EXISTS oracle, on both anti_join paths (broadcast + shuffled)."""
+    import duckdb
+    import os
+    exp = None
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/documents.parquet')")
+    import __ray_entry__ as mod
+    exp = con.execute(mod.oracle_sql()["doc_incremental_dedup"]).df() \
+        .sort_values(["doc_id"]).reset_index(drop=True)
+    for budget in (None, "0"):
+        if budget is None:
+            os.environ.pop("SLAR_SEMI_BROADCAST_MAX_BYTES", None)
+        else:
+            os.environ["SLAR_SEMI_BROADCAST_MAX_BYTES"] = budget
+        try:
+            from security_log_analysis_rust_ray import config as C
+            C.set_config(None)
+            got = D.doc_incremental_dedup(SF_SMOKE).to_pandas() \
+                .sort_values(["doc_id"]).reset_index(drop=True)
+            assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+            assert got["text"].tolist() == exp["text"].tolist()
+        finally:
+            os.environ.pop("SLAR_SEMI_BROADCAST_MAX_BYTES", None)
+            from security_log_analysis_rust_ray import config as C
+            C.set_config(None)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_quantiles_exact_vs_duckdb():
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/documents.parquet')")
+    import __ray_entry__ as mod
+    exp = con.execute(mod.oracle_sql()["doc_length_quantiles"]).df() \
+        .sort_values("q").reset_index(drop=True)
+    got = D.doc_length_quantiles(SF_SMOKE).to_pandas() \
+        .sort_values("q").reset_index(drop=True)
+    assert got["q"].tolist() == exp["q"].tolist()
+    assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
