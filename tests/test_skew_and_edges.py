@@ -212,3 +212,30 @@ def test_hot_ivf_bucket_guard(tmp_path):
     cold = {60, 61, 62, 63}
     got_ids = set(guarded["a"]) | set(guarded["b"])
     assert cold & got_ids, "small buckets must still emit pairs"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mn_hash_join_hot_key_skew():
+    """One key owns ~all rows on BOTH sides of an m:n hash_join (the
+    worst-case partition: a near-cross-product lands in one task).  The
+    join must complete and match pandas exactly on both paths."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import hash_join
+
+    n = 2000
+    left = pd.DataFrame({"k": [7] * n + [1, 2, 3],
+                         "lv": list(range(n + 3))})
+    right = pd.DataFrame({"k": [7] * 50 + [2, 9],
+                          "rv": list(range(52))})
+    exp = left.merge(right, on="k")          # 100k hot rows + 1
+    for bmax in (None, 0):
+        out = hash_join(rd.from_pandas(left).repartition(8),
+                        rd.from_pandas(right).repartition(4),
+                        on=("k",), nparts=8,
+                        broadcast_max_bytes=bmax).to_pandas()
+        assert len(out) == len(exp)
+        g = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        e = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)
