@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--state-dir", required=True)
     sv.add_argument("--port", type=int, default=0)
 
+    sk = sub.add_parser("compact", help="small-file compaction of a "
+                                        "hive-partitioned Parquet sink")
+    sk.add_argument("--root", required=True)
+    sk.add_argument("--target-bytes", type=int, default=128 << 20)
+    sk.add_argument("--dry-run", action="store_true")
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -141,6 +147,16 @@ def main(argv: list[str] | None = None) -> int:
         elif a.cmd == "serve":
             from .serve import run_server
             run_server(a.sf_dir, a.state_dir, a.port)
+        elif a.cmd == "compact":
+            from .sources.compact import compact_sink
+            j = compact_sink(a.root, a.target_bytes, dry_run=a.dry_run)
+            print(json.dumps({
+                "dirs": int(len(j)),
+                "compacted": int((j["action"] != "skip").sum())
+                if len(j) else 0,
+                "files_before": int(j["files_before"].sum()) if len(j) else 0,
+                "files_after": int(j["files_after"].sum()) if len(j) else 0,
+            }))
         elif a.cmd == "alert":
             from .pipelines.streaming import run_alert_cycle
             flushed = run_alert_cycle(a.sf_dir, a.state)
