@@ -354,11 +354,6 @@ def _hashed_shingles_batch(b: pa.Table) -> pa.Table:
                      "h": pa.array(h.view(np.int64))})
 
 
-def hashed_shingles_ds(sf_dir: str) -> rd.Dataset:
-    return docs_aug_ds(sf_dir).map_batches(
-        _hashed_shingles_batch, batch_format="pyarrow")
-
-
 class MinHashActor:
     """Per-doc MinHash signature -> LSH band rows.  Permutation params built
     once per actor (stateful stage).  Fully vectorized (VERDICT r01 #2):
@@ -425,18 +420,23 @@ def minhash_pairs(sf_dir: str,
     from ..stages.joins import semi_join
     cands = distinct_rows(cands, ["a", "b"]).materialize()
 
-    # prune the shingle stream to CANDIDATE docs before the verification
-    # joins — only docs that share an LSH bucket matter, typically a small
-    # fraction of the corpus; the size-aware semi_join broadcasts the id
-    # set while it is small and flips to a left_semi hash join at scale
+    # prune to CANDIDATE docs at the DOC level, BEFORE shingling — only
+    # docs that share an LSH bucket matter (a small corpus fraction), so
+    # filtering docs first means the verification path shingles+hashes
+    # only candidates instead of shingling the whole corpus and discarding
+    # most rows (r03: the old shingle-then-filter order re-paid the full
+    # explode).  The size-aware semi_join broadcasts the id set while it
+    # is small and flips to a left_semi hash join at scale.
     cand_ids = cands.map_batches(
         lambda t: pa.table({"doc_id": t["a"]}),
         batch_format="pyarrow", batch_size=None).union(
         cands.map_batches(
             lambda t: pa.table({"doc_id": t["b"]}),
             batch_format="pyarrow", batch_size=None))
-    sh = semi_join(hashed_shingles_ds(sf_dir), cand_ids, "doc_id", "doc_id",
-                   nparts=nparts).materialize()
+    cand_docs = semi_join(docs_aug_ds(sf_dir), cand_ids, "doc_id", "doc_id",
+                          nparts=nparts)
+    sh = cand_docs.map_batches(_hashed_shingles_batch,
+                               batch_format="pyarrow").materialize()
     sizes = agg.grouped_count(sh, ["doc_id"], alias="sz").materialize()
 
     # candidate pair x a-side shingles (join on a), then keep only shingle
