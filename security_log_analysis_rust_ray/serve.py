@@ -95,9 +95,13 @@ class AppState:
 
     def insert_intrusion_log(self, updates: list[dict]) -> int:
         """Idempotent insert (K1 analog of models.rs ON CONFLICT DO
-        NOTHING): dedup within the payload, then anti-join against the
-        natural keys already served, then append one spool shard."""
+        NOTHING): dedup within the payload, then anti-join the tiny
+        update batch against the corpus's natural keys INSIDE the plan
+        (the corpus streams through the size-aware membership probe; it is
+        never collected to the driver), then append one spool shard."""
+        import ray.data as rd
         from .stages.dedup import NATURAL_KEY
+        from .stages.joins import anti_join
         if not updates:
             return 0
         df = pd.DataFrame(updates)
@@ -109,10 +113,23 @@ class AppState:
                                         format="ISO8601") \
             .dt.tz_localize(None).astype("datetime64[us]")
         df = df.drop_duplicates(NATURAL_KEY)
-        existing = self.intrusion_log_ds().to_pandas()
-        merged = df.merge(existing.drop_duplicates(NATURAL_KEY),
-                          on=NATURAL_KEY, how="left", indicator=True)
-        fresh = merged[merged["_merge"] == "left_only"][NATURAL_KEY]
+
+        # one concatenated key column on both sides (vectorized) so the
+        # composite natural key probes through the single-key anti_join
+        def with_key(b: pa.Table) -> pa.Table:
+            parts = [pc.fill_null(pc.cast(b[c], pa.string()), "<N>")
+                     for c in NATURAL_KEY]
+            return b.append_column(
+                "__nk", pc.binary_join_element_wise(*parts, "|"))
+
+        upd = rd.from_pandas(df).map_batches(
+            with_key, batch_format="pyarrow", batch_size=None)
+        corpus_keys = self.intrusion_log_ds().map_batches(
+            lambda b: with_key(b).select(["__nk"]),
+            batch_format="pyarrow", batch_size=None)
+        # empty Ray results lose column metadata in to_pandas -> tolerant drop
+        fresh = anti_join(upd, corpus_keys, "__nk", "__nk") \
+            .to_pandas().drop(columns="__nk", errors="ignore")
         if len(fresh):
             with self.lock:
                 shard = os.path.join(self.spool_dir,
@@ -224,15 +241,32 @@ class AppState:
         return total, page.reset_index(drop=True)
 
     def delete_message(self, msg_id: int) -> int:
-        total, _ = self.messages_page(limit=0)
+        """One filtered scan counts the rows the tombstone will hide (the
+        filter pushes into the plan); the tombstone set itself is tiny
+        and persisted as JSON."""
         tomb = self._tombstones()
-        before = len(tomb)
-        tomb.add(msg_id)
-        with self.lock, open(self.tombstone_path, "w") as f:
-            json.dump(sorted(tomb), f)
-        total_after, _ = self.messages_page(limit=0)
-        del before
-        return total - total_after
+        n_modified = 0
+        if msg_id not in tomb:
+            # count rows carrying this id (filter pushed into the plan)
+            from .functions.hashing import hash64_stable
+            import numpy as np
+            from .pipelines.reports import messages
+
+            def count_id(b: pa.Table) -> pa.Table:
+                key = pc.binary_join_element_wise(
+                    pc.cast(b["conv_id"], pa.string()),
+                    pc.cast(b["turn_idx"], pa.string()), "|")
+                ids = hash64_stable(key).view(np.int64)
+                return pa.table({"n": pa.array(
+                    [int((ids == msg_id).sum())], pa.int64())})
+
+            n_modified = int(messages(self.sf_dir).map_batches(
+                count_id, batch_format="pyarrow", batch_size=None).sum("n"))
+        if n_modified:
+            tomb.add(msg_id)
+            with self.lock, open(self.tombstone_path, "w") as f:
+                json.dump(sorted(tomb), f)
+        return n_modified
 
     # ---- geochart endpoints --------------------------------------------
 
