@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_terms": D.approx_distinct_terms,  # rows-only (HLL)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
+        "doc_incremental_near_dedup": D.doc_incremental_near_dedup,  # rows-only (LSH)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only

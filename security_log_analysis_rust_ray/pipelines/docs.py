@@ -40,6 +40,7 @@ from ..stages import aggregate as agg
 
 NGRAM = 5
 JACCARD_THRESHOLD = 0.6
+_AUG_BASE = 1_000_000  # doc_id >= this marks augmented ("new crawl") rows
 STOPWORDS = ("the", "a")
 MINHASH_PERMS = 128
 LSH_BANDS = 16  # 16 bands x 8 rows
@@ -417,16 +418,26 @@ def minhash_pairs(sf_dir: str,
     # materialized: the candidate set is tiny relative to the corpus and
     # feeds two joins
     from ..stages.dedup import distinct_rows
-    from ..stages.joins import semi_join
     cands = distinct_rows(cands, ["a", "b"]).materialize()
+    return _verify_candidate_pairs(cands, sf_dir, threshold, nparts)
 
-    # prune to CANDIDATE docs at the DOC level, BEFORE shingling — only
-    # docs that share an LSH bucket matter (a small corpus fraction), so
-    # filtering docs first means the verification path shingles+hashes
-    # only candidates instead of shingling the whole corpus and discarding
-    # most rows (r03: the old shingle-then-filter order re-paid the full
-    # explode).  The size-aware semi_join broadcasts the id set while it
-    # is small and flips to a left_semi hash join at scale.
+
+def _verify_candidate_pairs(cands: rd.Dataset, sf_dir: str,
+                            threshold: float, nparts: int) -> rd.Dataset:
+    """EXACT Jaccard verification of MATERIALIZED candidate (a, b) pairs:
+    emit only pairs with true Jaccard >= threshold (precision 1.0).
+
+    Plan: prune to CANDIDATE docs at the DOC level BEFORE shingling — only
+    docs in some pair matter (a small corpus fraction), so the explode+hash
+    runs only over candidates (r03: the old shingle-then-filter order
+    re-paid the full corpus explode).  Then pair x a-side shingles (m:n
+    hash_join on a), keep shingle hashes the b side also has (join on
+    b AND h) -> intersection counts -> the partitioned-size jaccard
+    filter.  The size-aware joins broadcast the pruned shingle stream
+    while it fits the byte budget (the three stages fuse into ONE task
+    chain, zero exchanges) and hash-partition beyond it — nothing
+    corpus-sized ever lands on the driver (VERDICT r01 #1)."""
+    from ..stages.joins import hash_join, semi_join
     cand_ids = cands.map_batches(
         lambda t: pa.table({"doc_id": t["a"]}),
         batch_format="pyarrow", batch_size=None).union(
@@ -438,22 +449,66 @@ def minhash_pairs(sf_dir: str,
     sh = cand_docs.map_batches(_hashed_shingles_batch,
                                batch_format="pyarrow").materialize()
     sizes = agg.grouped_count(sh, ["doc_id"], alias="sz").materialize()
-
-    # candidate pair x a-side shingles (join on a), then keep only shingle
-    # hashes the b side also has (join on b AND h) -> intersection rows.
-    # Both joins are m:n (a pair's doc appears once per shingle) through
-    # the size-aware hash_join: the pruned shingle stream usually fits the
-    # broadcast budget (candidates are a small corpus fraction), making
-    # each a local Acero join with NO shuffle; past the budget both sides
-    # hash-partition.  Also removes the last Ray 2.49 JoinOperator
-    # empty-partition crash risk from the repo.
-    from ..stages.joins import hash_join
     with_a = hash_join(cands, sh, on=("a",), right_on=("doc_id",),
                        nparts=nparts)
     inter = hash_join(with_a, sh, on=("b", "h"), right_on=("doc_id", "h"),
                       nparts=nparts)
     co = agg.grouped_count(inter, ["a", "b"], alias="co").materialize()
     return _jaccard_filter(co, sizes, threshold, nparts)
+
+
+def _incremental_near_matches(sf_dir: str,
+                              threshold: float = JACCARD_THRESHOLD,
+                              ) -> rd.Dataset:
+    """Verified (new, prior) near-dup matches across the snapshot split:
+    prior = original docs (doc_id < 1e6), new = the augmented "tonight's
+    crawl" rows (doc_id >= 1e6).  LSH candidates come from the SAME capped
+    per-bucket pair expansion as minhash_pairs (one band stream over both
+    snapshots — at production scale the prior band rows are the PERSISTED
+    LSH index, loaded instead of recomputed), keeping cross-snapshot pairs
+    only; verification is the shared exact-Jaccard path.  Output columns:
+    (a = new doc, b = prior doc, jaccard)."""
+    nparts = _join_parts(sf_dir)
+    bands = docs_aug_ds(sf_dir).map_batches(
+        MinHashActor, batch_format="pyarrow", concurrency=(1, 16))
+    pairs = _group_pairs(bands, ["band", "band_hash"], nparts)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        # _group_pairs emits a < b, so b (the larger id) is the aug/new
+        # side of any cross-snapshot pair; reorient to a=new, b=prior
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        m = (a < _AUG_BASE) & (b >= _AUG_BASE)
+        return pa.table({"a": pa.array(b[m]), "b": pa.array(a[m])})
+
+    pairs = pairs.map_batches(cross_only, batch_format="pyarrow",
+                              batch_size=None)
+    from ..stages.dedup import distinct_rows
+    cands = distinct_rows(pairs, ["a", "b"]).materialize()
+    return _verify_candidate_pairs(cands, sf_dir, threshold, nparts)
+
+
+def doc_incremental_near_dedup(sf_dir: str,
+                               threshold: float = JACCARD_THRESHOLD,
+                               ) -> rd.Dataset:
+    """Incremental NEAR-dup dedup — the nightly-crawl companion of
+    ``doc_incremental_dedup``: drop NEW docs (doc_id >= 1e6, the augmented
+    dup/near-dup rows) whose verified Jaccard against SOME prior doc
+    (doc_id < 1e6) reaches the threshold; keep the rest.  Approximate by
+    LSH recall (rows-only check; precision/recall pytest invariants) —
+    survivors = new docs minus the matched set via the size-aware
+    anti-join."""
+    from ..stages.joins import anti_join
+    matches = _incremental_near_matches(sf_dir, threshold)
+    matched_new = matches.map_batches(
+        lambda t: pa.table({"doc_id": t["a"]}),
+        batch_format="pyarrow", batch_size=None)
+    new_docs = docs_aug_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"],
+                                            pa.scalar(_AUG_BASE))),
+        batch_format="pyarrow", batch_size=None)
+    return anti_join(new_docs, matched_new, "doc_id", "doc_id",
+                     nparts=_join_parts(sf_dir))
 
 
 def simhash64(sf_dir: str) -> rd.Dataset:

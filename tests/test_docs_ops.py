@@ -172,3 +172,34 @@ def test_length_quantiles_exact_vs_duckdb():
         .sort_values("q").reset_index(drop=True)
     assert got["q"].tolist() == exp["q"].tolist()
     assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_near_dedup_invariants():
+    """Nightly-crawl near-dedup: precision via exact python Jaccard on
+    every verified match; exact dups always dropped; survivors+dropped
+    partition the new set."""
+    sd = SF_SMOKE
+    matches = D._incremental_near_matches(sd).to_pandas()
+    assert (matches["a"] >= 1_000_000).all()   # a = new side
+    assert (matches["b"] < 1_000_000).all()    # b = prior side
+
+    docs = D.docs_aug_ds(sd).to_pandas().set_index("doc_id")["text"]
+
+    def shingles(t):
+        tk = t.split(" ")
+        return {" ".join(tk[i:i + D.NGRAM])
+                for i in range(max(len(tk) - D.NGRAM + 1, 0))}
+
+    for r in matches.itertuples():           # precision 1.0
+        sa, sb = shingles(docs[r.a]), shingles(docs[r.b])
+        j = len(sa & sb) / len(sa | sb)
+        assert j >= D.JACCARD_THRESHOLD
+        assert abs(j - r.jaccard) < 1e-6  # engine rounds to 6 dp
+
+    surv = D.doc_incremental_near_dedup(sd).to_pandas()
+    new_ids = set(docs.index[docs.index >= 1_000_000])
+    assert set(surv["doc_id"]) == new_ids - set(matches["a"])
+    # exact duplicates (jaccard 1.0, ids in [1e6, 2e6)) must all be caught
+    exact_new = {i for i in new_ids if i < 2_000_000}
+    assert exact_new <= set(matches["a"])
