@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": M.media_stats,                # r02-passed, unchanged
         "doc_incremental_dedup": D.doc_incremental_dedup,  # oracle (sweep)
         "doc_length_quantiles": D.doc_length_quantiles,    # oracle (sweep)
+        "doc_oov_rate": D.doc_oov_rate,                    # oracle (sweep)
         "approx_distinct_terms": D.approx_distinct_terms,  # rows-only (HLL)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
@@ -287,6 +288,19 @@ def oracle_sql() -> dict[str, str]:
         "terms AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
         "SELECT term, count(*) AS cnt FROM terms GROUP BY term"
         " ORDER BY cnt DESC, term LIMIT 50")
+    out["doc_oov_rate"] = docs_pre + (
+        "terms AS (SELECT unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug),\n"
+        "vocab AS (SELECT term FROM terms GROUP BY term"
+        " ORDER BY count(*) DESC, term LIMIT 50),\n"
+        "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug)\n"
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)"
+        " THEN 0 ELSE 1 END) AS BIGINT) AS oov_cnt,"
+        " round(CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)"
+        " THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate"
+        " FROM toks GROUP BY doc_id")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
     out["doc_tfidf_top_terms"] = docs_pre + (

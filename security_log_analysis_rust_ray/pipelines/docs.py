@@ -780,6 +780,45 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
 BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 
+def doc_oov_rate(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Vocabulary coverage: per-doc fraction of tokens OUTSIDE the corpus
+    top-k vocabulary — the "how much of this crawl does my tokenizer's
+    vocab cover" gate a training pipeline runs before mixing a source in.
+
+    Plan: the distributed top-k vocab (``vocab_counts``: partial counts ->
+    groupby -> sort+limit, deterministic tie-break) is a K-row result, so
+    it broadcasts with ``ray.put``; each doc batch then computes the OOV
+    fraction with one vectorized ``is_in`` over the flat token array and a
+    per-doc segment sum — the corpus streams, only K terms are shared."""
+    from ..stages.joins import _collect_table
+    vocab_tbl = _collect_table(vocab_counts(sf_dir, k=k))
+    ref = ray.put(vocab_tbl["term"].combine_chunks())
+
+    def oov(b: pa.Table) -> pa.Table:
+        vocab = ray.get(ref)
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        known = pc.is_in(tk.values, value_set=vocab)
+        kn = known.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.asarray(tk.offsets, dtype=np.int64)
+        n_tok = np.diff(offs)
+        cum = np.concatenate([[0], np.cumsum(kn)])
+        known_per_doc = cum[offs[1:]] - cum[offs[:-1]]
+        oov_cnt = n_tok - known_per_doc
+        rate = pa.array(round_half_up(
+            oov_cnt.astype(np.float64) / np.maximum(n_tok, 1)))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "oov_cnt": pa.array(oov_cnt),
+            "oov_rate": rate,
+        })
+
+    return docs_aug_ds(sf_dir).map_batches(oov, batch_format="pyarrow",
+                                           batch_size=None)
+
+
 def doc_bpe_token_count(sf_dir: str) -> rd.Dataset:
     """BPE-ish token counting: count non-overlapping matches of a GPT-2-like
     pre-tokenizer regex per doc (vectorized count_substring_regex)."""
