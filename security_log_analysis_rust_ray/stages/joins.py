@@ -240,6 +240,16 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
     limit = get_config().broadcast_max_bytes if broadcast_max_bytes is None \
         else broadcast_max_bytes
 
+    # a 0-row dataset can lose its schema entirely (Ray reports
+    # schema=Unknown after e.g. repartition of an empty input); the join
+    # degenerates: empty left -> empty result; empty right -> inner is
+    # empty, left passes rows through (no payload columns CAN exist since
+    # their types are unknowable).  Returning the left stream keeps this
+    # total rather than crashing schema resolution.
+    if left.schema() is None:
+        return left
+    if right.schema() is None:
+        return left if how == "left" else left.limit(0)
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
     key_types = {k: left_schema.field(k).type for k in on}

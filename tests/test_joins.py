@@ -296,3 +296,53 @@ def test_mn_hash_join_composite_key_rename_and_empty_parts(tmp_path):
         exp = pd.DataFrame({"x": [1, 1, 3], "h": [7, 7, 9],
                             "p": ["a", "a", "d"], "wt": [1.0, 2.0, 5.0]})
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    lkeys=st.lists(st.one_of(st.integers(0, 12), st.none()),
+                   min_size=0, max_size=40),
+    rkeys=st.lists(st.one_of(st.integers(0, 15), st.none()),
+                   min_size=0, max_size=30),
+    how=st.sampled_from(["inner", "left"]),
+    shuffle_path=st.booleans(),
+)
+def test_mn_hash_join_property_vs_pandas(lkeys, rkeys, how, shuffle_path):
+    """Random key multisets (dups + nulls, possibly empty sides) through
+    hash_join on both paths must match the pandas-merge oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": pd.array(lkeys, dtype="Int64"),
+                         "lv": range(len(lkeys))})
+    right = pd.DataFrame({"k": pd.array(rkeys, dtype="Int64"),
+                          "rv": [i * 10 for i in range(len(rkeys))]})
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)) \
+        .repartition(3)
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)) \
+        .repartition(2)
+    out = hash_join(lds, rds, on=("k",), how=how, nparts=5,
+                    broadcast_max_bytes=0 if shuffle_path else None) \
+        .to_pandas()
+    exp = left.merge(right.dropna(subset=["k"]), on="k", how=how)
+    if how == "inner":
+        exp = exp.dropna(subset=["k"])
+
+    def canon(df):
+        if not len(df):
+            return pd.DataFrame(columns=["k", "lv", "rv"])
+        df = df.copy()
+        for c in ("k", "lv", "rv"):   # degenerate empty-right left-join
+            if c not in df.columns:   # passes left through w/o payload col
+                df[c] = np.nan
+        return df[["k", "lv", "rv"]].astype("float64") \
+            .sort_values(["k", "lv", "rv"], na_position="last") \
+            .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(out), canon(exp),
+                                  check_dtype=False)
