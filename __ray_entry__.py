@@ -87,10 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ANN.ann_topk,
         # multimodal plumbing (decode is a marked stub)
         "media_bmp_features": M.media_bmp_features,  # real-decode oracle
-        "media_checksums": M.media_checksums,        # md5 oracle
         # streaming-shaped ops
         "sessionize": STR.sessionize,
         "alert_batches": STR.alert_batches,           # recursive-CTE oracle
+        "ses_email_stats": STR.ses_email_stats,       # A6 fold, new r03
         # relational coverage
         "lineitem_pricing_summary": REL.lineitem_pricing_summary,
         "orders_by_nation": REL.orders_by_nation,
@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_stats": D.doc_pack_stats,          # invariant oracle
         "media_frame_stats": M.media_frame_stats,    # invariant oracle
         "media_stats": M.media_stats,                # r02-passed, unchanged
+        "media_checksums": M.media_checksums,        # r02-passed, unchanged
         "doc_incremental_dedup": D.doc_incremental_dedup,  # oracle (sweep)
         "doc_length_quantiles": D.doc_length_quantiles,    # oracle (sweep)
         "doc_oov_rate": D.doc_oov_rate,                    # oracle (sweep)
@@ -384,29 +385,53 @@ def oracle_sql() -> dict[str, str]:
     _buf, _delay_us = STR.ALERT_BUFFER_BYTES, STR.ALERT_DELAY_S * 1_000_000
     _cut = (f"s.cur_bytes + o.sz > {_buf} OR "
             f"date_diff('microsecond', s.batch_start, o.ts) > {_delay_us}")
-    alert_body = (
+    alert_scan = (
         ",\nmsgs AS (SELECT 'srv' || CAST(COALESCE(TRY_CAST("
         "regexp_extract(conv_id, '^conv_(\\d+)', 1) AS BIGINT), 0)"
         f" % {SERVER_MOD} AS VARCHAR) AS stream,"
-        " conv_id, turn_idx, log_timestamp AS ts,"
+        " conv_id, turn_idx, log_timestamp AS ts, log_level AS lvl,"
         " CAST(length(log_message) AS BIGINT) AS sz"
         " FROM messages WHERE log_level IN ('warn', 'error')),\n"
         "ordered AS (SELECT *, row_number() OVER (PARTITION BY stream"
         " ORDER BY ts, conv_id, turn_idx) AS rn FROM msgs),\n"
-        "scan(stream, rn, ts, sz, batch_id, cur_bytes, batch_start) AS ("
-        f" SELECT stream, rn, ts, sz, CASE WHEN sz > {_buf} THEN 1 ELSE 0 END,"
+        "scan(stream, rn, ts, lvl, sz, batch_id, cur_bytes, batch_start)"
+        " AS ("
+        f" SELECT stream, rn, ts, lvl, sz,"
+        f" CASE WHEN sz > {_buf} THEN 1 ELSE 0 END,"
         " sz, ts FROM ordered WHERE rn = 1"
         " UNION ALL"
-        f" SELECT o.stream, o.rn, o.ts, o.sz,"
+        f" SELECT o.stream, o.rn, o.ts, o.lvl, o.sz,"
         f" CASE WHEN {_cut} THEN s.batch_id + 1 ELSE s.batch_id END,"
         f" CASE WHEN {_cut} THEN o.sz ELSE s.cur_bytes + o.sz END,"
         f" CASE WHEN {_cut} THEN o.ts ELSE s.batch_start END"
         " FROM scan s JOIN ordered o ON o.stream = s.stream"
-        " AND o.rn = s.rn + 1)\n"
+        " AND o.rn = s.rn + 1)\n")
+    alert_body = alert_scan + (
         "SELECT stream, batch_id, min(ts) AS first_ts, max(ts) AS last_ts,"
         " count(*) AS n_messages, CAST(sum(sz) AS BIGINT) AS total_bytes"
         " FROM scan GROUP BY stream, batch_id")
     out["alert_batches"] = oracle_query(alert_body).replace(
+        "WITH ", "WITH RECURSIVE ", 1)
+    # A6 SES stats fold: one EmailStats row over the batch datapoints
+    # (per-batch level counts -> summed counters + min/max datapoint ts +
+    # sent-last-24h against the alert watermark); same scan CTE as K6
+    ses_body = alert_scan + (
+        ", base AS (SELECT stream, batch_id, min(ts) AS first_ts,"
+        " max(ts) AS last_ts, count(*) AS n_messages,"
+        " sum(CASE WHEN lvl = 'error' THEN 1 ELSE 0 END) AS n_error,"
+        " sum(CASE WHEN lvl = 'warn' THEN 1 ELSE 0 END) AS n_warn"
+        " FROM scan GROUP BY stream, batch_id),\n"
+        "wm AS (SELECT max(last_ts) AS hi FROM base)\n"
+        "SELECT CAST(sum(n_error) AS BIGINT) AS bounces,"
+        " CAST(sum(n_warn) AS BIGINT) AS complaints,"
+        " CAST(sum(n_messages) AS BIGINT) AS delivery_attempts,"
+        " CAST(sum(n_messages) - sum(n_error) - sum(n_warn) AS BIGINT)"
+        " AS rejects,"
+        " min(first_ts) AS min_timestamp, max(first_ts) AS max_timestamp,"
+        " CAST(sum(CASE WHEN first_ts >= hi - INTERVAL 24 HOUR"
+        " THEN n_messages ELSE 0 END) AS BIGINT) AS sent_last_24h"
+        " FROM base, wm")
+    out["ses_email_stats"] = oracle_query(ses_body).replace(
         "WITH ", "WITH RECURSIVE ", 1)
 
     out["lineitem_pricing_summary"] = (

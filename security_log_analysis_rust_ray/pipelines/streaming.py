@@ -104,12 +104,14 @@ def _alert_eligible(sf_dir: str, threshold: str) -> rd.Dataset:
         prep, batch_format="pyarrow", batch_size=None)
 
 
-def _batch_scan(delay_s: int, buffer_bytes: int):
+def _batch_scan(delay_s: int, buffer_bytes: int, with_levels: bool = False):
     """Per-stream sequential flush-batch assignment (reference buffer
     semantics: flush when the buffer would exceed ``buffer_bytes`` OR the
     batch's first message is more than ``delay_s`` older than this one).
     Ages compare in MICROSECONDS on both engine and oracle sides (second
-    truncation at a boundary would diverge — same rule as sessionize)."""
+    truncation at a boundary would diverge — same rule as sessionize).
+    ``with_levels`` adds per-batch level counts (n_error/n_warn) — the SES
+    stats fold's per-datapoint counters (A6)."""
     def batch_scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["log_timestamp", "conv_id", "turn_idx"])
         sizes = g["log_message"].str.len().to_numpy()
@@ -124,10 +126,16 @@ def _batch_scan(delay_s: int, buffer_bytes: int):
                 cur_bytes, cur_start = 0, ts[i]
             batch_ids[i] = cur
             cur_bytes += sizes[i]
-        out = g.assign(batch_id=batch_ids, nbytes=sizes).groupby("batch_id").agg(
+        g = g.assign(batch_id=batch_ids, nbytes=sizes)
+        aggs = dict(
             first_ts=("log_timestamp", "min"), last_ts=("log_timestamp", "max"),
             n_messages=("log_level", "count"), total_bytes=("nbytes", "sum"))
-        out = out.reset_index()
+        if with_levels:
+            g = g.assign(
+                is_err=(g["log_level"] == "error").astype("int64"),
+                is_warn=(g["log_level"] == "warn").astype("int64"))
+            aggs.update(n_error=("is_err", "sum"), n_warn=("is_warn", "sum"))
+        out = g.groupby("batch_id").agg(**aggs).reset_index()
         out.insert(0, "stream", g["stream"].iloc[0] if len(g) else "")
         out["total_bytes"] = out["total_bytes"].astype("int64")
         return out
@@ -144,6 +152,71 @@ def alert_batches(sf_dir: str, threshold: str = "warn",
     recursive CTE replaying the same scan per stream."""
     return _alert_eligible(sf_dir, threshold).groupby("stream").map_groups(
         _batch_scan(delay_s, buffer_bytes), batch_format="pandas")
+
+
+def ses_email_stats(sf_dir: str, threshold: str = "warn",
+                    delay_s: int = ALERT_DELAY_S,
+                    buffer_bytes: int = ALERT_BUFFER_BYTES) -> pd.DataFrame:
+    """A6: the SES send-statistics fold (src/ses_client.rs:68-109): the
+    reference folds its send datapoints into ONE EmailStats row — summed
+    bounces/complaints/delivery_attempts/rejects plus min/max datapoint
+    timestamp — and reads the quota's sent-last-24-hours alongside.
+
+    Analog: one send datapoint per flushed alert batch (K6 sends one email
+    per flush).  Per datapoint: delivery_attempts = messages in the batch,
+    bounces = its 'error'-level messages, complaints = its 'warn'-level
+    messages, rejects = the rest (below-threshold levels admitted by a lower
+    ``threshold``), timestamp = the batch's first_ts.  ``sent_last_24h``
+    (SesQuotas.sent_last_24_hours analog) counts messages in batches whose
+    first_ts falls within 24 h of the alert watermark (max last_ts).
+
+    Scale posture: the batch manifest is ~corpus_bytes/buffer_bytes rows —
+    far smaller than the corpus but NOT driver-sized at 100 TB, so it is
+    materialized once (block-distributed), the watermark is a distributed
+    ``max``, and the fold is a per-block partial -> tiny driver final (one
+    row per block reaches the driver)."""
+    batches = _alert_eligible(sf_dir, threshold).groupby("stream").map_groups(
+        _batch_scan(delay_s, buffer_bytes, with_levels=True),
+        batch_format="pandas").materialize()
+    cols = ["bounces", "complaints", "delivery_attempts", "rejects",
+            "min_timestamp", "max_timestamp", "sent_last_24h"]
+    if batches.count() == 0:
+        return pd.DataFrame({c: pd.Series(
+            [pd.NaT] if c.endswith("timestamp") else [0],
+            dtype="datetime64[us]" if c.endswith("timestamp") else "int64")
+            for c in cols})
+    hi = pd.Timestamp(batches.max("last_ts"))
+    lo = hi - pd.Timedelta(hours=24)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(
+                [], dtype="datetime64[us]" if c.endswith("timestamp")
+                else "int64") for c in cols})
+        recent = df["first_ts"] >= lo
+        return pd.DataFrame({
+            "bounces": [int(df["n_error"].sum())],
+            "complaints": [int(df["n_warn"].sum())],
+            "delivery_attempts": [int(df["n_messages"].sum())],
+            "rejects": [int((df["n_messages"] - df["n_error"]
+                             - df["n_warn"]).sum())],
+            "min_timestamp": [df["first_ts"].min()],
+            "max_timestamp": [df["first_ts"].max()],
+            "sent_last_24h": [int(df.loc[recent, "n_messages"].sum())]})
+
+    parts = batches.map_batches(partial, batch_format="pandas",
+                                batch_size=None).to_pandas()
+    out = pd.DataFrame({
+        "bounces": [int(parts["bounces"].sum())],
+        "complaints": [int(parts["complaints"].sum())],
+        "delivery_attempts": [int(parts["delivery_attempts"].sum())],
+        "rejects": [int(parts["rejects"].sum())],
+        "min_timestamp": [parts["min_timestamp"].min()],
+        "max_timestamp": [parts["max_timestamp"].max()],
+        "sent_last_24h": [int(parts["sent_last_24h"].sum())]})
+    for c in ("min_timestamp", "max_timestamp"):
+        out[c] = out[c].astype("datetime64[us]")
+    return out
 
 
 def run_alert_cycle(sf_dir: str, state_path: str, threshold: str = "warn",

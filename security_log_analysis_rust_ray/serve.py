@@ -57,9 +57,12 @@ def _host_ipaddr(host: str) -> str | None:
 
 
 class AppState:
-    """Per-server state: corpus dir, spool/override stores, TTL caches."""
+    """Per-server state: corpus dir, spool/override stores, TTL caches,
+    optional auth-user cache (T5)."""
 
-    def __init__(self, sf_dir: str, state_dir: str):
+    def __init__(self, sf_dir: str, state_dir: str,
+                 users_path: str | None = None,
+                 auth_refresh_s: float | None = None):
         self.sf_dir = sf_dir
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
@@ -71,6 +74,18 @@ class AppState:
         self.attempts_cache = TTLCache()
         self.attempts_all_cache = TTLCache()
         self.lock = threading.Lock()
+        # T5: auth-user cache, refreshed on the reference's 60 s loop
+        # (security_log_http.rs:636-642); None = auth disabled (the
+        # sandbox default — the reference's JWT/OAuth stack is out of
+        # scope, membership checking is not)
+        self.auth_cache = None
+        if users_path is not None:
+            from .state.auth_cache import (REFRESH_INTERVAL_S,
+                                           AuthUserCache)
+            self.auth_cache = AuthUserCache(users_path)
+            self.auth_cache.start_refresh(
+                auth_refresh_s if auth_refresh_s is not None
+                else REFRESH_INTERVAL_S)
 
     # ---- intrusion log (corpus + spool) --------------------------------
 
@@ -417,10 +432,24 @@ class _Handler(BaseHTTPRequestHandler):
                     "data": df.iloc[offset:offset + limit]
                     .to_dict("records")}, default=_json_default))
             elif path == "/security_log/user":
-                # auth stack is out of scope (T5); fixed principal analog
-                self._send(200, json.dumps(
-                    {"email": "user@localhost", "session": "local",
-                     "created_at": _DERIVED_CREATED_AT}))
+                # T5: the principal (X-User-Email header stands in for the
+                # reference's JWT-extracted LoggedUser) is checked against
+                # the periodically refreshed auth cache; without a users
+                # store the route serves the fixed local principal
+                if st.auth_cache is not None:
+                    email = self.headers.get("X-User-Email")
+                    row = (st.auth_cache.get(email)
+                           if st.auth_cache.is_authorized(email) else None)
+                    if row is None:
+                        self._send(401, json.dumps({"error": "unauthorized"}))
+                    else:
+                        row.setdefault("session", "local")
+                        self._send(200, json.dumps(row,
+                                                   default=_json_default))
+                else:
+                    self._send(200, json.dumps(
+                        {"email": "user@localhost", "session": "local",
+                         "created_at": _DERIVED_CREATED_AT}))
             elif path == "/security_log/log_messages":
                 total, page = st.messages_page(
                     log_level=q.get("log_level"),
@@ -474,12 +503,25 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, json.dumps({"error": str(exc)}))
 
 
-def make_server(sf_dir: str, state_dir: str,
-                port: int = 0) -> ThreadingHTTPServer:
-    """Loopback server over ``sf_dir``; ``port=0`` picks a free port."""
-    state = AppState(sf_dir, state_dir)
+def make_server(sf_dir: str, state_dir: str, port: int = 0,
+                users_path: str | None = None,
+                auth_refresh_s: float | None = None) -> ThreadingHTTPServer:
+    """Loopback server over ``sf_dir``; ``port=0`` picks a free port.
+    ``users_path`` enables the T5 auth-user cache + refresh loop."""
+    state = AppState(sf_dir, state_dir, users_path=users_path,
+                     auth_refresh_s=auth_refresh_s)
     handler = type("Handler", (_Handler,), {"state": state})
-    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    srv.app_state = state  # tests reach the caches; close() stops the loop
+    _orig_close = srv.server_close
+
+    def _close():
+        if state.auth_cache is not None:
+            state.auth_cache.stop()
+        _orig_close()
+
+    srv.server_close = _close
+    return srv
 
 
 def run_server(sf_dir: str, state_dir: str, port: int) -> None:

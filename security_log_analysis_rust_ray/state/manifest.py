@@ -53,6 +53,11 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
 
+    def get(self, shard: str) -> dict | None:
+        """One record without copying the whole map (the paged object-store
+        fold calls this once per listed key)."""
+        return self._records.get(shard)
+
     @property
     def records(self) -> dict[str, dict]:
         return dict(self._records)

@@ -130,6 +130,28 @@ def test_alert_batches_invariants():
                 >= g["last_ts"].iloc[:-1].to_numpy()).all()
 
 
+def test_ses_email_stats_fold():
+    """A6 (src/ses_client.rs:68-109): the EmailStats fold is consistent
+    with the alert-batch universe, and a lower threshold admits rejects."""
+    stats = STR.ses_email_stats(SF_SMOKE)
+    assert len(stats) == 1
+    row = stats.iloc[0]
+    batches = STR.alert_batches(SF_SMOKE).to_pandas()
+    # delivery_attempts == all alerted messages; counters partition them
+    assert row["delivery_attempts"] == batches["n_messages"].sum()
+    assert (row["bounces"] + row["complaints"] + row["rejects"]
+            == row["delivery_attempts"])
+    assert row["rejects"] == 0  # threshold=warn admits only warn/error
+    # datapoint timestamps bracket the batch first_ts universe
+    assert row["min_timestamp"] == batches["first_ts"].min()
+    assert row["max_timestamp"] == batches["first_ts"].max()
+    assert 0 < row["sent_last_24h"] <= row["delivery_attempts"]
+    # threshold=info admits info-level messages as rejects
+    lower = STR.ses_email_stats(SF_SMOKE, threshold="info").iloc[0]
+    assert lower["rejects"] > 0
+    assert lower["delivery_attempts"] > row["delivery_attempts"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_alert_cycle_mark_processed(tmp_path):
     """The alert state machine: a rerun with no new messages re-alerts
