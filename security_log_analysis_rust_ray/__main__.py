@@ -82,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument("--sf-dir", required=True)
     sa.add_argument("--state", required=True)
 
+    st = sub.add_parser("ses-stats", help="SES send-statistics fold over "
+                                          "alert batches (reference "
+                                          "ses_client get_statistics)")
+    st.add_argument("--sf-dir", required=True)
+    st.add_argument("--threshold", default="warn")
+
+    so = sub.add_parser("process-keys", help="paged object-list fold into "
+                                             "the key cache (reference "
+                                             "s3_sync get_and_process_keys)")
+    so.add_argument("--store", required=True)
+    so.add_argument("--local", help="also scan this local dir first")
+    so.add_argument("--cache", required=True)
+    so.add_argument("--page-size", type=int, default=1000)
+
     sv = sub.add_parser("serve", help="HTTP serving layer: the reference's "
                                       "11 /security_log routes (loopback)")
     sv.add_argument("--sf-dir", required=True)
@@ -157,6 +171,19 @@ def main(argv: list[str] | None = None) -> int:
                 "files_before": int(j["files_before"].sum()) if len(j) else 0,
                 "files_after": int(j["files_after"].sum()) if len(j) else 0,
             }))
+        elif a.cmd == "ses-stats":
+            from .pipelines.streaming import ses_email_stats
+            row = ses_email_stats(a.sf_dir, threshold=a.threshold).iloc[0]
+            print(json.dumps({k: (str(v) if k.endswith("timestamp")
+                                  else int(v)) for k, v in row.items()}))
+        elif a.cmd == "process-keys":
+            from .sources.objstore import (get_and_process_keys,
+                                           process_local_files)
+            n_local = (process_local_files(a.local, a.cache)
+                       if a.local else 0)
+            n = get_and_process_keys(a.store, a.cache,
+                                     page_size=a.page_size)
+            print(json.dumps({"keys": n, "local_keys": n_local}))
         elif a.cmd == "alert":
             from .pipelines.streaming import run_alert_cycle
             flushed = run_alert_cycle(a.sf_dir, a.state)
