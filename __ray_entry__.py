@@ -117,11 +117,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": D.doc_incremental_dedup,  # oracle (sweep)
         "doc_length_quantiles": D.doc_length_quantiles,    # oracle (sweep)
         "doc_oov_rate": D.doc_oov_rate,                    # oracle (sweep)
+        "doc_lang_id": D.doc_lang_id,                      # oracle (sweep)
         "approx_distinct_terms": D.approx_distinct_terms,  # rows-only (HLL)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "doc_incremental_near_dedup": D.doc_incremental_near_dedup,  # rows-only (LSH)
         "simhash64": D.simhash64,                    # rows-only (hash fn)
+        "simhash_near_dup_pairs": D.simhash_near_dup_pairs,  # rows-only
+
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
@@ -304,6 +307,24 @@ def oracle_sql() -> dict[str, str]:
         " FROM toks GROUP BY doc_id")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
+    # lang-ID oracle: same RE2 whole-word alternation per profile (DuckDB
+    # and pyarrow both run RE2, verified count-identical), argmax with the
+    # engine's tie-break (profile order; all-zero -> 'und')
+    _lid_cols = ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        f" AS s_{lang}" for lang, ws in D.LANG_PROFILES)
+    _lid_langs = [lang for lang, _ in D.LANG_PROFILES]
+    _lid_best = "greatest(" + ", ".join(f"s_{l}" for l in _lid_langs) + ")"
+    _lid_case = "CASE WHEN " + _lid_best + " = 0 THEN 'und' "
+    for _i, _l in enumerate(_lid_langs):
+        later = [f"s_{_l} >= s_{m}" for m in _lid_langs[_i + 1:]]
+        cond = " AND ".join(later) if later else "TRUE"
+        _lid_case += f"WHEN {cond} THEN '{_l}' "
+    _lid_case += "END"
+    out["doc_lang_id"] = docs_pre + (
+        f"s AS (SELECT doc_id, {_lid_cols} FROM docs_aug)\n"
+        f"SELECT doc_id, {_lid_case} AS lang,"
+        f" CAST({_lid_best} AS BIGINT) AS score FROM s")
     out["doc_tfidf_top_terms"] = docs_pre + (
         "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term"
         " FROM docs_aug),\n"

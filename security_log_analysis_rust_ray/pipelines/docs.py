@@ -964,3 +964,114 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
             "n_tokens": pc.cast(nt, pa.int64()),
         })
     return docs_aug_ds(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+# --- language ID (marker-profile argmax) --------------------------------
+
+# Cavnar–Trenkle-style profile classifier reduced to its batch-friendly
+# core: per language, count whole-word marker occurrences (one RE2
+# alternation scan per language — pyarrow and DuckDB both run RE2, so the
+# oracle reproduces the counts bit-exactly), then argmax with a
+# deterministic tie-break (profile order below; all-zero -> 'und').
+# Real profiles would be learned trigram tables; the marker-set reduction
+# keeps the operator SQL-checkable end-to-end.
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("de", ("der", "und", "die", "das", "ist", "nicht")),
+    ("en", ("the", "a", "of", "and", "is", "to")),
+    ("es", ("el", "los", "las", "es", "una", "por")),
+    ("fr", ("le", "les", "des", "est", "une", "dans")),
+)
+
+
+def doc_lang_id(sf_dir: str) -> rd.Dataset:
+    """Language-ID per document: whole-word marker counts per language
+    profile (vectorized RE2 scan per profile), argmax with ties broken by
+    profile order, 'und' when no profile matches.  Output
+    (doc_id, lang, score) with score = the winning marker count."""
+    langs = [l for l, _ in LANG_PROFILES]
+    pats = [r"\b(" + "|".join(ws) + r")\b" for _, ws in LANG_PROFILES]
+
+    def lid(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        scores = np.stack([
+            pc.count_substring_regex(low, p).to_numpy(zero_copy_only=False)
+              .astype(np.int64)
+            for p in pats])                      # (n_langs, n_docs)
+        best = scores.argmax(axis=0)             # first max wins = tie-break
+        top = scores.max(axis=0)
+        lang = np.where(top > 0, np.asarray(langs, dtype=object)[best],
+                        "und")
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang": pa.array(lang, pa.string()),
+                         "score": pa.array(top)})
+
+    return docs_aug_ds(sf_dir).map_batches(lid, batch_format="pyarrow",
+                                           batch_size=8192)
+
+
+# --- SimHash near-dup pairs (Hamming banding) ---------------------------
+
+SIMHASH_BANDS = 4          # 4 x 16-bit bands
+SIMHASH_MAX_HAMMING = 3    # pigeonhole: <=3 differing bits over 4 bands
+                           # leaves >=1 band identical -> recall 1.0
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(
+        axis=1, dtype=np.int64)
+
+
+def simhash_near_dup_pairs(sf_dir: str,
+                           max_hamming: int = SIMHASH_MAX_HAMMING
+                           ) -> rd.Dataset:
+    """SimHash near-dup PAIRS, closing the simhash chain end-to-end:
+    64-bit signatures -> 4 x 16-bit Hamming bands (any pair within
+    ``max_hamming`` <= 3 bits shares at least one exact band — the
+    pigeonhole guarantee, so recall over the signature space is 1.0)
+    -> per-band candidate pair expansion (hash-partitioned, hot-group
+    guarded, same machinery as the Jaccard/LSH paths) -> exact Hamming
+    verification with the signatures attached via size-aware lookup joins.
+    Output (a, b, hamming), a < b.  Rows-only check (simhash has no SQL
+    formulation); pytest asserts recall/precision vs a brute-force
+    all-pairs Hamming scan on the small corpus."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import lookup_join
+    nparts = _join_parts(sf_dir)
+    # one row per doc, 16 bytes: tiny next to the corpus, reused by both
+    # the banding scan and the two verify probes -> materialize once
+    sigs = simhash64(sf_dir).materialize()
+
+    def bands(b: pa.Table) -> pa.Table:
+        sh = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        parts = []
+        for i in range(SIMHASH_BANDS):
+            bv = ((sh >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(
+                np.int64)
+            parts.append(pa.table({
+                "band": pa.array(bv | (np.int64(i) << np.int64(16))),
+                "doc_id": b["doc_id"]}))
+        return pa.concat_tables(parts)
+
+    banded = sigs.map_batches(bands, batch_format="pyarrow",
+                              batch_size=None)
+    cands = distinct_rows(_group_pairs(banded, ["band"], nparts),
+                          ["a", "b"])
+    p2 = lookup_join(cands, sigs, "a", "doc_id", nparts=nparts,
+                     how="inner", rename={"simhash": "sh_a"})
+    p3 = lookup_join(p2, sigs, "b", "doc_id", nparts=nparts,
+                     how="inner", rename={"simhash": "sh_b"})
+
+    def ham(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        x = (b["sh_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+             ^ b["sh_b"].to_numpy(zero_copy_only=False).view(np.uint64))
+        t = pa.table({"a": b["a"], "b": b["b"],
+                      "hamming": pa.array(_popcount64(x))})
+        return t.filter(pc.less_equal(t["hamming"], max_hamming))
+
+    return p3.map_batches(ham, batch_format="pyarrow",
+                          batch_size=None).sort(["a", "b"])

@@ -203,3 +203,55 @@ def test_incremental_near_dedup_invariants():
     # exact duplicates (jaccard 1.0, ids in [1e6, 2e6)) must all be caught
     exact_new = {i for i in new_ids if i < 2_000_000}
     assert exact_new <= set(matches["a"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs_vs_bruteforce():
+    # banding guarantees recall 1.0 at hamming <= 3 (pigeonhole over 4
+    # bands) and the verify stage guarantees precision 1.0 -> the output
+    # must EQUAL the brute-force all-pairs Hamming scan
+    sig = D.simhash64(SF_SMOKE).to_pandas().sort_values("doc_id")
+    ids = sig["doc_id"].to_numpy()
+    sh = sig["simhash"].to_numpy().view(np.uint64)
+    x = sh[:, None] ^ sh[None, :]
+    dist = D._popcount64(x.ravel()).reshape(x.shape)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = dist[iu, ju] <= D.SIMHASH_MAX_HAMMING
+    expect = set(zip(ids[iu[keep]].tolist(), ids[ju[keep]].tolist()))
+    got = D.simhash_near_dup_pairs(SF_SMOKE).to_pandas()
+    got_pairs = set(zip(got["a"].tolist(), got["b"].tolist()))
+    assert expect, "aug corpus must contain hamming-close signature pairs"
+    assert got_pairs == expect
+    # emitted hamming values are the true distances
+    lut = {(int(a), int(b)): int(dist[np.searchsorted(ids, a),
+                                      np.searchsorted(ids, b)])
+           for a, b in got_pairs}
+    for _, r in got.iterrows():
+        assert int(r["hamming"]) == lut[(int(r["a"]), int(r["b"]))]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_lang_id_profiles(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = {
+        1: "the cat is on a mat of and to",        # en
+        2: "der hund und die katze das ist",       # de
+        3: "le chat et les chiens des maisons",    # fr
+        4: "el perro y los gatos las casas es",    # es
+        5: "zzz qqq www",                          # no marker -> und
+        6: "der el",                               # tie -> profile order: de
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = D.doc_lang_id(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang"] == "en"
+    assert out.loc[2, "lang"] == "de"
+    assert out.loc[3, "lang"] == "fr"
+    assert out.loc[4, "lang"] == "es"
+    assert out.loc[5, "lang"] == "und" and out.loc[5, "score"] == 0
+    assert out.loc[6, "lang"] == "de" and out.loc[6, "score"] == 1
+    assert out.loc[1, "score"] == 6  # the, is, a, of, and, to
