@@ -120,6 +120,21 @@ def country_counts(sf_dir: str) -> rd.Dataset:
         ["cnt", "country"], descending=[True, False])
 
 
+def top_hosts_per_country(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-group top-k report: the k busiest hosts of EVERY country in one
+    pass (SQL: ROW_NUMBER() OVER (PARTITION BY country ORDER BY cnt DESC,
+    host) <= k).  Generalizes the reference's global sort+take(10)
+    (src/parse_opts.rs:228-229) to the grouped form a per-tenant /
+    per-shard report needs at scale: counts combine per block, then ONE
+    hash exchange on the group key and a vectorized per-partition head —
+    no global sort, no driver-side groups."""
+    counts = agg.grouped_count(_host_counts_inner(sf_dir),
+                               ["country", "host"])
+    return agg.grouped_top_k(counts, ["country"], "cnt", k,
+                             tie_cols=["host"]) \
+        .sort(["country", "cnt", "host"], descending=[False, True, False])
+
+
 def top10_countries(sf_dir: str) -> rd.Dataset:
     """O2/O3: top-10 attack countries (reference take(10),
     src/parse_opts.rs:228-229)."""

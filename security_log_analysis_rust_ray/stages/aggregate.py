@@ -122,6 +122,63 @@ def top_k(ds: rd.Dataset, sort_col: str, keys_asc: list[str], k: int) -> rd.Data
     return ds.sort(cols, descending=desc).limit(k)
 
 
+def grouped_top_k(ds: rd.Dataset, group_cols: list[str], order_col: str,
+                  k: int, descending: bool = True,
+                  tie_cols: list[str] | None = None) -> rd.Dataset:
+    """Per-GROUP top-k (SQL ``row_number() OVER (PARTITION BY group ORDER
+    BY order_col) <= k``), distributed as partial/final:
+
+    1. per-block partial: each block keeps at most k rows per group — a
+       correct combiner, since a row in the global per-group top-k is
+       necessarily in its own block's per-group top-k;
+    2. one hash exchange on ``group_cols`` co-locates each group's
+       survivors (≤ k × n_blocks rows per group, usually ≪ the group);
+    3. the same kernel per partition yields the exact answer.
+
+    The kernel is one Arrow multi-column sort + a vectorized numpy
+    rank-within-group (boundary cumsum over the sorted order) — no
+    per-group Python.  Ties are broken ascending on ``tie_cols`` so the
+    result is deterministic and oracle-checkable against ROW_NUMBER.
+    Null group keys form their own group (SQL GROUP BY parity) via the
+    sentinel fill; null order values sort last.
+    """
+    import numpy as np
+
+    tie_cols = tie_cols or []
+    sort_keys = [(c, "ascending") for c in group_cols] \
+        + [(order_col, "descending" if descending else "ascending")] \
+        + [(c, "ascending") for c in tie_cols]
+
+    def head_per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        t = _fill(t, group_cols)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=sort_keys, null_placement="at_end"))
+        n = t.num_rows
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in group_cols:
+            col = t[c].combine_chunks()
+            a, b = col.slice(1), col.slice(0, n - 1)
+            # null-safe equality: null==null is SAME group (SQL GROUP BY)
+            same = pc.or_(pc.fill_null(pc.equal(a, b), False),
+                          pc.and_(pc.is_null(a), pc.is_null(b)))
+            change[1:] |= ~np.asarray(same)
+        gid = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        rank = np.arange(n) - starts[gid]
+        return _restore(t.filter(pa.array(rank < k)), group_cols)
+
+    from .dedup import _num_partitions, _use_hash_shuffle
+    pre = ds.map_batches(head_per_group, batch_format="pyarrow",
+                         batch_size=None)
+    return _use_hash_shuffle(pre).repartition(
+        num_blocks=_num_partitions(ds), keys=group_cols) \
+        .map_batches(head_per_group, batch_format="pyarrow",
+                     batch_size=None)
+
+
 def add_year_month(batch: pa.Table) -> pa.Table:
     """A3: derive partition columns from the fact timestamp
     (/root/reference/src/polars_analysis.rs:83-93)."""

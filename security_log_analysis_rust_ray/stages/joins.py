@@ -369,6 +369,47 @@ def _distinct_probe_keys(keys_ds: rd.Dataset, key_col: str, fact_key: str,
 _MARKER = "__slar_probe__"
 
 
+def _bloom_prefilter(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
+                     keep_members: bool) -> tuple[rd.Dataset, rd.Dataset | None]:
+    """Bloom pre-exchange pruning for the large-key-set semi/anti path
+    (see ``stages/bloom.py``).  Returns ``(to_probe, definite)``:
+
+    - semi (``keep_members``): ``to_probe`` = Bloom-positive fact rows
+      (members + false positives; the exact shuffled probe removes the
+      FPs), ``definite`` = None.
+    - anti: ``to_probe`` = Bloom-positive rows (need the exact probe),
+      ``definite`` = Bloom-NEGATIVE rows — guaranteed non-members, emitted
+      with no exchange at all (no false negatives by construction).
+
+    Cost: one distributed bitmap build over the (already distinct) key
+    set + one extra scan of the fact stream for anti's definite split; the
+    exchange then moves only the Bloom-positive residue instead of the
+    whole fact table.  ``Config.bloom_bits = 0`` disables (returns the
+    fact stream unchanged)."""
+    from .bloom import bloom_contains, build_bloom
+
+    cfg = get_config()
+    m, k = cfg.bloom_bits, cfg.bloom_hashes
+    if not m or not k:
+        return fact, None
+    ref = ray.put(build_bloom(keys, fact_key, m, k))
+
+    def positive(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            bloom_contains(ray.get(ref), b[fact_key], m, k)))
+
+    def negative(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            ~bloom_contains(ray.get(ref), b[fact_key], m, k)))
+
+    to_probe = fact.map_batches(positive, batch_format="pyarrow",
+                                batch_size=None)
+    if keep_members:
+        return to_probe, None
+    return to_probe, fact.map_batches(negative, batch_format="pyarrow",
+                                      batch_size=None)
+
+
 def _shuffled_membership(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
                          nparts: int, keep_members: bool) -> rd.Dataset:
     """Large-key-set semi/anti: tag both sides, hash-repartition the UNION
@@ -439,7 +480,8 @@ def semi_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
 
         return fact.map_batches(semi, batch_format="pyarrow",
                                 batch_size=None)
-    return _shuffled_membership(fact, keys, fact_key, nparts,
+    to_probe, _ = _bloom_prefilter(fact, keys, fact_key, keep_members=True)
+    return _shuffled_membership(to_probe, keys, fact_key, nparts,
                                 keep_members=True)
 
 
@@ -464,5 +506,8 @@ def anti_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
 
         return fact.map_batches(anti, batch_format="pyarrow",
                                 batch_size=None)
-    return _shuffled_membership(fact, keys, fact_key, nparts,
-                                keep_members=False)
+    to_probe, definite = _bloom_prefilter(fact, keys, fact_key,
+                                          keep_members=False)
+    probed = _shuffled_membership(to_probe, keys, fact_key, nparts,
+                                  keep_members=False)
+    return probed.union(definite) if definite is not None else probed

@@ -1,0 +1,119 @@
+"""Bloom-filter pre-exchange pruning (stages/bloom.py): no false
+negatives ever, sane false-positive rate, and semi/anti joins stay
+bit-identical with the filter forced on the shuffled path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from security_log_analysis_rust_ray.stages.bloom import (
+    bloom_contains, bloom_partial)
+
+M_BITS = 1 << 16
+K = 6
+
+
+def test_no_false_negatives_and_null_probe():
+    keys = pa.array([f"key-{i}" for i in range(2000)] + [None])
+    words = bloom_partial(keys, M_BITS, K)
+    probe = pa.array([f"key-{i}" for i in range(2000)])
+    assert bloom_contains(words, probe, M_BITS, K).all()
+    # null probes are never members (semi/anti SQL semantics)
+    withnull = pa.array(["key-1", None, "key-2"])
+    got = bloom_contains(words, withnull, M_BITS, K)
+    assert got.tolist() == [True, False, True]
+
+
+def test_false_positive_rate_sane():
+    words = bloom_partial(
+        pa.array([f"in-{i}" for i in range(2000)]), M_BITS, K)
+    probe = pa.array([f"out-{i}" for i in range(20000)])
+    fpr = bloom_contains(words, probe, M_BITS, K).mean()
+    # 2000 keys in 65536 bits (~32.8 bits/key, k=6) -> theoretical FPR
+    # ~0.05%; assert an order of magnitude of slack
+    assert fpr < 0.02, fpr
+
+
+def test_partials_or_merge():
+    a = pa.array([f"a-{i}" for i in range(500)])
+    b = pa.array([f"b-{i}" for i in range(500)])
+    merged = bloom_partial(a, M_BITS, K) | bloom_partial(b, M_BITS, K)
+    both = pa.array([f"a-{i}" for i in range(500)]
+                    + [f"b-{i}" for i in range(500)])
+    assert bloom_contains(merged, both, M_BITS, K).all()
+
+
+def test_int_keys_cast():
+    keys = pa.array(np.arange(1000, dtype=np.int64))
+    words = bloom_partial(keys, M_BITS, K)
+    assert bloom_contains(words, pa.array([5, 999], pa.int64()),
+                          M_BITS, K).all()
+
+
+def _mk(tmp_path):
+    # fact keys 0..96 with nulls; key set = multiples of 3 under 60
+    fact = pd.DataFrame({"k": [None if i % 41 == 0 else i % 97
+                               for i in range(3000)],
+                         "v": np.arange(3000)})
+    keys = pd.DataFrame({"kk": [i for i in range(0, 60, 3)] + [None]})
+    fdir, kdir = tmp_path / "bf", tmp_path / "bk"
+    fdir.mkdir(), kdir.mkdir()
+    pq.write_table(pa.Table.from_pandas(fact), str(fdir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(keys), str(kdir / "p.parquet"))
+    return str(fdir), str(kdir), fact, keys
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_with_bloom_prefilter(tmp_path):
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import (
+        anti_join, semi_join)
+
+    fdir, kdir, fact, keys = _mk(tmp_path)
+    kset = set(keys["kk"].dropna().astype(int))
+    member = fact["k"].isin(kset)
+
+    # broadcast_max_bytes=0 forces the shuffled path, which engages the
+    # Bloom prefilter (default Config has bloom_bits > 0)
+    semi = semi_join(rd.read_parquet(fdir), rd.read_parquet(kdir),
+                     "k", "kk", nparts=4,
+                     broadcast_max_bytes=0).to_pandas()
+    anti = anti_join(rd.read_parquet(fdir), rd.read_parquet(kdir),
+                     "k", "kk", nparts=4,
+                     broadcast_max_bytes=0).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["v"]).reset_index(drop=True)[["k", "v"]]
+
+    pd.testing.assert_frame_equal(
+        canon(semi), canon(fact[member]), check_dtype=False)
+    # anti keeps null-key rows (LEFT JOIN ... IS NULL parity)
+    pd.testing.assert_frame_equal(
+        canon(anti), canon(fact[~member]), check_dtype=False)
+    assert semi.shape[0] + anti.shape[0] == len(fact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_disabled_matches(tmp_path, monkeypatch):
+    import ray.data as rd
+    from security_log_analysis_rust_ray import config as cfgmod
+    from security_log_analysis_rust_ray.stages.joins import anti_join
+
+    fdir, kdir, fact, keys = _mk(tmp_path)
+    kset = set(keys["kk"].dropna().astype(int))
+    expected = fact[~fact["k"].isin(kset)]
+
+    cfgmod.set_config(cfgmod.Config(bloom_bits=0))
+    try:
+        anti = anti_join(rd.read_parquet(fdir), rd.read_parquet(kdir),
+                         "k", "kk", nparts=4,
+                         broadcast_max_bytes=0).to_pandas()
+    finally:
+        cfgmod.set_config(None)
+    got = anti.sort_values(["v"]).reset_index(drop=True)[["k", "v"]]
+    exp = expected.sort_values(["v"]).reset_index(drop=True)[["k", "v"]]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
