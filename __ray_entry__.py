@@ -67,7 +67,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "agg_conv_role_tool": R.agg_conv_role_tool,
         "watermarks": R.watermarks,
-        "incremental_parsed": R.incremental_parsed,
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
         "doc_token_stats": D.doc_token_stats,
@@ -87,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ANN.ann_topk,
         # multimodal plumbing (decode is a marked stub)
         "media_bmp_features": M.media_bmp_features,  # real-decode oracle
+        "media_wav_features": M.media_wav_features,  # real-decode oracle, r03
         # streaming-shaped ops
         "sessionize": STR.sessionize,
         "alert_batches": STR.alert_batches,           # recursive-CTE oracle
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only entries (no oracle_sql key; each has pytest
         # invariant/recall/determinism coverage) ----
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
+        "incremental_parsed": R.incremental_parsed,  # r01+r02-passed
         "recent_parsed_page": R.recent_parsed_page,  # r01+r02-passed
         "year_month_hist": R.year_month_hist,        # r01+r02-passed
         "oldest_unprocessed": R.oldest_unprocessed,  # r01+r02-passed
@@ -412,6 +413,19 @@ def oracle_sql() -> dict[str, str]:
         f" unnest(generate_series(0, {M.BMP_W - 1})) x(x),"
         f" unnest(generate_series(0, {M.BMP_H - 1})) y(y)"
         " GROUP BY d.doc_id")
+    # genuine WAV decode: SQL restatement of media_wav_manifest_ds's sample
+    # formula — the engine values come from parsing the actual WAV container
+    # (stdlib wave) and summing the decoded int16 samples' squares
+    out["media_wav_features"] = (
+        f"SELECT d.doc_id AS doc_id, {M.WAV_RATE} AS sample_rate,"
+        " 1 AS n_channels,"
+        " CAST(64 + d.doc_id % 64 AS BIGINT) AS n_samples,"
+        f" CAST((64 + d.doc_id % 64) * 1000000 // {M.WAV_RATE} AS BIGINT)"
+        " AS duration_us,"
+        " CAST(sum(((d.doc_id*37 + t.i*11) % 4096 - 2048)"
+        " * ((d.doc_id*37 + t.i*11) % 4096 - 2048)) AS BIGINT) AS sq_sum"
+        " FROM documents d, generate_series(0, 127) t(i)"
+        " WHERE t.i < 64 + d.doc_id % 64 GROUP BY d.doc_id")
     out["doc_pack_stats"] = docs_only + (
         "SELECT CAST(count(*) AS BIGINT) AS n_docs_packed,"
         " CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,"
