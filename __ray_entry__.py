@@ -66,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_countries": R.top10_countries,
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "agg_conv_role_tool": R.agg_conv_role_tool,
-        "watermarks": R.watermarks,
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
         "doc_token_stats": D.doc_token_stats,
@@ -101,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3d_counts": REL.events_sliding_3d_counts,
         "user_running_totals": REL.user_running_totals,
         "events_asof_signup": REL.events_asof_signup,
+        "events_in_session": REL.events_in_session,  # range join, new r03
         "events_semi_join_purchasers": REL.events_semi_join_purchasers,
         "distinct_host_count": REL.distinct_host_count,
         "hot_hosts": REL.hot_hosts,
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only entries (no oracle_sql key; each has pytest
         # invariant/recall/determinism coverage) ----
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
+        "watermarks": R.watermarks,                  # r01+r02-passed
         "incremental_parsed": R.incremental_parsed,  # r01+r02-passed
         "recent_parsed_page": R.recent_parsed_page,  # r01+r02-passed
         "year_month_hist": R.year_month_hist,        # r01+r02-passed
@@ -551,6 +552,22 @@ def oracle_sql() -> dict[str, str]:
         " FROM flags)\n"
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
         " count(*) AS n_events FROM sess GROUP BY user_id, session")
+    # range join: every event attributed to its session window via BETWEEN
+    out["events_in_session"] = (
+        "WITH lagged AS (SELECT user_id, event_id, ts,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+        " FROM events),\n"
+        "flags AS (SELECT *, CASE WHEN prev IS NULL OR"
+        f" date_diff('microsecond', prev, ts) > {STR.SESSION_GAP_S} * 1000000"
+        " THEN 1 ELSE 0 END AS new_s FROM lagged),\n"
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session"
+        " FROM flags),\n"
+        "windows AS (SELECT user_id, min(ts) AS session_start,"
+        " max(ts) AS session_end FROM sess GROUP BY user_id, session)\n"
+        "SELECT e.user_id, e.event_id, w.session_start FROM events e"
+        " JOIN windows w ON e.user_id = w.user_id"
+        " AND e.ts BETWEEN w.session_start AND w.session_end")
     out["events_semi_join_purchasers"] = (
         "SELECT user_id, event_id, event_type, ts FROM events "
         "WHERE user_id IN (SELECT user_id FROM events"

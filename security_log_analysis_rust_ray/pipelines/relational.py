@@ -341,6 +341,140 @@ def events_asof_signup(sf_dir: str) -> rd.Dataset:
         block_asof, batch_format="pandas", batch_size=None)
 
 
+_IJ_MARK = "__slar_ij__"
+
+
+def interval_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                  left_ts: str, lo_col: str, hi_col: str,
+                  right_payload: list[str], how: str = "inner") -> rd.Dataset:
+    """RANGE/INTERVAL JOIN (custom operator — Ray Data has none): attach
+    ``right``'s payload to every ``left`` row whose ``left_ts`` falls in
+    ``[lo_col, hi_col]`` of a same-``key`` interval.
+
+    Partitioning ASSUMPTION (documented, like the as-of join): intervals
+    are NON-OVERLAPPING per key, so each left row matches at most one
+    interval — then the match is exactly "the interval with the greatest
+    lo <= ts, if its hi >= ts", i.e. one vectorized ``merge_asof`` +
+    upper-bound mask per block.  Overlapping intervals would need the m:n
+    expansion of ``hash_join`` + a range filter instead.
+
+    Plan: tag both sides, ONE hash exchange on ``key`` (the same co-locate
+    exchange every windowed op here uses), then one pandas kernel per
+    block across all of its keys — no per-key Python, nothing
+    driver-side."""
+    import numpy as np
+
+    from ..stages.joins import _arrow_schema
+    assert how in ("inner", "left"), how
+    lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+    # the hash exchange partitions by VALUE+TYPE: a nullable left key
+    # arrives float64 while the right key is int64, and equal keys would
+    # land in different partitions — normalize the right key to the left
+    # key's dtype before the union
+    key_dtype = lsch.field(key).type.to_pandas_dtype()
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_IJ_MARK] = np.int8(0)
+        return df
+
+    # payload may name lo/hi themselves (e.g. emit the window start as the
+    # session id) — dedupe the right-side projection
+    extra = [c for c in right_payload if c not in (key, lo_col, hi_col)]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, lo_col, hi_col] + extra].copy()
+        df[key] = df[key].astype(key_dtype)
+        df[_IJ_MARK] = np.int8(1)
+        return df
+
+    from ..pipelines.streaming import _by_key_blocks
+    uni = left.map_batches(tag_left, batch_format="pandas",
+                           batch_size=None) \
+        .union(right.map_batches(tag_right, batch_format="pandas",
+                                 batch_size=None))
+
+    left_cols = [c for c in left.schema().names]
+    out_cols = left_cols + right_payload
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        if _IJ_MARK not in df.columns or not len(df):
+            return pd.DataFrame(columns=out_cols)
+        # a hash partition can hold only ONE side's rows, arriving without
+        # the other side's columns — pad them so the split below is total
+        for c in set(left_cols + [key, lo_col, hi_col] + extra):
+            if c not in df.columns:
+                df = df.assign(**{c: pd.NA})
+        all_left = df[df[_IJ_MARK] == 0][left_cols]
+        # null left keys never match; a LEFT join still keeps them
+        lrows = all_left.dropna(subset=[key])
+        rrows = df[df[_IJ_MARK] == 1][[key, lo_col, hi_col] + extra]
+        if not len(lrows):
+            out = pd.DataFrame(columns=out_cols)
+        elif not len(rrows):
+            # one-sided partition (no intervals): inner drops everything,
+            # left keeps the rows with null payload — and skips merge_asof,
+            # whose dtype validation chokes on the NA-padded empty side
+            if how == "inner":
+                out = pd.DataFrame(columns=out_cols)
+            else:
+                out = lrows.assign(**{c: pd.NA for c in right_payload
+                                      if c not in left_cols})[out_cols]
+        else:
+            lrows = lrows.sort_values(left_ts, kind="stable") \
+                .reset_index(drop=True)
+            rrows = rrows.sort_values(lo_col, kind="stable") \
+                .reset_index(drop=True)
+            out = pd.merge_asof(lrows, rrows, by=key, left_on=left_ts,
+                                right_on=lo_col, direction="backward")
+            inside = out[hi_col].notna() & (out[left_ts] <= out[hi_col])
+            if how == "inner":
+                return out[inside][out_cols]
+            out.loc[~inside, right_payload] = pd.NA
+            out = out[out_cols]
+        nulls = all_left[all_left[key].isna()]
+        if how == "left" and len(nulls):
+            nulls = nulls.assign(**{c: pd.NA for c in right_payload
+                                    if c not in left_cols})
+            out = pd.concat([out, nulls[out_cols]], ignore_index=True)
+        return out
+
+    # the tagged-union block pads each side's missing columns with NaN,
+    # which coerces int64 left columns to float64 in pandas; cast the
+    # output back to the sides' original Arrow types (nullable, so a LEFT
+    # join's NA payload survives)
+    fields = [lsch.field(c) for c in left_cols] + [
+        pa.field(c, rsch.field(c).type) for c in right_payload
+        if c not in left_cols]
+    out_schema = pa.schema(fields)
+
+    def recast(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        return pa.table({f.name: t[f.name].cast(f.type) for f in fields})
+
+    return _by_key_blocks(uni, [key]).map_batches(
+        probe, batch_format="pandas", batch_size=None) \
+        .map_batches(recast, batch_format="pyarrow", batch_size=None)
+
+
+def events_in_session(sf_dir: str) -> rd.Dataset:
+    """Range-join demo over real derived intervals: attribute every event
+    to its session window (sessionize's [session_start, session_end] per
+    user — non-overlapping by construction, the interval_join contract).
+    Output: (user_id, event_id, session_start) — SQL-checkable via a
+    BETWEEN join against the same window CTE."""
+    from ..pipelines.streaming import sessionize
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    sess = sessionize(sf_dir)
+    out = interval_join(ev, sess, key="user_id", left_ts="ts",
+                        lo_col="session_start", hi_col="session_end",
+                        right_payload=["session_start"], how="inner")
+    return out.map_batches(
+        lambda df: df[["user_id", "event_id", "session_start"]],
+        batch_format="pandas", batch_size=None)
+
+
 def events_semi_join_purchasers(sf_dir: str) -> rd.Dataset:
     """SEMI-JOIN, size-aware (stages/joins.semi_join): events of users who
     have at least one 'purchase' event.  A small distinct key set broadcasts
