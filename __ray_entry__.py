@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": M.media_stats,                # r02-passed, unchanged
         "media_checksums": M.media_checksums,        # r02-passed, unchanged
         "approx_distinct_terms": D.approx_distinct_terms,  # rows-only (HLL)
+        "doc_length_quantiles_approx":
+            D.doc_length_quantiles_approx,  # rows-only (quantile sketch)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "doc_incremental_near_dedup": D.doc_incremental_near_dedup,  # rows-only (LSH)

@@ -951,6 +951,31 @@ def doc_length_quantiles(sf_dir: str,
     return rd.from_pandas(pd.DataFrame(rows))
 
 
+def doc_length_quantiles_approx(sf_dir: str,
+                                qs: tuple = (0.25, 0.5, 0.9, 0.99),
+                                ) -> rd.Dataset:
+    """APPROXIMATE per-doc token-count quantiles via the mergeable
+    quantile-grid sketch (stages/sketch.approx_quantiles): one ~4 KB
+    partial per block, distributed re-summarization, driver sees a
+    handful of rows.  The exact sibling (``doc_length_quantiles``) relies
+    on the length domain being bounded; this sketch works for UNBOUNDED
+    value domains (latencies, scores, byte sizes) where the histogram
+    plan explodes — the trade is a ~1/512 rank error (pytest-bounded
+    against the exact path).  Approximate -> rows-only (no SQL oracle)."""
+    from ..stages.sketch import approx_quantiles
+
+    def lens(b: pa.Table) -> pa.Table:
+        nt = pc.add(pc.count_substring(b["text"], " "), 1)
+        return pa.table({"n_tokens": pc.cast(nt, pa.int64())})
+
+    est = approx_quantiles(
+        docs_aug_ds(sf_dir).map_batches(lens, batch_format="pyarrow",
+                                        batch_size=None),
+        "n_tokens", list(qs))
+    return rd.from_pandas(pd.DataFrame(
+        [{"q": q, "n_tokens_approx": est[q]} for q in qs]))
+
+
 def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """Content fingerprint per doc (vectorized stable 64-bit hash of the
     text + token count) — the lineage/dedup id analog of the reference's

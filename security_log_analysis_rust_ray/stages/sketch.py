@@ -161,6 +161,87 @@ def _merge_rows(b: pa.Table) -> pa.Table:
                                      pa.binary())})
 
 
+QS_GRID = 512  # per-block quantile-grid resolution (~0.2% rank error/block)
+
+
+def quantile_partial(vals: np.ndarray, k: int = QS_GRID) -> np.ndarray:
+    """One block's quantile summary: the block's values at k equally
+    spaced quantile positions (a weighted-centroid grid, deterministic —
+    no sampling).  Shape (k,) float64; pair it with the block count."""
+    vals = np.asarray(vals, dtype=np.float64)
+    vals = vals[~np.isnan(vals)]
+    if not len(vals):
+        return np.full(k, np.nan)
+    return np.quantile(vals, np.linspace(0.0, 1.0, k))
+
+
+def quantile_merge(grids: np.ndarray, counts: np.ndarray,
+                   qs: np.ndarray) -> np.ndarray:
+    """Merge per-block grids into estimates at requested quantiles ``qs``:
+    every grid point is a centroid of weight count/k; sort all centroids,
+    interpolate the cumulative-weight curve.  Deterministic; rank error is
+    bounded by ~1/k per block (plus interpolation)."""
+    keep = counts > 0
+    grids, counts = grids[keep], counts[keep]
+    if not len(grids):
+        return np.full(len(qs), np.nan)
+    k = grids.shape[1]
+    w = np.repeat(counts / k, k).astype(np.float64)
+    v = grids.reshape(-1)
+    ok = ~np.isnan(v)
+    v, w = v[ok], w[ok]
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w) - 0.5 * w      # centroid midpoints
+    cum /= w.sum()
+    return np.interp(np.asarray(qs, dtype=np.float64), cum, v)
+
+
+def approx_quantiles(ds: rd.Dataset, col: str, qs: list[float],
+                     k: int = QS_GRID) -> dict[float, float]:
+    """Approximate quantiles of ``col`` at 100-TB scale: one (grid, count)
+    partial row per block (k float64s, ~4 KB), a distributed second-level
+    weighted re-summarization (repartition to a handful of blocks), then
+    a tiny driver-side merge — same fold shape as ``approx_distinct``.
+    The exact path (``docs.doc_length_quantiles``) shuffles every distinct
+    value; this never moves more than blocks x 4 KB."""
+    def partial(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vals = c.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        grid = quantile_partial(vals, k)
+        n = int(np.sum(~np.isnan(vals)))
+        return pa.table({"grid": pa.array([grid.tobytes()], pa.large_binary()),
+                         "n": pa.array([n], pa.int64())})
+
+    def resummarize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "grid" not in b.schema.names:
+            return pa.table({"grid": pa.array([], pa.large_binary()),
+                             "n": pa.array([], pa.int64())})
+        grids = np.stack([np.frombuffer(g.as_py(), dtype=np.float64)
+                          for g in b["grid"]])
+        counts = b["n"].to_numpy().astype(np.float64)
+        merged = quantile_merge(grids, counts, np.linspace(0.0, 1.0, k))
+        total = int(counts.sum())
+        return pa.table({"grid": pa.array([merged.tobytes()],
+                                          pa.large_binary()),
+                         "n": pa.array([total], pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .repartition(8) \
+        .map_batches(resummarize, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
+    if not len(rows):
+        return {q: float("nan") for q in qs}
+    grids = np.stack([np.frombuffer(g, dtype=np.float64)
+                      for g in rows["grid"]])
+    counts = rows["n"].to_numpy().astype(np.float64)
+    est = quantile_merge(grids, counts, np.asarray(qs))
+    return {q: float(v) for q, v in zip(qs, est)}
+
+
 def approx_distinct(ds: rd.Dataset, col: str) -> float:
     """Approximate COUNT(DISTINCT col): per-block register partials (one
     4 KB row each) -> distributed second-level max-merge (repartition to a

@@ -1,0 +1,68 @@
+"""Mergeable quantile-grid sketch (stages/sketch.py): rank-error bound vs
+exact quantiles, mergeability, determinism, and the docs pipeline entry
+agreeing with the exact histogram path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from security_log_analysis_rust_ray.stages.sketch import (
+    QS_GRID, quantile_merge, quantile_partial)
+
+
+def _rank_error(vals, q, est):
+    """|rank(est) - q| in normalized rank space."""
+    vals = np.sort(vals)
+    rank = np.searchsorted(vals, est, side="right") / len(vals)
+    return abs(rank - q)
+
+
+def test_partial_then_merge_rank_error_bounded():
+    rng = np.random.default_rng(11)
+    # heavy-tailed: the regime the exact bounded-domain plan can't handle
+    vals = np.exp(rng.normal(0, 2, 200_000))
+    blocks = np.array_split(vals, 37)
+    grids = np.stack([quantile_partial(b) for b in blocks])
+    counts = np.array([len(b) for b in blocks], dtype=np.float64)
+    qs = np.array([0.01, 0.25, 0.5, 0.9, 0.99])
+    est = quantile_merge(grids, counts, qs)
+    for q, e in zip(qs, est):
+        assert _rank_error(vals, q, e) < 0.01, (q, e)
+
+
+def test_mergeability_two_level():
+    rng = np.random.default_rng(5)
+    vals = rng.normal(100, 15, 100_000)
+    a, b = vals[:60_000], vals[60_000:]
+    one = quantile_merge(np.stack([quantile_partial(vals)]),
+                         np.array([len(vals)], dtype=np.float64),
+                         np.array([0.5]))
+    two = quantile_merge(
+        np.stack([quantile_partial(a), quantile_partial(b)]),
+        np.array([len(a), len(b)], dtype=np.float64), np.array([0.5]))
+    assert abs(one[0] - two[0]) < 0.5  # both within a sliver of the median
+
+
+def test_determinism_and_empty_and_nan():
+    vals = np.arange(1000, dtype=np.float64)
+    assert (quantile_partial(vals) == quantile_partial(vals)).all()
+    assert np.isnan(quantile_partial(np.array([]))).all()
+    withnan = np.concatenate([vals, [np.nan] * 50])
+    assert np.allclose(quantile_partial(withnan), quantile_partial(vals))
+    est = quantile_merge(np.stack([np.full(QS_GRID, np.nan)]),
+                         np.array([0.0]), np.array([0.5]))
+    assert np.isnan(est).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_docs_approx_vs_exact_quantiles():
+    from security_log_analysis_rust_ray.pipelines import docs as D
+    sf = "/root/testdata/sf0.001"
+    exact = D.doc_length_quantiles(sf).to_pandas().set_index("q")["n_tokens"]
+    approx = D.doc_length_quantiles_approx(sf).to_pandas() \
+        .set_index("q")["n_tokens_approx"]
+    for q in (0.25, 0.5, 0.9, 0.99):
+        # token counts are small ints; allow the interpolation to land
+        # within a few tokens of the exact discrete quantile
+        assert abs(approx[q] - exact[q]) <= max(2, 0.05 * exact[q]), q
