@@ -59,60 +59,97 @@ def _as_hash_input(col) -> pa.Array:
     return col
 
 
-def _positions(col: pa.Array, m_bits: int, k: int) -> np.ndarray:
+def _key_hashes(cols: list, seed: int) -> np.ndarray:
+    """uint64 hash per row over one or more key columns (composite keys
+    mix per-column hashes, matching ``functions.hashing.mix64``'s shape)."""
+    from ..functions.hashing import mix64
+    hs = [hash64(_as_hash_input(c), seed=seed) for c in cols]
+    return hs[0] if len(hs) == 1 else mix64(hs, seed=seed)
+
+
+def _positions(cols: list, m_bits: int, k: int) -> np.ndarray:
     """(k, n) uint64 probe positions via double hashing; null rows get
     position 0 in every probe — callers mask nulls out separately."""
-    col = _as_hash_input(col)
-    h1 = hash64(col, seed=_SEED1)
-    h2 = hash64(col, seed=_SEED2) | np.uint64(1)   # odd -> full-period step
+    h1 = _key_hashes(cols, _SEED1)
+    h2 = _key_hashes(cols, _SEED2) | np.uint64(1)  # odd -> full-period step
     i = np.arange(k, dtype=np.uint64)[:, None]
     with np.errstate(over="ignore"):
         return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
 
 
-def bloom_partial(col: pa.Array, m_bits: int, k: int) -> np.ndarray:
-    """One block's bitmap (uint64 words, length m_bits/64).  Null keys are
-    skipped (a null never matches a semi/anti probe)."""
+def _cols(tbl_or_col, cols: list[str] | None):
+    """Normalize input: a bare Array means one key; a Table + column list
+    means a (possibly composite) key."""
+    if cols is None:
+        c = tbl_or_col
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return [c]
+    return [tbl_or_col[c].combine_chunks()
+            if isinstance(tbl_or_col[c], pa.ChunkedArray) else tbl_or_col[c]
+            for c in cols]
+
+
+def _valid_mask(cols: list) -> np.ndarray | None:
+    """True where EVERY key column is non-null (a null never matches)."""
+    mask = None
+    for c in cols:
+        if c.null_count:
+            v = np.asarray(pa.compute.is_valid(c))
+            mask = v if mask is None else (mask & v)
+    return mask
+
+
+def bloom_partial(col, m_bits: int, k: int,
+                  cols: list[str] | None = None) -> np.ndarray:
+    """One block's bitmap (uint64 words, length m_bits/64).  Rows with a
+    null key component are skipped (a null never matches a probe)."""
     words = np.zeros(m_bits >> 6, dtype=np.uint64)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if col.null_count:
-        col = col.drop_null()
-    if len(col) == 0:
+    key_cols = _cols(col, cols)
+    n = len(key_cols[0])
+    if n == 0:
         return words
-    pos = _positions(col, m_bits, k)
+    pos = _positions(key_cols, m_bits, k)
+    valid = _valid_mask(key_cols)
+    if valid is not None:
+        pos = pos[:, valid]
     np.bitwise_or.at(words, (pos >> np.uint64(6)).ravel(),
                      np.uint64(1) << (pos & np.uint64(63)).ravel())
     return words
 
 
-def bloom_contains(words: np.ndarray, col, m_bits: int,
-                   k: int) -> np.ndarray:
-    """Vectorized membership probe: bool ndarray, False for null keys."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
+def bloom_contains(words: np.ndarray, col, m_bits: int, k: int,
+                   cols: list[str] | None = None) -> np.ndarray:
+    """Vectorized membership probe: bool ndarray, False where any key
+    component is null."""
+    key_cols = _cols(col, cols)
+    n = len(key_cols[0])
     if n == 0:
         return np.zeros(0, dtype=bool)
-    pos = _positions(col, m_bits, k)
+    pos = _positions(key_cols, m_bits, k)
     hits = (words[(pos >> np.uint64(6))] >> (pos & np.uint64(63))) \
         & np.uint64(1)
     out = hits.all(axis=0)
-    if col.null_count:
-        out &= np.asarray(pa.compute.is_valid(col))
+    valid = _valid_mask(key_cols)
+    if valid is not None:
+        out &= valid
     return out
 
 
-def build_bloom(keys: rd.Dataset, col: str, m_bits: int,
+def build_bloom(keys: rd.Dataset, col: str | list[str], m_bits: int,
                 k: int) -> np.ndarray:
     """Distributed build: per-block bitmap partials -> second-level OR
     merge across a handful of partitions -> driver ORs the survivors.
-    Returns the uint64 word array (broadcast it with ``ray.put``)."""
+    Returns the uint64 word array (broadcast it with ``ray.put``).
+    ``col`` may be a list for composite keys."""
+    col_list = [col] if isinstance(col, str) else list(col)
+
     def partial(b: pa.Table) -> pa.Table:
-        if col not in b.schema.names or b.num_rows == 0:
+        if b.num_rows == 0 or any(c not in b.schema.names
+                                  for c in col_list):
             w = np.zeros(m_bits >> 6, dtype=np.uint64)
         else:
-            w = bloom_partial(b[col], m_bits, k)
+            w = bloom_partial(b, m_bits, k, cols=col_list)
         return pa.table({"bits": pa.array([w.tobytes()], pa.large_binary())})
 
     def or_merge(b: pa.Table) -> pa.Table:

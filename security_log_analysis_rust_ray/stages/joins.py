@@ -289,6 +289,33 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
 
         return left.map_batches(attach, batch_format="pyarrow")
 
+    # runtime filter (inner only — a left join keeps non-matching rows):
+    # a Bloom filter over the right side's keys prunes the left stream
+    # BEFORE the all-to-all exchange, so the shuffle moves matching rows +
+    # false positives instead of the whole left table; no false negatives,
+    # and the exact Acero join after the exchange removes the FPs, so the
+    # result is bit-identical.  Types match by construction (right keys
+    # are cast to the left key types before hashing).
+    cfg = get_config()
+    if join_type == "inner" and cfg.bloom_bits and cfg.bloom_hashes:
+        from .bloom import bloom_contains, build_bloom
+        m, kh = cfg.bloom_bits, cfg.bloom_hashes
+
+        def rkeys(t: pa.Table) -> pa.Table:
+            t = _cast_keys(t.rename_columns(_right_names(t.column_names)))
+            return t.select(list(on))
+
+        bref = ray.put(build_bloom(
+            right.map_batches(rkeys, batch_format="pyarrow",
+                              batch_size=None), list(on), m, kh))
+
+        def lprune(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(bloom_contains(
+                ray.get(bref), b, m, kh, cols=list(on))))
+
+        left = left.map_batches(lprune, batch_format="pyarrow",
+                                batch_size=None)
+
     def tag_left(t: pa.Table) -> pa.Table:
         assert _MARKER not in t.schema.names, _MARKER
         return t.append_column(
@@ -391,6 +418,17 @@ def _bloom_prefilter(fact: rd.Dataset, keys: rd.Dataset, fact_key: str,
     cfg = get_config()
     m, k = cfg.bloom_bits, cfg.bloom_hashes
     if not m or not k:
+        return fact, None
+    # the probe hashes the key's STRING form, so both sides must carry the
+    # same Arrow type ("3" vs "3.0" would be a false NEGATIVE = wrong
+    # results); on a type mismatch skip the filter — the exact shuffled
+    # probe (which compares on the union-promoted type) stays correct
+    try:
+        ftype = _arrow_schema(fact).field(fact_key).type
+        ktype = _arrow_schema(keys).field(fact_key).type
+    except (KeyError, AttributeError):
+        return fact, None
+    if ftype != ktype:
         return fact, None
     ref = ray.put(build_bloom(keys, fact_key, m, k))
 

@@ -54,6 +54,47 @@ def test_int_keys_cast():
                           M_BITS, K).all()
 
 
+def test_composite_keys():
+    t = pa.table({"x": pa.array([1, 2, 3, None], pa.int64()),
+                  "y": pa.array(["a", "b", "c", "d"])})
+    words = bloom_partial(t, M_BITS, K, cols=["x", "y"])
+    probe = pa.table({"x": pa.array([1, 2, 1, None], pa.int64()),
+                      "y": pa.array(["a", "b", "b", "d"])})
+    got = bloom_contains(words, probe, M_BITS, K, cols=["x", "y"])
+    # (1,a) and (2,b) inserted; (1,b) was not; null component never matches
+    assert got.tolist()[:2] == [True, True]
+    assert got.tolist()[3] is False or got.tolist()[3] == False  # noqa: E712
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_runtime_filter_inner(tmp_path):
+    """Shuffled inner hash_join (broadcast forced off) engages the Bloom
+    runtime filter; results must equal the pandas merge oracle."""
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": np.arange(3000) % 97,
+                         "s": [f"s{i % 7}" for i in range(3000)],
+                         "v": np.arange(3000)})
+    right = pd.DataFrame({"rk": [i * 3 for i in range(20)],
+                          "rs": [f"s{i % 7}" for i in range(20)],
+                          "w": np.arange(20) * 10})
+    ldir, rdir = tmp_path / "hl", tmp_path / "hr"
+    ldir.mkdir(), rdir.mkdir()
+    pq.write_table(pa.Table.from_pandas(left), str(ldir / "p.parquet"))
+    pq.write_table(pa.Table.from_pandas(right), str(rdir / "p.parquet"))
+
+    got = hash_join(rd.read_parquet(str(ldir)), rd.read_parquet(str(rdir)),
+                    on=("k", "s"), right_on=("rk", "rs"), nparts=4,
+                    how="inner", broadcast_max_bytes=0).to_pandas()
+    exp = left.merge(right.rename(columns={"rk": "k", "rs": "s"}),
+                     on=["k", "s"], how="inner")
+    cols = ["k", "s", "v", "w"]
+    got = got.sort_values(["v"]).reset_index(drop=True)[cols]
+    exp = exp.sort_values(["v"]).reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def _mk(tmp_path):
     # fact keys 0..96 with nulls; key set = multiples of 3 under 60
     fact = pd.DataFrame({"k": [None if i % 41 == 0 else i % 97
