@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
+        "ann_pq_topk": ANN.ann_pq_topk,              # rows-only (PQ approx)
         "media_features": M.media_features,          # rows-only (fake payloads)
         "media_thumbnails": M.media_thumbnails,      # rows-only (stub resize)
         "media_frames": M.media_frames,              # rows-only (stub frames)

@@ -405,3 +405,149 @@ def ann_ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_NPROBE) -> rd.Da
         return g
 
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+# --- product quantization (PQ) ANN -------------------------------------
+
+# Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split each vector into M subvectors, vector-quantize each
+# subspace with its own small codebook, approximate inner products by a
+# per-query lookup table — the memory path for 100-TB embedding stores
+# (M uint8 codes per vector instead of DIM floats: 8 B vs 512 B here, 64x).
+PQ_M = 8            # subspaces (DIM % PQ_M == 0)
+PQ_K = 32           # centroids per subspace (one uint8 code each)
+PQ_TRAIN = 512      # deterministic training-sample size
+PQ_OVERFETCH = 8    # candidates per query = PQ_OVERFETCH * k before re-rank
+
+
+def _pq_train(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ codebooks (PQ_M, PQ_K, DIM/PQ_M): strided sample
+    by vec_id (only PQ_TRAIN rows reach the driver), then a few Lloyd
+    iterations per subspace with strided deterministic init — pure numpy,
+    milliseconds at this codebook size; at production scale training runs
+    once offline and ships as an artifact."""
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = base.count()
+    stride = max(1, n // PQ_TRAIN)
+    want = pa.array([i * stride for i in range(PQ_TRAIN) if i * stride < n],
+                    pa.int64())
+    rows = base.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], value_set=want)),
+        batch_format="pyarrow", batch_size=None).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    sample = _normalize(np.array([r["embedding"] for r in rows],
+                                 dtype=np.float64))
+    d = DIM // PQ_M
+    books = np.empty((PQ_M, PQ_K, d))
+    for m in range(PQ_M):
+        sub = sample[:, m * d:(m + 1) * d]
+        # deterministic init: strided rows of the (deterministic) sample
+        init_stride = max(1, len(sub) // PQ_K)
+        cent = sub[::init_stride][:PQ_K].copy()
+        while len(cent) < PQ_K:          # tiny sample fallback
+            cent = np.vstack([cent, cent[: PQ_K - len(cent)]])
+        for _ in range(8):               # Lloyd iterations
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                sel = sub[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def ann_pq_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
+    """PQ-compressed ANN with exact re-rank — the production memory path:
+
+      1. train codebooks on a deterministic sample (driver sees PQ_TRAIN
+         rows; at scale this is an offline artifact), broadcast once;
+      2. asymmetric-distance scan as map_batches: each block encodes its
+         vectors to M uint8 codes and scores ALL queries against the codes
+         via per-query lookup tables (one (M, PQ_K) table gather per
+         block — no float matmul against the base);
+      3. per-block partial top-(OVERFETCH*k) candidates -> tiny per-query
+         reduce;
+      4. exact re-rank: fetch ONLY the candidates' true vectors (size-aware
+         semi_join against the base) and compute real cosine for the final
+         top-k.  Approximate recall (pytest-bounded vs brute force) ->
+         rows-only entry.
+    """
+    qt = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(lambda b: b.filter(pc.less(b["vec_id"], N_QUERIES)),
+                     batch_format="pyarrow", batch_size=None) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q_ids = qt["vec_id"].to_numpy()
+    qm = _normalize(np.stack(qt["embedding"].to_numpy()).astype(np.float64))
+    books = _pq_train(sf_dir)
+    d = DIM // PQ_M
+    # LUT[q, m, c] = q_sub(m) . centroid(m, c): approx cos = sum_m LUT
+    luts = np.einsum("qmd,mcd->qmc",
+                     qm.reshape(len(qm), PQ_M, d), books)
+    ref = ray.put((q_ids, luts, books))
+    nfetch = PQ_OVERFETCH * k
+
+    class PQScan:
+        def __init__(self):
+            self.q_ids, self.luts, self.books = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy()
+            m = _normalize(_mat(b["embedding"])).reshape(-1, PQ_M, d)
+            # encode: per subspace, nearest centroid (vectorized over rows)
+            codes = np.empty((len(ids), PQ_M), dtype=np.uint8)
+            for sub in range(PQ_M):
+                d2 = ((m[:, sub, None, :] - self.books[sub][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, sub] = d2.argmin(axis=1)
+            # ADC scores for ALL queries in one LUT gather: (Q, n)
+            scores = self.luts[:, np.arange(PQ_M)[None, :], codes].sum(
+                axis=2)
+            out_q, out_n, out_s = [], [], []
+            kk = min(nfetch, len(ids))
+            for qi in range(len(self.q_ids)):
+                sims = scores[qi]
+                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) \
+                    else np.arange(len(sims))
+                out_q.extend([self.q_ids[qi]] * len(idx))
+                out_n.extend(ids[idx])
+                out_s.extend(sims[idx])
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "approx_sim": pa.array(np.asarray(out_s, dtype=np.float64)),
+            })
+
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cand = base.map_batches(PQScan, batch_format="pyarrow",
+                            concurrency=(1, 8), batch_size=8192)
+
+    def reduce_cands(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["approx_sim", "neighbor_id"],
+                             ascending=[False, True]).head(nfetch)
+
+    cand = cand.groupby("query_id").map_groups(
+        reduce_cands, batch_format="pandas").materialize()
+
+    # exact re-rank: true vectors for ONLY the candidate ids
+    from ..stages.joins import semi_join
+    cand_ids = cand.map_batches(
+        lambda t: pa.table({"vec_id": t["neighbor_id"]}),
+        batch_format="pyarrow", batch_size=None)
+    fetched = semi_join(base, cand_ids, "vec_id", "vec_id") \
+        .to_pandas()
+    fm = _normalize(np.stack(fetched["embedding"].to_numpy())
+                    .astype(np.float64))
+    sims = qm @ fm.T                                  # (Q, n_cand)
+    nid = fetched["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(nid)}
+    cd = cand.to_pandas()
+    cd["cos_sim"] = sims[
+        np.searchsorted(q_ids, cd["query_id"].to_numpy()),
+        [pos[int(v)] for v in cd["neighbor_id"]]]
+    out = cd.sort_values(["query_id", "cos_sim", "neighbor_id"],
+                         ascending=[True, False, True]) \
+        .groupby("query_id").head(k)
+    out["cos_sim"] = round_half_up(out["cos_sim"].to_numpy())
+    return rd.from_pandas(
+        out[["query_id", "neighbor_id", "cos_sim"]].reset_index(drop=True))

@@ -60,6 +60,24 @@ def test_ivf_recall_vs_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pq_recall_vs_bruteforce():
+    """PQ ADC scan + exact re-rank: high overlap with brute force, exact
+    cos_sim values on the overlap (re-rank computes REAL cosine), and the
+    self-neighbor always survives quantization."""
+    bf = A.ann_topk(SF_SMOKE).to_pandas()
+    pq_ = A.ann_pq_topk(SF_SMOKE).to_pandas()
+    b = set(zip(bf["query_id"], bf["neighbor_id"]))
+    p = set(zip(pq_["query_id"], pq_["neighbor_id"]))
+    recall = len(b & p) / len(b)
+    assert recall >= 0.7, f"PQ recall {recall}"
+    merged = bf.merge(pq_, on=["query_id", "neighbor_id"],
+                      suffixes=("_bf", "_pq"))
+    assert (merged["cos_sim_bf"] == merged["cos_sim_pq"]).all()
+    for q in bf["query_id"].unique():
+        assert (q, q) in p
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_media_stub_deterministic():
     a = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id")
     b = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id")
