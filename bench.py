@@ -130,11 +130,27 @@ def run_bench() -> dict:
     # natural-key dedup shuffle over parsed rows
     timed("parsed_dedup", lambda: dd.dedup_keep_first(parsed_ds()).count())
 
+    # crawl-cleaning throughput: the PII scrub's two vectorized RE2
+    # passes over every turn (pure map, fuses with the read — the hot
+    # stage shape of a 100-TB cleaning pipeline).  Folds to one row per
+    # batch so the timer sees kernel + read cost, not output transport.
+    from security_log_analysis_rust_ray.pipelines import docs as docs_pipe
+
+    def _scrub_fold(b: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(
+            b["text"], pattern=docs_pipe.IP_REGEX, replacement="<ip>")
+        red = pc.replace_substring_regex(
+            red, pattern=docs_pipe.LONGNUM_REGEX, replacement="<num>")
+        return pa.table({"n": pa.array([len(red)], pa.int64())})
+
+    timed("redact_pii", lambda: rd.read_parquet(paths, columns=["text"])
+          .map_batches(_scrub_fold, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True).sum("n"))
+
     # similarity tier (vectorized hash64 kernels + dataset-native LSH
     # verify — r02).  The sf tables' documents (~5k rows) are pure fixed
     # overhead for these pipelines, so they bench against a deterministic
     # 100k-doc corpus (SLAR_BENCH_DOCS to resize)
-    from security_log_analysis_rust_ray.pipelines import docs as docs_pipe
     docs_dir = synth.ensure_documents_bench(
         int(os.environ.get("SLAR_BENCH_DOCS", "100000")))
     timed("simhash64", lambda: docs_pipe.simhash64(docs_dir).count())

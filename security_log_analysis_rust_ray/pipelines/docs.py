@@ -1100,3 +1100,79 @@ def simhash_near_dup_pairs(sf_dir: str,
 
     return p3.map_batches(ham, batch_format="pyarrow",
                           batch_size=None).sort(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# decontamination + PII scrub (round 3)
+# ---------------------------------------------------------------------------
+
+def doc_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Test-set decontamination: per TRAINING doc (doc_id < _AUG_BASE),
+    count the distinct word-NGRAMs it shares with the held-out "eval"
+    slice (the augmented rows, doc_id >= _AUG_BASE — a deterministic
+    stand-in for a benchmark suite that leaked into the crawl).
+
+    Plan (the shape you'd run at 10^9 docs): shingle both slices with the
+    shared Arrow kernel; the eval gram set goes through the size-aware
+    ``semi_join`` — broadcast while the eval suite is small (the common
+    case: benchmarks are MBs, the crawl is TBs), partitioned hash probe
+    beyond the byte budget.  The surviving (doc_id, g) stream is already
+    distinct per doc, so the per-doc overlap count is a plain grouped
+    count; nothing corpus-sized ever sits on the driver.
+    """
+    from ..stages.joins import semi_join
+
+    base = docs_aug_ds(sf_dir)
+
+    def eval_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["doc_id"], _AUG_BASE))
+
+    def train_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["doc_id"], _AUG_BASE))
+
+    eval_g = base.map_batches(eval_rows, batch_format="pyarrow",
+                              batch_size=None) \
+        .map_batches(_distinct_shingles_batch, batch_format="pyarrow") \
+        .select_columns(["g"])
+    train_g = base.map_batches(train_rows, batch_format="pyarrow",
+                               batch_size=None) \
+        .map_batches(_distinct_shingles_batch, batch_format="pyarrow")
+    hits = semi_join(train_g, eval_g, "g", "g",
+                     nparts=_join_parts(sf_dir))
+    return agg.grouped_count(hits, ["doc_id"], alias="n_shared",
+                             high_cardinality=True).sort("doc_id")
+
+
+# RE2 syntax on BOTH sides of the parity check: pyarrow.compute's regex
+# kernels and DuckDB's regexp_* are each backed by RE2, so one pattern
+# string serves engine and oracle verbatim.
+IP_REGEX = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+LONGNUM_REGEX = r"\b\d{4,}\b"
+
+
+def redact_pii(sf_dir: str) -> rd.Dataset:
+    """PII/identifier scrub over the transcript corpus: mask IPv4
+    addresses, then remaining 4+-digit runs, and count the IPs per turn.
+    One vectorized RE2 pass per pattern per batch
+    (``pc.replace_substring_regex`` / ``pc.count_substring_regex``) —
+    the shape of a crawl-cleaning stage at 100 TB: stateless, fuses with
+    the read, no shuffle, only the pruned 3 columns leave storage.
+    Reference analog: the substring filter+rewrite pass of
+    `src/parse_logs.rs:34-57` generalized to masking."""
+    from ..sources.readers import read_transcripts
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        n_ips = pc.count_substring_regex(txt, IP_REGEX)
+        red = pc.replace_substring_regex(txt, pattern=IP_REGEX,
+                                         replacement="<ip>")
+        red = pc.replace_substring_regex(red, pattern=LONGNUM_REGEX,
+                                         replacement="<num>")
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "redacted": red,
+                         "n_ips": pc.cast(n_ips, pa.int64())})
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
