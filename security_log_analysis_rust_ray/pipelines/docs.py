@@ -1123,24 +1123,41 @@ def doc_decontaminate(sf_dir: str) -> rd.Dataset:
     from ..stages.joins import semi_join
 
     base = docs_aug_ds(sf_dir)
-
-    def eval_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b["doc_id"], _AUG_BASE))
-
-    def train_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(b["doc_id"], _AUG_BASE))
-
-    eval_g = base.map_batches(eval_rows, batch_format="pyarrow",
+    eval_g = base.map_batches(_eval_rows, batch_format="pyarrow",
                               batch_size=None) \
         .map_batches(_distinct_shingles_batch, batch_format="pyarrow") \
         .select_columns(["g"])
-    train_g = base.map_batches(train_rows, batch_format="pyarrow",
+    train_g = base.map_batches(_train_rows, batch_format="pyarrow",
                                batch_size=None) \
         .map_batches(_distinct_shingles_batch, batch_format="pyarrow")
     hits = semi_join(train_g, eval_g, "g", "g",
                      nparts=_join_parts(sf_dir))
     return agg.grouped_count(hits, ["doc_id"], alias="n_shared",
                              high_cardinality=True).sort("doc_id")
+
+
+def _eval_rows(b: pa.Table) -> pa.Table:
+    """The held-out slice standing in for a benchmark suite."""
+    return b.filter(pc.greater_equal(b["doc_id"], _AUG_BASE))
+
+
+def _train_rows(b: pa.Table) -> pa.Table:
+    return b.filter(pc.less(b["doc_id"], _AUG_BASE))
+
+
+def doc_decontaminated_corpus(sf_dir: str) -> rd.Dataset:
+    """The removal step of decontamination: the training corpus minus
+    every doc `doc_decontaminate` flagged — a size-aware anti-join on
+    doc_id (flag set is tiny next to the corpus, so it broadcasts; past
+    the byte budget it flips to the partitioned probe).  This is the
+    dataset you'd actually hand to training."""
+    from ..stages.joins import anti_join
+
+    train = docs_aug_ds(sf_dir).map_batches(
+        _train_rows, batch_format="pyarrow", batch_size=None)
+    flagged = doc_decontaminate(sf_dir).select_columns(["doc_id"])
+    return anti_join(train, flagged, "doc_id", "doc_id",
+                     nparts=_join_parts(sf_dir)).sort("doc_id")
 
 
 # RE2 syntax on BOTH sides of the parity check: pyarrow.compute's regex
