@@ -42,6 +42,19 @@ def _mat(batch_col) -> np.ndarray:
     return flat.reshape(-1, DIM)
 
 
+def _topk_tie_idx(sims: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-``kk`` sims INCLUDING every tie at the boundary
+    value: bare argpartition resolves boundary ties arbitrarily, so a
+    partial top-k could drop the very neighbor the deterministic
+    (sim desc, id asc) final reduce — and the exact SQL oracle — would
+    keep.  Emitting the ties costs a few extra candidate rows per block
+    and makes the reduce's ordering decisive."""
+    if kk >= len(sims):
+        return np.arange(len(sims))
+    boundary = sims[np.argpartition(-sims, kk - 1)[:kk]].min()
+    return np.flatnonzero(sims >= boundary)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -171,8 +184,14 @@ def embedding_near_dup_pairs(sf_dir: str,
             })
 
     from ..stages.dedup import _num_partitions, distinct_rows
-    nparts = max(8, min(IVF_NLIST, _num_partitions(None)))
-    exploded = embeddings_aug_ds(sf_dir).map_batches(
+    base = embeddings_aug_ds(sf_dir)
+    # size the bucket exchange off the DATA (the exploded stream is
+    # assign_probes x the base embeddings), not the constant floor that
+    # _num_partitions(None) degenerates to
+    nparts = max(8, min(IVF_NLIST,
+                        _num_partitions(base,
+                                        expansion=float(assign_probes))))
+    exploded = base.map_batches(
         MultiAssign, batch_format="pyarrow", concurrency=(1, 8),
         batch_size=4096)
     rep = _bucket_repartition(exploded, nparts)
@@ -296,8 +315,9 @@ def ann_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
             out_q, out_n, out_s = [], [], []
             kk = min(k, sims.shape[1])
             for qi in range(sims.shape[0]):
-                # partial top-k with deterministic (sim desc, id asc) order
-                idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+                # top-k + boundary ties; the final (sim desc, id asc)
+                # reduce decides among them deterministically
+                idx = _topk_tie_idx(sims[qi], kk)
                 out_q.extend([self.q_ids[qi]] * len(idx))
                 out_n.extend(ids[idx])
                 out_s.extend(sims[qi, idx])
@@ -381,8 +401,8 @@ def ann_ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_NPROBE) -> rd.Da
                     sims = v[cand] @ self.qm[qi]
                     cids = ids[cand]
                     kk = min(k, len(sims))
-                    idx = np.argpartition(-sims, kk - 1)[:kk]
-                    out_q.append(np.full(kk, self.q_ids[qi]))
+                    idx = _topk_tie_idx(sims, kk)  # + boundary ties
+                    out_q.append(np.full(len(idx), self.q_ids[qi]))
                     out_n.append(cids[idx])
                     out_s.append(sims[idx])
             if not out_q:
@@ -507,8 +527,7 @@ def ann_pq_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
             kk = min(nfetch, len(ids))
             for qi in range(len(self.q_ids)):
                 sims = scores[qi]
-                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) \
-                    else np.arange(len(sims))
+                idx = _topk_tie_idx(sims, kk)  # + boundary ties
                 out_q.extend([self.q_ids[qi]] * len(idx))
                 out_n.extend(ids[idx])
                 out_s.extend(sims[idx])

@@ -614,11 +614,19 @@ def doc_weighted_mix(sf_dir: str) -> rd.Dataset:
     rates = MIX_RATES
 
     def mix(b: pa.Table) -> pa.Table:
-        src = b["source"].to_pylist()
+        if b.num_rows == 0:
+            return b
+        # vectorized: rate lookup over the DICTIONARY (a handful of
+        # distinct sources), fanned out via the index array — no Python
+        # per-row loop, and the mask dtype is always bool (an empty
+        # list comprehension used to produce a float64 mask that made
+        # Table.filter raise on empty blocks)
+        enc = b["source"].combine_chunks().dictionary_encode()
+        lut = np.array([rates.get(s, 0)
+                        for s in enc.dictionary.to_pylist()], dtype=np.int64)
+        thresh = lut[np.asarray(enc.indices)]
         mod = np.mod(b["doc_id"].to_numpy(), 100)
-        keep = np.array([mod[i] < rates.get(s, 0)
-                         for i, s in enumerate(src)])
-        return b.filter(pa.array(keep))
+        return b.filter(pa.array(mod < thresh))
 
     return read_table(sf_dir, "documents",
                       columns=["doc_id", "source", "text"]) \

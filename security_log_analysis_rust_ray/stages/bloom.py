@@ -67,6 +67,15 @@ def _key_hashes(cols: list, seed: int) -> np.ndarray:
     return hs[0] if len(hs) == 1 else mix64(hs, seed=seed)
 
 
+def _norm_bits(m_bits: int) -> int:
+    """Round the bitmap size UP to a whole number of 64-bit words (floor
+    one word): positions are taken mod m_bits while the word array is
+    m_bits >> 6 long, so a non-aligned ``Config.bloom_bits`` would index
+    past the array.  Applied identically in every public entry point so
+    build and probe always agree on the effective size."""
+    return max(64, (m_bits + 63) & ~63)
+
+
 def _positions(cols: list, m_bits: int, k: int) -> np.ndarray:
     """(k, n) uint64 probe positions via double hashing; null rows get
     position 0 in every probe — callers mask nulls out separately."""
@@ -104,6 +113,7 @@ def bloom_partial(col, m_bits: int, k: int,
                   cols: list[str] | None = None) -> np.ndarray:
     """One block's bitmap (uint64 words, length m_bits/64).  Rows with a
     null key component are skipped (a null never matches a probe)."""
+    m_bits = _norm_bits(m_bits)
     words = np.zeros(m_bits >> 6, dtype=np.uint64)
     key_cols = _cols(col, cols)
     n = len(key_cols[0])
@@ -122,6 +132,7 @@ def bloom_contains(words: np.ndarray, col, m_bits: int, k: int,
                    cols: list[str] | None = None) -> np.ndarray:
     """Vectorized membership probe: bool ndarray, False where any key
     component is null."""
+    m_bits = _norm_bits(m_bits)
     key_cols = _cols(col, cols)
     n = len(key_cols[0])
     if n == 0:
@@ -142,6 +153,7 @@ def build_bloom(keys: rd.Dataset, col: str | list[str], m_bits: int,
     merge across a handful of partitions -> driver ORs the survivors.
     Returns the uint64 word array (broadcast it with ``ray.put``).
     ``col`` may be a list for composite keys."""
+    m_bits = _norm_bits(m_bits)
     col_list = [col] if isinstance(col, str) else list(col)
 
     def partial(b: pa.Table) -> pa.Table:

@@ -65,6 +65,11 @@ def lookup_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
     est = _estimate_bytes(dim)
     if est is not None and est <= limit:
         dim_tbl = _collect_table(dim).combine_chunks()
+        # drop null dim keys BEFORE building the probe set: pc.index_in
+        # matches null to null, which would let a null dim row capture
+        # null fact keys — the hash path (tag_dim) filters them, and SQL
+        # join semantics never match nulls, so both paths must agree
+        dim_tbl = dim_tbl.filter(pc.is_valid(dim_tbl[dim_key]))
         keys = dim_tbl[dim_key].combine_chunks()
         payload = dim_tbl.drop_columns([dim_key])
         if rename:
@@ -305,6 +310,11 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
             t = _cast_keys(t.rename_columns(_right_names(t.column_names)))
             return t.select(list(on))
 
+        # materialize the build side ONCE: the bloom build is a barrier
+        # pass over right, and without this the exchange union below would
+        # re-execute right's entire upstream lineage a second time.  The
+        # blocks sit in the (spillable) object store, not on the driver.
+        right = right.materialize()
         bref = ray.put(build_bloom(
             right.map_batches(rkeys, batch_format="pyarrow",
                               batch_size=None), list(on), m, kh))
@@ -371,6 +381,12 @@ def _distinct_probe_keys(keys_ds: rd.Dataset, key_col: str, fact_key: str,
     needs that anyway — so the key type is known)."""
     from .dedup import distinct_rows
     keys = distinct_rows(keys_ds, [key_col]).materialize()
+    if keys.count() == 0:
+        # EMPTY key set: every block of the hash-partitioned distinct is a
+        # zero-column empty, so there is no schema to probe with at all
+        # (keys.schema() is None).  Signal with a zero-length array —
+        # semi/anti short-circuit on it (empty result / pass-through).
+        return keys, pa.array([], pa.null())
     size = keys.size_bytes()
     if size is not None and size <= limit:
         tbl = _collect_table(keys)
@@ -508,6 +524,8 @@ def semi_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
     limit = get_config().semi_broadcast_max_bytes \
         if broadcast_max_bytes is None else broadcast_max_bytes
     keys, arr = _distinct_probe_keys(keys_ds, key_col, fact_key, limit)
+    if arr is not None and len(arr) == 0:
+        return fact.limit(0)       # nothing can match an empty key set
     if arr is not None:
         ref = ray.put(arr)
 
@@ -534,6 +552,8 @@ def anti_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
     limit = get_config().semi_broadcast_max_bytes \
         if broadcast_max_bytes is None else broadcast_max_bytes
     keys, arr = _distinct_probe_keys(keys_ds, key_col, fact_key, limit)
+    if arr is not None and len(arr) == 0:
+        return fact                # empty key set drops nothing
     if arr is not None:
         ref = ray.put(arr)
 

@@ -158,3 +158,20 @@ def test_bloom_disabled_matches(tmp_path, monkeypatch):
     got = anti.sort_values(["v"]).reset_index(drop=True)[["k", "v"]]
     exp = expected.sort_values(["v"]).reset_index(drop=True)[["k", "v"]]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bloom_non_aligned_bits_no_false_negatives():
+    """Config.bloom_bits need not be a multiple of 64 (r03 review): the
+    size is normalized identically at build and probe, so odd sizes
+    neither crash nor produce false negatives."""
+    import numpy as np
+    import pyarrow as pa
+
+    from security_log_analysis_rust_ray.stages.bloom import (bloom_contains,
+                                                             bloom_partial)
+
+    keys = pa.array([f"k{i}" for i in range(500)])
+    for m in (100, 63, 1, 1000003):   # none aligned to 64
+        words = bloom_partial(keys, m, 4)
+        hits = bloom_contains(words, keys, m, 4)
+        assert bool(np.all(hits))     # no false negatives, no IndexError

@@ -273,3 +273,19 @@ def test_doc_lang_id_profiles(tmp_path):
     assert out.loc[5, "lang"] == "und" and out.loc[5, "score"] == 0
     assert out.loc[6, "lang"] == "de" and out.loc[6, "score"] == 1
     assert out.loc[1, "score"] == 6  # the, is, a, of, and, to
+
+
+def test_ann_partial_topk_keeps_boundary_ties():
+    """The per-block partial top-k must include every tie at the boundary
+    so the deterministic (sim desc, id asc) final reduce — and the exact
+    SQL oracle — never lose a tied neighbor to argpartition's arbitrary
+    pick (r03 review)."""
+    import numpy as np
+
+    from security_log_analysis_rust_ray.pipelines.ann import _topk_tie_idx
+
+    sims = np.array([0.9, 0.5, 0.5, 0.5, 0.1])
+    idx = set(_topk_tie_idx(sims, 2).tolist())
+    assert idx == {0, 1, 2, 3}          # all three 0.5 ties kept
+    assert set(_topk_tie_idx(sims, 5).tolist()) == {0, 1, 2, 3, 4}
+    assert set(_topk_tie_idx(sims, 9).tolist()) == {0, 1, 2, 3, 4}

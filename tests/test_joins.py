@@ -346,3 +346,45 @@ def test_mn_hash_join_property_vs_pandas(lkeys, rkeys, how, shuffle_path):
 
     pd.testing.assert_frame_equal(canon(out), canon(exp),
                                   check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_empty_key_set():
+    """An empty key set must not crash (r03 review): semi -> empty result
+    with the fact schema, anti -> fact unchanged; both paths."""
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import anti_join, semi_join
+
+    fact = rd.from_arrow(pa.table({"g": pa.array(["a", "b", None]),
+                                   "v": pa.array([1, 2, 3])}))
+    empty = rd.from_arrow(pa.table({"g": pa.array([], pa.string())}))
+    for limit in (None, 0):   # broadcast gate and shuffled path
+        s = semi_join(fact, empty, "g", "g", nparts=4,
+                      broadcast_max_bytes=limit)
+        assert s.count() == 0
+        a = anti_join(fact, empty, "g", "g", nparts=4,
+                      broadcast_max_bytes=limit).to_pandas()
+        assert sorted(a["v"].tolist()) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lookup_join_null_dim_key_never_matches():
+    """A null dim key must not capture null fact keys on EITHER path
+    (pc.index_in matches null to null; SQL join semantics never do)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    fact = rd.from_arrow(pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                                   "v": pa.array([10, 20, 30])}))
+    dim = rd.from_arrow(pa.table({"dk": pa.array([1, None], pa.int64()),
+                                  "name": pa.array(["one", "NULLROW"])}))
+    for limit in (None, 0):
+        out = lookup_join(fact, dim, "k", "dk", nparts=4, how="inner",
+                          broadcast_max_bytes=limit).to_pandas()
+        assert sorted(out["v"].tolist()) == [10]
+        assert "NULLROW" not in set(out["name"])
+        left = lookup_join(fact, dim, "k", "dk", nparts=4, how="left",
+                           broadcast_max_bytes=limit).to_pandas()
+        assert len(left) == 3
+        assert "NULLROW" not in set(left["name"].dropna())
