@@ -464,8 +464,10 @@ def oracle_sql() -> dict[str, str]:
 
     # alert flush batches: recursive CTE replaying the engine's per-stream
     # sequential scan (same microsecond age rule, same byte bound)
+    from security_log_analysis_rust_ray.config import get_config as _cfg
     from security_log_analysis_rust_ray.synth import SERVER_MOD
-    _buf, _delay_us = STR.ALERT_BUFFER_BYTES, STR.ALERT_DELAY_S * 1_000_000
+    _buf = _cfg().alert_buffer_size
+    _delay_us = _cfg().alert_log_delay * 1_000_000
     _cut = (f"s.cur_bytes + o.sz > {_buf} OR "
             f"date_diff('microsecond', s.batch_start, o.ts) > {_delay_us}")
     alert_scan = (
@@ -473,7 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "regexp_extract(conv_id, '^conv_(\\d+)', 1) AS BIGINT), 0)"
         f" % {SERVER_MOD} AS VARCHAR) AS stream,"
         " conv_id, turn_idx, log_timestamp AS ts, log_level AS lvl,"
-        " CAST(length(log_message) AS BIGINT) AS sz"
+        " CAST(strlen(log_message) AS BIGINT) AS sz"  # BYTES, like the engine
         " FROM messages WHERE log_level IN ('warn', 'error')),\n"
         "ordered AS (SELECT *, row_number() OVER (PARTITION BY stream"
         " ORDER BY ts, conv_id, turn_idx) AS rn FROM msgs),\n"

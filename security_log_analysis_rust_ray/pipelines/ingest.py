@@ -37,6 +37,7 @@ CPUs (~772k turns/s end-to-end including the Parquet sink).
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -222,6 +223,12 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
         return manifest
 
     # final small aggregate over the written routed data (lineage = manifest)
+    if not glob.glob(os.path.join(routed_root, "**", "*.parquet"),
+                     recursive=True):
+        # bootstrap no-op: nothing has ever been routed (e.g. a follow
+        # call against a still-empty landing zone) — read_parquet on the
+        # freshly-created empty dir would raise instead of returning
+        return manifest
     routed = rd.read_parquet(routed_root)
     if enrich:
         # the country aggregate only counts enrichable rows (valid country);

@@ -367,14 +367,25 @@ def interval_join(left: rd.Dataset, right: rd.Dataset, key: str,
     from ..stages.joins import _arrow_schema
     assert how in ("inner", "left"), how
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
-    # the hash exchange partitions by VALUE+TYPE: a nullable left key
-    # arrives float64 while the right key is int64, and equal keys would
-    # land in different partitions — normalize the right key to the left
-    # key's dtype before the union
-    key_dtype = lsch.field(key).type.to_pandas_dtype()
+    # the hash exchange partitions by VALUE+TYPE, and pandas materializes
+    # a nullable int64 key as float64 in blocks that CONTAIN a null and
+    # int64 in blocks that don't — so without normalization equal keys
+    # land in different partitions depending on which block they share
+    # with a null (r03 review).  Cast the key on BOTH sides to a
+    # null-stable dtype (pandas nullable Int64 round-trips to Arrow int64
+    # regardless of nulls); strings already round-trip null-stably.
+    kt = lsch.field(key).type
+    if pa.types.is_integer(kt):
+        key_dtype = pd.Int64Dtype()
+    elif pa.types.is_floating(kt):
+        key_dtype = np.float64
+    else:
+        key_dtype = None
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        if key_dtype is not None:
+            df[key] = df[key].astype(key_dtype)
         df[_IJ_MARK] = np.int8(0)
         return df
 
@@ -384,7 +395,8 @@ def interval_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[key, lo_col, hi_col] + extra].copy()
-        df[key] = df[key].astype(key_dtype)
+        if key_dtype is not None:
+            df[key] = df[key].astype(key_dtype)
         df[_IJ_MARK] = np.int8(1)
         return df
 
@@ -408,7 +420,8 @@ def interval_join(left: rd.Dataset, right: rd.Dataset, key: str,
         all_left = df[df[_IJ_MARK] == 0][left_cols]
         # null left keys never match; a LEFT join still keeps them
         lrows = all_left.dropna(subset=[key])
-        rrows = df[df[_IJ_MARK] == 1][[key, lo_col, hi_col] + extra]
+        rrows = df[df[_IJ_MARK] == 1][[key, lo_col, hi_col] + extra] \
+            .dropna(subset=[key])   # null interval keys never match
         if not len(lrows):
             out = pd.DataFrame(columns=out_cols)
         elif not len(rrows):

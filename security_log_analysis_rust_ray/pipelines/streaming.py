@@ -31,11 +31,20 @@ from . import reports
 from ..config import get_config as _get_config
 
 SESSION_GAP_S = 1800          # 30 min
-# reference defaults alert_log_delay / alert_buffer_size
-# (src/parse_logs.rs:448-449), overridable via the unified Config
-ALERT_DELAY_S = _get_config().alert_log_delay
-ALERT_BUFFER_BYTES = _get_config().alert_buffer_size
 LEVEL_ORDER = {"debug": 0, "info": 1, "warn": 2, "error": 3}
+
+
+def _alert_knobs(threshold: str | None, delay_s: int | None,
+                 buffer_bytes: int | None) -> tuple[str, int, int]:
+    """Resolve alert knobs from the unified Config AT CALL TIME (reference
+    defaults src/parse_logs.rs:448-449 + alert level src/config.rs).
+    Reading them at import froze the env-file values and made
+    config.override() a no-op for this module (r03 review); it also left
+    Config.alert_log_level entirely unread."""
+    cfg = _get_config()
+    return (cfg.alert_log_level if threshold is None else threshold,
+            cfg.alert_log_delay if delay_s is None else delay_s,
+            cfg.alert_buffer_size if buffer_bytes is None else buffer_bytes)
 
 
 def _by_key_blocks(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
@@ -114,7 +123,10 @@ def _batch_scan(delay_s: int, buffer_bytes: int, with_levels: bool = False):
     stats fold's per-datapoint counters (A6)."""
     def batch_scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["log_timestamp", "conv_id", "turn_idx"])
-        sizes = g["log_message"].str.len().to_numpy()
+        # UTF-8 BYTE length, not characters: the reference's buffer bound
+        # is bytes (Rust String::len, src/parse_logs.rs:449), and the
+        # oracle counts strlen() — multi-byte text must agree (r03 review)
+        sizes = g["log_message"].str.encode("utf-8").str.len().to_numpy()
         ts = g["log_timestamp"].to_numpy()
         batch_ids = np.zeros(len(g), dtype=np.int64)
         cur, cur_bytes, cur_start = 0, 0, ts[0] if len(g) else None
@@ -142,21 +154,23 @@ def _batch_scan(delay_s: int, buffer_bytes: int, with_levels: bool = False):
     return batch_scan
 
 
-def alert_batches(sf_dir: str, threshold: str = "warn",
-                  delay_s: int = ALERT_DELAY_S,
-                  buffer_bytes: int = ALERT_BUFFER_BYTES) -> rd.Dataset:
+def alert_batches(sf_dir: str, threshold: str | None = None,
+                  delay_s: int | None = None,
+                  buffer_bytes: int | None = None) -> rd.Dataset:
     """K6 analog: group at-or-above-threshold messages into flush batches,
     one sequential scan PER SERVER STREAM (sharded groupby, not a single
     global group).  Output one row per alert batch (flush manifest):
     stream, batch_id, first/last ts, n messages, total bytes.  Oracle: a
     recursive CTE replaying the same scan per stream."""
+    threshold, delay_s, buffer_bytes = _alert_knobs(threshold, delay_s,
+                                                    buffer_bytes)
     return _alert_eligible(sf_dir, threshold).groupby("stream").map_groups(
         _batch_scan(delay_s, buffer_bytes), batch_format="pandas")
 
 
-def ses_email_stats(sf_dir: str, threshold: str = "warn",
-                    delay_s: int = ALERT_DELAY_S,
-                    buffer_bytes: int = ALERT_BUFFER_BYTES) -> pd.DataFrame:
+def ses_email_stats(sf_dir: str, threshold: str | None = None,
+                    delay_s: int | None = None,
+                    buffer_bytes: int | None = None) -> pd.DataFrame:
     """A6: the SES send-statistics fold (src/ses_client.rs:68-109): the
     reference folds its send datapoints into ONE EmailStats row — summed
     bounces/complaints/delivery_attempts/rejects plus min/max datapoint
@@ -175,6 +189,8 @@ def ses_email_stats(sf_dir: str, threshold: str = "warn",
     materialized once (block-distributed), the watermark is a distributed
     ``max``, and the fold is a per-block partial -> tiny driver final (one
     row per block reaches the driver)."""
+    threshold, delay_s, buffer_bytes = _alert_knobs(threshold, delay_s,
+                                                    buffer_bytes)
     batches = _alert_eligible(sf_dir, threshold).groupby("stream").map_groups(
         _batch_scan(delay_s, buffer_bytes, with_levels=True),
         batch_format="pandas").materialize()
@@ -219,26 +235,44 @@ def ses_email_stats(sf_dir: str, threshold: str = "warn",
     return out
 
 
-def run_alert_cycle(sf_dir: str, state_path: str, threshold: str = "warn",
-                    delay_s: int = ALERT_DELAY_S,
-                    buffer_bytes: int = ALERT_BUFFER_BYTES) -> "pd.DataFrame":
+def run_alert_cycle(sf_dir: str, state_path: str,
+                    threshold: str | None = None,
+                    delay_s: int | None = None,
+                    buffer_bytes: int | None = None) -> "pd.DataFrame":
     """The alert delivery state machine: buffer -> flush -> MARK PROCESSED
     (reference src/parse_logs.rs:447-506 + processed_time update
     src/models.rs:713-720).  Per-stream processed watermarks persist in a
     manifest (fsync'd JSONL, state/manifest.py); a rerun only flushes
-    batches of messages STRICTLY NEWER than the stream's watermark, so
-    restarts never re-alert — the batch-engine restatement of the
-    processed_time column's restart-safety.
+    messages strictly newer than the stream's watermark — plus, for rows
+    at EXACTLY the watermark instant, those whose (conv_id, turn_idx)
+    identity is not in the stream's recorded ``at_wm`` set.  Identity by
+    timestamp alone silently dropped a later-arriving message that shares
+    the watermark microsecond (r03 review); the tie set is bounded by the
+    same-instant burst size, so the state stays tiny — the batch-engine
+    restatement of the reference's per-row processed_time marking.
 
     Returns the newly flushed batches (empty on a no-new-messages rerun).
     """
     from ..state.manifest import Manifest
+    threshold, delay_s, buffer_bytes = _alert_knobs(threshold, delay_s,
+                                                    buffer_bytes)
     manifest = Manifest(state_path)
-    marks = {s: rec.get("watermark")
-             for s, rec in manifest.records.items() if rec.get("watermark")}
-    marks_arr = {s: np.datetime64(w) for s, w in marks.items()}
+    marks_arr: dict[str, np.datetime64] = {}
+    done_at_wm: set[str] = set()
+    for s, rec in manifest.records.items():
+        w = rec.get("watermark")
+        if w:
+            marks_arr[s] = np.datetime64(w)
+            for ident in rec.get("at_wm") or []:
+                done_at_wm.add(f"{s}|{ident}")
+    done_arr = np.array(sorted(done_at_wm)) if done_at_wm else None
 
     eligible = _alert_eligible(sf_dir, threshold)
+
+    def _idents(b: pa.Table, streams: pd.Series) -> np.ndarray:
+        conv = b["conv_id"].to_pandas().astype(str)
+        turn = b["turn_idx"].to_pandas().astype(str)
+        return streams.str.cat([conv, turn], sep="|").to_numpy()
 
     def unprocessed(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or not marks_arr:
@@ -248,7 +282,12 @@ def run_alert_cycle(sf_dir: str, state_path: str, threshold: str = "warn",
         streams = pd.Series(b["stream"].to_pandas())
         wm = streams.map(marks_arr).to_numpy(dtype="datetime64[us]")
         ts = b["log_timestamp"].to_numpy()
-        keep = ~(ts <= wm)  # NaT compares False -> kept
+        at = ts == wm                      # NaT compares False
+        keep = ~(ts <= wm)                 # strictly newer (or NaT wm)
+        if at.any():
+            new_tie = at if done_arr is None else \
+                (at & ~np.isin(_idents(b, streams), done_arr))
+            keep = keep | new_tie
         return b.filter(pa.array(keep))
 
     fresh = eligible.map_batches(unprocessed, batch_format="pyarrow",
@@ -261,9 +300,36 @@ def run_alert_cycle(sf_dir: str, state_path: str, threshold: str = "warn",
         # Ray drops column metadata on an empty to_pandas; normalize so a
         # no-new-messages rerun returns a stable empty schema
         return pd.DataFrame(columns=cols)
+
+    # identities of the flushed rows AT each stream's new watermark (one
+    # more vectorized filtered pass over the fresh stream; the tie rows
+    # per stream are a same-microsecond burst, so the result is tiny)
+    new_wm = {str(s): np.datetime64(g["last_ts"].max(), "us")
+              for s, g in flushed.groupby("stream")}
+
+    def tie_rows(b: pa.Table) -> pa.Table:
+        b = b.select(["stream", "conv_id", "turn_idx", "log_timestamp"])
+        if b.num_rows == 0:
+            return b
+        streams = pd.Series(b["stream"].to_pandas())
+        wm = streams.map(new_wm).to_numpy(dtype="datetime64[us]")
+        return b.filter(pa.array(b["log_timestamp"].to_numpy() == wm))
+
+    ties = fresh.map_batches(tie_rows, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
     for s, g in flushed.groupby("stream"):
-        manifest.record(str(s), status="done",
-                        watermark=str(np.datetime64(g["last_ts"].max(), "us")),
+        s = str(s)
+        w = new_wm[s]
+        idents = sorted(
+            f"{c}|{t}" for c, t in
+            ties.loc[ties["stream"] == s, ["conv_id", "turn_idx"]]
+            .itertuples(index=False)) if len(ties) else []
+        if s in marks_arr and marks_arr[s] == w:
+            # watermark unchanged: the new ties extend the recorded set
+            prior = {i.split("|", 1)[1] for i in done_at_wm
+                     if i.startswith(f"{s}|")}
+            idents = sorted(set(idents) | prior)
+        manifest.record(s, status="done", watermark=str(w), at_wm=idents,
                         n_batches=int(g["batch_id"].nunique()),
                         n_messages=int(g["n_messages"].sum()))
     return flushed

@@ -62,7 +62,11 @@ def mg_partial(keys: pa.Array, k: int) -> dict[str, int]:
     in-batch counts (Arrow value_counts), keep the top-k counters and
     subtract the (k+1)-th count from them — the batched equivalent of the
     classic decrement step (each discarded counter decrements the kept
-    ones' lower bound)."""
+    ones' lower bound).  Null keys are dropped — Arrow value_counts counts
+    null as a value, and a None counter key would crash every downstream
+    sort/tie-break (r03 review); a null is never a heavy hitter in the
+    GROUP-BY sense the exact second pass verifies."""
+    keys = keys.drop_null()
     if len(keys) == 0:
         return {}
     vc = keys.value_counts()

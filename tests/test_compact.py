@@ -100,3 +100,77 @@ def test_compact_dry_run_changes_nothing(sink):
     assert (j["action"] == "skip").all()  # already 1 file/dir from earlier
     assert sorted(glob(os.path.join(sink, "**", "*.parquet"),
                        recursive=True)) == files
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("crash_point", ["pre-swap", "mid-move-out",
+                                         "mid-move-in", "pre-cleanup"])
+def test_compact_roll_forward_from_any_swap_point(tmp_path, crash_point):
+    """A kill at ANY point after the commit rename (tmp -> .compact_ready)
+    must roll FORWARD on the next run: the manifest distinguishes
+    originals from new files, so no rows are lost or duplicated (r03
+    review: the pre-manifest design deleted surviving originals when
+    killed mid-swap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / f"part_{crash_point}"
+    d.mkdir()
+    tables = [pa.table({"x": list(range(i * 10, i * 10 + 10))})
+              for i in range(4)]
+    for i, t in enumerate(tables):
+        pq.write_table(t, str(d / f"f{i}.parquet"))
+    orig = pd.concat([t.to_pandas() for t in tables]) \
+        .sort_values("x").reset_index(drop=True)
+
+    # hand-build the committed state: a complete compacted copy + manifest
+    ready = d / ".compact_ready"
+    ready.mkdir()
+    new_name = "compact-deadbeef-00000.parquet"
+    pq.write_table(pa.concat_tables(tables), str(ready / new_name))
+    (ready / "_MANIFEST").write_text(new_name + "\n")
+
+    trash = d / ".compact_trash"
+    originals = sorted(glob(str(d / "f*.parquet")))
+    if crash_point in ("mid-move-out", "mid-move-in", "pre-cleanup"):
+        trash.mkdir()
+        moved = originals if crash_point != "mid-move-out" \
+            else originals[:2]
+        for f in moved:
+            os.rename(f, str(trash / os.path.basename(f)))
+    if crash_point in ("mid-move-in", "pre-cleanup"):
+        os.rename(str(ready / new_name), str(d / new_name))
+        if crash_point == "mid-move-in":
+            # pretend a second chunk is still waiting in ready
+            pq.write_table(pa.table({"x": []},
+                                    schema=tables[0].schema),
+                           str(ready / "ignored-not-in-manifest.parquet"))
+
+    row = compact_dir(str(d), target_bytes=1 << 30)
+    assert row["recovered"] == "rolled-forward"
+    live = sorted(glob(str(d / "*.parquet")))
+    assert [os.path.basename(f) for f in live] == [new_name]
+    got = pq.read_table(live[0]).to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, orig)
+    assert not trash.exists() and not ready.exists()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_zero_live_partition_stays_on_work_list(tmp_path):
+    """A partition killed between move-out and move-in has ZERO live
+    parquet files; it must still appear in leaf_partition_dirs so
+    compact_sink recovers it (r03 review: it used to vanish forever)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    root = tmp_path / "sink"
+    d = root / "shard=0" / "sink=a"
+    d.mkdir(parents=True)
+    trash = d / ".compact_trash"
+    trash.mkdir()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), str(trash / "f0.parquet"))
+
+    assert str(d) in leaf_partition_dirs(str(root))
+    j = compact_sink(str(root), target_bytes=1 << 30)
+    assert list(j["recovered"]) == ["rolled-back"]
+    got = pq.read_table(str(d / "f0.parquet")).to_pandas()
+    assert got["x"].tolist() == [1, 2, 3]

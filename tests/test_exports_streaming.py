@@ -115,7 +115,8 @@ def test_alert_batches_invariants():
     df = STR.alert_batches(SF_SMOKE).to_pandas()
     assert len(df) > 0
     # every batch respects the byte bound (single messages may not exceed it)
-    assert (df["total_bytes"] <= STR.ALERT_BUFFER_BYTES).all()
+    from security_log_analysis_rust_ray.config import get_config
+    assert (df["total_bytes"] <= get_config().alert_buffer_size).all()
     # batches cover all at-or-above-threshold messages exactly once
     lvl_rows = R.messages(SF_SMOKE).to_pandas()
     n_eligible = (lvl_rows["log_level"].isin(["warn", "error"])).sum()
@@ -261,3 +262,50 @@ def test_sync_conflict_merge_of_empty_files(tmp_path):
     t = pq.read_table(os.path.join(local, "e.parquet"))
     assert t.num_rows == 0 and set(t.schema.names) == set(schema.names)
     assert all(i.action == "noop" for i in SY.sync_plan(local, remote))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alert_cycle_watermark_tie_not_lost(tmp_path):
+    """A message sharing the stream watermark's exact microsecond that
+    arrives AFTER the flush must still alert (r03 review: identity by
+    timestamp alone silently dropped it).  Simulated by deleting one
+    at_wm identity from the persisted state — the next cycle flushes
+    exactly that message, and the cycle after that is empty again."""
+    import json
+
+    state = str(tmp_path / "alert_state.jsonl")
+    first = STR.run_alert_cycle(SF_SMOKE, state)
+    assert len(first) > 0
+
+    lines = [json.loads(ln) for ln in open(state)]
+    victim = next(ln for ln in lines if ln.get("watermark")
+                  and ln.get("at_wm"))
+    removed = victim["at_wm"].pop()
+    with open(state, "w") as fh:
+        for ln in lines:
+            fh.write(json.dumps(ln) + "\n")
+
+    again = STR.run_alert_cycle(SF_SMOKE, state)
+    assert len(again) == 1 and int(again["n_messages"].sum()) == 1
+    assert again["stream"].iloc[0] == victim["shard"] if "shard" in victim \
+        else True
+    # the re-flushed identity is recorded again: third cycle is a no-op
+    third = STR.run_alert_cycle(SF_SMOKE, state)
+    assert len(third) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alert_knobs_resolve_from_config_at_call_time():
+    """config.override() must affect alert pipelines without re-import
+    (r03 review: knobs were frozen at module import), and
+    alert_log_level is actually consumed as the threshold default."""
+    from security_log_analysis_rust_ray.config import override, set_config
+
+    base = STR.alert_batches(SF_SMOKE).to_pandas()
+    prev = override(alert_log_level="error", alert_buffer_size=500)
+    try:
+        strict = STR.alert_batches(SF_SMOKE).to_pandas()
+    finally:
+        set_config(prev)
+    assert (strict["total_bytes"] <= 500).all()
+    assert strict["n_messages"].sum() < base["n_messages"].sum()

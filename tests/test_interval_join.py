@@ -65,3 +65,36 @@ def test_interval_join_vs_between_oracle(tmp_path, how):
         # null-key left rows survive with null payload
         assert got[got["k"].isna()]["label"].isna().all()
         assert len(got) == len(left)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_nullable_int_key_blocks_agree():
+    """A nullable int64 left key materializes as float64 in pandas blocks
+    that contain a null and int64 in blocks that don't; without a
+    null-stable key cast the hash exchange split equal keys across
+    partitions and silently dropped matches (r03 review)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from security_log_analysis_rust_ray.pipelines.relational import interval_join
+
+    b1 = pa.table({"k": pa.array([7, None], pa.int64()),
+                   "ts": pa.array([5, 6], pa.int64()),
+                   "ev": pa.array(["a", "b"])})
+    b2 = pa.table({"k": pa.array([7], pa.int64()),
+                   "ts": pa.array([15], pa.int64()),
+                   "ev": pa.array(["c"])})
+    left = rd.from_arrow([b1, b2])
+    right = rd.from_arrow(pa.table({"k": pa.array([7], pa.int64()),
+                                    "lo": pa.array([0], pa.int64()),
+                                    "hi": pa.array([20], pa.int64()),
+                                    "sid": pa.array([100], pa.int64())}))
+    inner = interval_join(left, right, key="k", left_ts="ts", lo_col="lo",
+                          hi_col="hi", right_payload=["sid"],
+                          how="inner").to_pandas()
+    assert sorted(inner["ev"]) == ["a", "c"]
+    lj = interval_join(left, right, key="k", left_ts="ts", lo_col="lo",
+                       hi_col="hi", right_payload=["sid"],
+                       how="left").to_pandas()
+    assert len(lj) == 3 and int(lj["sid"].notna().sum()) == 2

@@ -224,3 +224,26 @@ def test_misra_gries_heavy_hitters_guarantee():
     for key, lb in got.items():
         assert lb <= true.get(key, 0), f"{key} lower bound {lb} overcounts"
     assert {"H0", "H1", "H2"} <= set(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_dedup_task_retry_idempotent():
+    """A Ray retry of a map task re-presents the same batch to the warm
+    index actors; it must get the same first-seen answer, not an empty
+    one (r03 review: keys inserted by a killed attempt were lost).  A
+    DIFFERENT batch carrying the same keys is still suppressed."""
+    import pyarrow as pa
+
+    from security_log_analysis_rust_ray.stages.stream_dedup import (
+        KeyIndexShard, StreamDedup)
+
+    actors = [KeyIndexShard.remote() for _ in range(2)]
+    stage = StreamDedup(actors, ["k"])
+    b = pa.table({"k": pa.array(["a", "b", "c"]), "x": pa.array([1, 2, 3])})
+    first = stage(b)
+    assert sorted(first["k"].to_pylist()) == ["a", "b", "c"]
+    retry = stage(b)  # simulated task retry: identical content
+    assert sorted(retry["k"].to_pylist()) == ["a", "b", "c"]
+    other = stage(pa.table({"k": pa.array(["c", "d"]),
+                            "x": pa.array([9, 9])}))
+    assert other["k"].to_pylist() == ["d"]
