@@ -43,6 +43,13 @@ from .state.query_cache import TTLCache
 # are deterministic (reference rows carry their DB insert time)
 _DERIVED_CREATED_AT = "2024-01-01T00:00:00Z"
 
+# pinned spool schema (= intrusion_log_ds column types): an inferred
+# schema would type an all-None username column as Arrow `null`
+_SPOOL_SCHEMA = pa.schema([
+    pa.field("service", pa.string()), pa.field("server", pa.string()),
+    pa.field("datetime", pa.timestamp("us")), pa.field("host", pa.string()),
+    pa.field("username", pa.string())])
+
 
 def _host_ipaddr(host: str) -> str | None:
     """Deterministic host -> ipaddr analog (P12, models.rs:51-60 dns
@@ -137,20 +144,29 @@ class AppState:
             return b.append_column(
                 "__nk", pc.binary_join_element_wise(*parts, "|"))
 
-        upd = rd.from_pandas(df).map_batches(
-            with_key, batch_format="pyarrow", batch_size=None)
-        corpus_keys = self.intrusion_log_ds().map_batches(
-            lambda b: with_key(b).select(["__nk"]),
-            batch_format="pyarrow", batch_size=None)
-        # empty Ray results lose column metadata in to_pandas -> tolerant drop
-        fresh = anti_join(upd, corpus_keys, "__nk", "__nk") \
-            .to_pandas().drop(columns="__nk", errors="ignore")
-        if len(fresh):
-            with self.lock:
+        # the whole check-then-write runs under the lock: two concurrent
+        # POSTs of the same row must not BOTH anti-join before either
+        # writes its spool shard (r03 review: duplicate inserts defeated
+        # the ON-CONFLICT-DO-NOTHING idempotency this implements)
+        with self.lock:
+            upd = rd.from_pandas(df).map_batches(
+                with_key, batch_format="pyarrow", batch_size=None)
+            corpus_keys = self.intrusion_log_ds().map_batches(
+                lambda b: with_key(b).select(["__nk"]),
+                batch_format="pyarrow", batch_size=None)
+            # empty Ray results lose column metadata in to_pandas ->
+            # tolerant drop
+            fresh = anti_join(upd, corpus_keys, "__nk", "__nk") \
+                .to_pandas().drop(columns="__nk", errors="ignore")
+            if len(fresh):
                 shard = os.path.join(self.spool_dir,
                                      f"spool-{int(time.time()*1e6)}.parquet")
+                # explicit schema: an all-None column (username is null for
+                # nginx/apache-style rows) would otherwise infer Arrow
+                # `null` type and poison the corpus-union schema forever
                 pq.write_table(pa.Table.from_pandas(
-                    fresh, preserve_index=False), shard)
+                    fresh, schema=_SPOOL_SCHEMA, preserve_index=False),
+                    shard)
         return len(fresh)
 
     # ---- host_country (derived dim + posted overrides) -----------------
@@ -278,9 +294,14 @@ class AppState:
             n_modified = int(messages(self.sf_dir).map_batches(
                 count_id, batch_format="pyarrow", batch_size=None).sum("n"))
         if n_modified:
-            tomb.add(msg_id)
-            with self.lock, open(self.tombstone_path, "w") as f:
-                json.dump(sorted(tomb), f)
+            with self.lock:
+                # re-read under the lock: the set read before the long
+                # distributed count is a stale snapshot, and persisting it
+                # would silently resurrect concurrently deleted ids
+                tomb = self._tombstones()
+                tomb.add(msg_id)
+                with open(self.tombstone_path, "w") as f:
+                    json.dump(sorted(tomb), f)
         return n_modified
 
     # ---- geochart endpoints --------------------------------------------
@@ -304,6 +325,12 @@ class AppState:
             flt, batch_format="pyarrow", batch_size=None)
         if ndays is not None:
             hi = ds.max("datetime")
+            if hi is None or pd.isna(hi):
+                # empty filtered set: ds.max is None/NaT (NaT passes the
+                # None check and pa.scalar(NaT) raises) — serve the empty
+                # chart instead of 500ing
+                hi, ndays = None, None
+        if ndays is not None:
             try:
                 lo = pd.Timestamp(hi) - pd.Timedelta(days=ndays)
             except (OverflowError, pd.errors.OutOfBoundsTimedelta,

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -70,19 +71,31 @@ def export_month_partitioned(ds: rd.Dataset, out_dir: str,
     """
     keys = keys or dd.NATURAL_KEY
     order = order or dd.ORDER_COLS
+    # materialize ONCE: without this the whole upstream pipeline
+    # (read+parse) re-executes for the histogram AND once per partition
+    # (r03 review) — blocks pin in the (spillable) object store instead
     with_ym = ds.map_batches(agg.add_year_month, batch_format="pyarrow",
-                             batch_size=None)
+                             batch_size=None).materialize()
     hist = agg.grouped_count(with_ym, ["year", "month"]).to_pandas()
 
     results: dict[str, int] = {}
     for _, row in hist.sort_values(["year", "month"]).iterrows():
-        y, m = int(row["year"]), int(row["month"])
+        # rows with a NULL datetime (possible via imported/spooled data;
+        # the reference's column is NOT NULL) land in year=0/month=0
+        # instead of crashing int(NaN) or silently vanishing
+        isnull = pd.isna(row["year"])
+        y, m = (0, 0) if isnull else (int(row["year"]), int(row["month"]))
         part = f"year={y}/month={m}"
         final = os.path.join(out_dir, part)
-        new_rows = with_ym.map_batches(
-            lambda b, y=y, m=m: b.filter(
-                pc.and_(pc.equal(b["year"], y), pc.equal(b["month"], m))),
-            batch_format="pyarrow", batch_size=None)
+        if isnull:
+            new_rows = with_ym.map_batches(
+                lambda b: b.filter(pc.is_null(b["year"])),
+                batch_format="pyarrow", batch_size=None)
+        else:
+            new_rows = with_ym.map_batches(
+                lambda b, y=y, m=m: b.filter(
+                    pc.and_(pc.equal(b["year"], y), pc.equal(b["month"], m))),
+                batch_format="pyarrow", batch_size=None)
         merged = new_rows
         if os.path.isdir(final):
             def _with_ym(b: pa.Table, y=y, m=m) -> pa.Table:

@@ -18,9 +18,10 @@ order, at most ``page_size`` per page, ``truncated`` flag); a real
 cloud-credentialed deployment can swap in a boto3-style continuation token
 behind the same generator contract.
 
-The fold never holds more than one page in memory — at 100 TB a bucket
-listing is millions of keys, and both the reference and this analog stream
-pages into the key cache instead of materializing the listing.
+The fold streams pages into the key cache; objects themselves never load.
+Over pyarrow.fs the lightweight key metadata is materialized once per fold
+(the provider has no server-side marker API); a true S3 provider streams
+continuation pages behind the same generator, holding one page at a time.
 """
 
 from __future__ import annotations
@@ -84,16 +85,17 @@ def list_objects(uri: str, marker: str | None = None,
 
 
 def iter_object_pages(uri: str, page_size: int = DEFAULT_PAGE_SIZE):
-    """Marker-driven page loop (src/s3_sync.rs:131-141): last key of each
-    page seeds the next request; stops when the listing is not truncated."""
-    marker: str | None = None
-    while True:
-        page = list_objects(uri, marker=marker, page_size=page_size)
-        if page.contents:
-            yield page.contents
-            marker = page.contents[-1]["key"]
-        if not page.is_truncated:
-            return
+    """Page loop (src/s3_sync.rs:131-141).  pyarrow.fs has no server-side
+    marker API — its native listing already returns everything — so the
+    provider listing is taken ONCE and the marker protocol is replayed
+    over it by slicing (identical pages to repeated ``list_objects``
+    calls, without re-listing the store per page: that was O(N^2 /
+    page_size) — r03 review).  A real S3 deployment swaps true
+    server-side continuation pages in behind this same generator; only
+    the lightweight key metadata is held, objects themselves stream."""
+    keys = _list_all_keys(uri)
+    for i in range(0, len(keys), page_size):
+        yield keys[i:i + page_size]
 
 
 def _etag(uri: str, key: str) -> str:
@@ -130,13 +132,23 @@ def get_and_process_keys(uri: str, cache_path: str,
         for obj in page:
             etag = _etag(uri, obj["key"])
             rec = cache.get(obj["key"])
-            if rec is not None:
+            if rec is not None and rec.get("local_etag") is not None:
                 same = rec.get("local_etag") == etag
                 cache.record(obj["key"], status="synced",
                              local_etag=rec.get("local_etag"),
                              s3_etag=etag, s3_size=obj["size"],
                              s3_mtime_ns=obj["mtime_ns"],
                              do_download=not same, do_upload=not same)
+            elif rec is not None:
+                # cached but STILL no local copy: a rerun must stay
+                # remote_only / download-pending — comparing None to the
+                # etag used to flip do_upload=True for files that do not
+                # exist locally (r03 review)
+                cache.record(obj["key"], status="remote_only",
+                             local_etag=None, s3_etag=etag,
+                             s3_size=obj["size"],
+                             s3_mtime_ns=obj["mtime_ns"],
+                             do_download=True, do_upload=False)
             else:
                 cache.record(obj["key"], status="remote_only",
                              local_etag=None, s3_etag=etag,

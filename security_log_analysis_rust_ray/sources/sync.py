@@ -43,6 +43,8 @@ def scan_store(d: str) -> dict[str, dict]:
         if not fn.endswith(".parquet"):
             continue
         p = os.path.join(d, fn)
+        if not os.path.isfile(p):   # crashed-merge leftovers are dirs
+            continue
         st = os.stat(p)
         out[fn] = {"etag": file_etag(p), "size": st.st_size,
                    "mtime_ns": st.st_mtime_ns}
@@ -92,7 +94,10 @@ def run_sync(local: str, remote: str, keys: list[str] | None = None,
         elif item.action == "merge":
             import pyarrow.parquet as pq
             import ray.data as rd
-            tmp = os.path.join(local, f"_tmp-sync-{item.key}")
+            # tmp names must never end in ".parquet": a crash mid-
+            # merge would leave a directory that scan_store treats
+            # as a key and file_etag crashes opening (r03 review)
+            tmp = os.path.join(local, f"_tmp-sync-{item.key}.d")
             merge_parquet_pair(lp, rp, tmp,
                                keys=keys or dd.NATURAL_KEY,
                                order=order or dd.ORDER_COLS)
@@ -112,7 +117,7 @@ def run_sync(local: str, remote: str, keys: list[str] | None = None,
                 blocks = []
             t = pa.concat_tables(blocks) if blocks \
                 else pq.read_schema(lp).empty_table()
-            one = tmp + ".parquet"
+            one = os.path.join(local, f"_tmp-sync-{item.key}.part")
             pq.write_table(t, one)
             shutil.rmtree(tmp)
             os.replace(one, lp)

@@ -187,8 +187,13 @@ def dedup_keep_first(ds: rd.Dataset, keys: list[str] | None = None,
         for c in keys:
             col = srt[c].combine_chunks() if isinstance(srt[c], pa.ChunkedArray) \
                 else srt[c]
-            eq = pc.equal(col.slice(1), col.slice(0, n - 1))
-            eq = pc.fill_null(eq, False)
+            a, b_ = col.slice(1), col.slice(0, n - 1)
+            eq = pc.fill_null(pc.equal(a, b_), False)
+            # null == null groups together (SQL PARTITION BY semantics):
+            # the string sentinel covers string keys, but a null in a
+            # NON-string key (datetime in NATURAL_KEY) compared null ->
+            # False and kept both duplicates (r03 review)
+            eq = pc.or_(eq, pc.and_(pc.is_null(a), pc.is_null(b_)))
             same = eq if same is None else pc.and_(same, eq)
         mask = pa.concat_arrays([pa.array([True]), pc.invert(same)])
         return srt.filter(mask)

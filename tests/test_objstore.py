@@ -81,3 +81,27 @@ def test_local_only_key_flags_upload(tmp_path):
     rec = Manifest(cache).records["k0000.parquet"]
     assert rec["status"] == "local_only"
     assert rec["do_upload"] is True and rec["do_download"] is False
+
+
+def test_remote_only_keys_survive_rerun(tmp_path):
+    """Re-running get_and_process_keys without downloading must keep
+    never-downloaded keys remote_only/download-pending — the None local
+    etag used to flip do_upload=True and status to synced (r03 review)."""
+    import json
+
+    from security_log_analysis_rust_ray.sources.objstore import (
+        get_and_process_keys)
+
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "k1.parquet").write_bytes(b"payload-1")
+    cache = str(tmp_path / "cache.jsonl")
+    get_and_process_keys(str(store), cache)
+    get_and_process_keys(str(store), cache)  # rerun, nothing downloaded
+    recs = {}
+    for ln in open(cache):
+        r = json.loads(ln)
+        recs[r.get("shard") or r.get("key")] = r
+    rec = next(iter(recs.values()))
+    assert rec["status"] == "remote_only"
+    assert rec["do_download"] is True and rec["do_upload"] is False

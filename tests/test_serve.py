@@ -178,3 +178,28 @@ def test_log_messages_page_filter_and_delete(server):
         f"{server}/security_log/log_messages/123456789", method="DELETE")
     with urllib.request.urlopen(req, timeout=120) as r:
         assert r.status == 204
+
+
+def test_intrusion_log_post_without_username_then_get(server):
+    """An insert payload lacking username (legitimate: apache/nginx rows
+    have none) must not poison the spool schema with an Arrow null-typed
+    column — later GETs over the corpus-union would 500 (r03 review)."""
+    rows = [{"service": "nginx", "server": "home",
+             "datetime": "2031-05-01T00:00:00Z", "host": "nullu.example.com"}]
+    status, body = _req(f"{server}/security_log/intrusion_log", "POST",
+                        {"updates": rows})
+    assert (status, body) == (201, "Inserts 1")
+    status, body = _get(f"{server}/security_log/intrusion_log"
+                        "?service=nginx&limit=5")
+    assert status == 200
+    served = json.loads(body)["data"]
+    assert any(r["host"] == "nullu.example.com" for r in served)
+
+
+def test_attempts_empty_filter_with_ndays_serves_empty_chart(server):
+    """ndays over an empty filtered set used to 500 (ds.max -> NaT ->
+    pa.scalar raises); it must serve the empty chart (r03 review)."""
+    status, html = _get(f"{server}/security_log/intrusion_attempts"
+                        "?service=ftp&ndays=7")
+    assert status == 200 and "[['Country', 'Number']" in html
+    assert "example.com" not in html   # and truly empty of data rows

@@ -239,3 +239,76 @@ def test_mn_hash_join_hot_key_skew():
         g = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
         e = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_first_null_nonstring_key():
+    """Nulls in NON-string key columns (datetime in NATURAL_KEY) must
+    group together like SQL PARTITION BY — pc.equal(null, null) is null
+    and used to keep both duplicates (r03 review)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from security_log_analysis_rust_ray.stages.dedup import dedup_keep_first
+
+    t = pa.table({
+        "service": pa.array(["ssh", "ssh", "ssh"]),
+        "server": pa.array(["s1", "s1", "s1"]),
+        "datetime": pa.array([None, None, pd.Timestamp("2024-01-01")],
+                             pa.timestamp("us")),
+        "host": pa.array(["h.x", "h.x", "h.x"]),
+        "username": pa.array(["u", "u", "u"]),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * 3, pa.timestamp("us")),
+        "conv_id": pa.array(["c1", "c2", "c3"]),
+        "turn_idx": pa.array([1, 2, 3], pa.int32()),
+    })
+    out = dedup_keep_first(rd.from_arrow(t)).to_pandas()
+    # the two null-datetime duplicates collapse to one survivor
+    assert len(out) == 2
+    assert out["datetime"].isna().sum() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_month_export_null_datetime_partition(tmp_path):
+    """Rows with a NULL datetime land in year=0/month=0 instead of
+    crashing the histogram walk or silently vanishing (r03 review)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from security_log_analysis_rust_ray.sources.exports import (
+        export_month_partitioned)
+
+    t = pa.table({
+        "service": pa.array(["ssh", "ssh"]),
+        "server": pa.array(["s1", "s1"]),
+        "datetime": pa.array([pd.Timestamp("2024-03-01"), None],
+                             pa.timestamp("us")),
+        "host": pa.array(["a.x", "b.x"]),
+        "username": pa.array(["u", "v"]),
+        "ts": pa.array([pd.Timestamp("2024-03-01")] * 2, pa.timestamp("us")),
+        "conv_id": pa.array(["c1", "c2"]),
+        "turn_idx": pa.array([1, 2], pa.int32()),
+    })
+    out = str(tmp_path / "export")
+    res = export_month_partitioned(rd.from_arrow(t), out)
+    assert res.get("year=2024/month=3") == 1
+    assert res.get("year=0/month=0") == 1
+
+
+def test_sync_crashed_merge_leftover_is_ignored(tmp_path):
+    """A directory left by a killed mid-merge (its name used to end in
+    .parquet) must not crash scan_store / the next sync (r03 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.sources.sync import scan_store
+
+    store = tmp_path / "store"
+    store.mkdir()
+    pq.write_table(pa.table({"x": [1]}), str(store / "k1.parquet"))
+    # legacy-style leftover: a DIRECTORY whose name ends in .parquet
+    (store / "_tmp-sync-k1.parquet").mkdir()
+    keys = scan_store(str(store))
+    assert set(keys) == {"k1.parquet"}
