@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # invariant/recall/determinism coverage) ----
         "doc_decontaminated_corpus":
             D.doc_decontaminated_corpus,  # oracle, new r03 (sweep-checked)
+        "doc_repetition_stats":
+            D.doc_repetition_stats,       # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -356,6 +358,35 @@ def oracle_sql() -> dict[str, str]:
         " FROM toks GROUP BY doc_id")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
+    # Gopher-style repetition signals; the flag compares UNROUNDED ratios
+    # (IEEE doubles: DuckDB and numpy divide identically), emitted
+    # fractions rounded to 6 like the other ratio oracles
+    out["doc_repetition_stats"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs_aug),\n"
+        "nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens"
+        " FROM toks),\n"
+        "p2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM toks,"
+        " unnest(generate_series(1, len(tk) - 1)) u(i)),\n"
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM p2 GROUP BY 1, 2),\n"
+        "s2 AS (SELECT doc_id, max(c) AS max2, sum(c) AS n2 FROM c2"
+        " GROUP BY 1),\n"
+        "p5 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+        " || ' ' || tk[i+3] || ' ' || tk[i+4] AS g FROM toks,"
+        " unnest(generate_series(1, len(tk) - 4)) u(i)),\n"
+        "c5 AS (SELECT doc_id, g, count(*) AS c FROM p5 GROUP BY 1, 2),\n"
+        "s5 AS (SELECT doc_id,"
+        " sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5,"
+        " sum(c) AS n5 FROM c5 GROUP BY 1)\n"
+        "SELECT nt.doc_id, nt.n_tokens,"
+        " CAST(COALESCE(max2, 0) AS BIGINT) AS max_2gram_cnt,"
+        " round(COALESCE(CAST(max2 AS DOUBLE) / n2, 0), 6)"
+        " AS top_2gram_frac,"
+        " round(COALESCE(CAST(dup5 AS DOUBLE) / n5, 0), 6)"
+        " AS dup_5gram_frac,"
+        f" (COALESCE(CAST(max2 AS DOUBLE) / n2, 0) > {D.REP_TOP2_THRESHOLD}"
+        f" OR COALESCE(CAST(dup5 AS DOUBLE) / n5, 0)"
+        f" > {D.REP_DUP5_THRESHOLD}) AS is_repetitive"
+        " FROM nt LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)")
     # lang-ID oracle: same RE2 whole-word alternation per profile (DuckDB
     # and pyarrow both run RE2, verified count-identical), argmax with the
     # engine's tie-break (profile order; all-zero -> 'und')

@@ -1201,3 +1201,82 @@ def redact_pii(sf_dir: str) -> rd.Dataset:
                          "n_ips": pc.cast(n_ips, pa.int64())})
 
     return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# Thresholds sit inside this corpus's signal range (36-word vocabulary, so
+# repeated 2-grams are common while repeated 5-grams are rare) so the flag
+# genuinely splits the population; at crawl scale you would use the
+# published Gopher cuts (top-2gram 0.20, dup-5gram 0.15) instead.
+REP_TOP2_THRESHOLD = 0.04
+REP_DUP5_THRESHOLD = 0.0
+
+
+def _gram_stats_batch(b: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray]:
+    """Per-ROW word-``n``-gram stats: (max single-gram count, occurrences
+    belonging to grams seen >=2x in the doc, total gram count).  Same
+    Arrow window-gather kernel as ``_distinct_shingles_batch`` but keeping
+    counts: one batch-level ``group_by`` on (row, gram), then two tiny
+    grouped folds — no per-row Python."""
+    nrows = b.num_rows
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets)
+    wins = np.maximum(np.diff(offs) - (n - 1), 0)
+    starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
+    cols = [flat.take(pa.array(starts + s)) for s in range(n)]
+    g = pc.binary_join_element_wise(*cols, " ")
+    row = np.repeat(np.arange(nrows, dtype=np.int64), wins)
+    cnt = pa.table({"r": pa.array(row), "g": g}) \
+        .group_by(["r", "g"]).aggregate([("g", "count")])
+    max_arr = np.zeros(nrows, dtype=np.int64)
+    dup_arr = np.zeros(nrows, dtype=np.int64)
+    if cnt.num_rows:
+        per_max = cnt.group_by("r").aggregate([("g_count", "max")])
+        max_arr[per_max["r"].to_numpy()] = per_max["g_count_max"].to_numpy()
+        dups = cnt.filter(pc.greater_equal(cnt["g_count"], 2))
+        if dups.num_rows:
+            per_dup = dups.group_by("r").aggregate([("g_count", "sum")])
+            dup_arr[per_dup["r"].to_numpy()] = \
+                per_dup["g_count_sum"].to_numpy()
+    return max_arr, dup_arr, wins
+
+
+def doc_repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals per doc: the most-frequent word
+    2-gram's share of all 2-grams (``top_2gram_frac``) and the share of
+    5-gram occurrences whose gram repeats within the doc
+    (``dup_5gram_frac``), plus an ``is_repetitive`` flag.  The canonical
+    crawl-quality filter family (Rae et al., Gopher §A1.1) — boilerplate
+    and generated spam light up both signals.
+
+    Stateless fused map_batches over the pruned (doc_id, text) read: the
+    same zero-shuffle shape as the quality/token stages, so it streams at
+    100 TB.  The flag compares UNROUNDED ratios (IEEE division is exact
+    given identical operands, so DuckDB and numpy agree bit-for-bit);
+    emitted fractions are rounded like every other oracle-checked ratio."""
+    def rep(b: pa.Table) -> pa.Table:
+        m2, _, n2 = _gram_stats_batch(b, 2)
+        _, dup5, n5 = _gram_stats_batch(b, 5)
+        n_tokens = pc.add(pc.count_substring(b["text"], " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            top2 = np.where(n2 > 0, m2 / np.maximum(n2, 1), 0.0)
+            dup5f = np.where(n5 > 0, dup5 / np.maximum(n5, 1), 0.0)
+        flag = (top2 > REP_TOP2_THRESHOLD) | (dup5f > REP_DUP5_THRESHOLD)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "max_2gram_cnt": pa.array(m2),
+            "top_2gram_frac": pa.array(round_half_up(top2)),
+            "dup_5gram_frac": pa.array(round_half_up(dup5f)),
+            "is_repetitive": pa.array(flag),
+        })
+
+    return docs_aug_ds(sf_dir).map_batches(rep, batch_format="pyarrow")

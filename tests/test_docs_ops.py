@@ -289,3 +289,46 @@ def test_ann_partial_topk_keeps_boundary_ties():
     assert idx == {0, 1, 2, 3}          # all three 0.5 ties kept
     assert set(_topk_tie_idx(sims, 5).tolist()) == {0, 1, 2, 3, 4}
     assert set(_topk_tie_idx(sims, 9).tolist()) == {0, 1, 2, 3, 4}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_repetition_stats_handcrafted(tmp_path):
+    """Hand-computed Gopher-style repetition signals: a degenerate
+    one-word doc, a fully unique doc, and a doc with one repeated
+    2-gram and one repeated 5-gram."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = {
+        # "a a a a a a": 5 2-grams all "a a" -> top2 = 1.0;
+        # 2 5-grams, both "a a a a a" -> dup5 = 1.0
+        1: "a a a a a a",
+        # all tokens unique: top2 = 1/7, dup5 = 0
+        2: "t1 t2 t3 t4 t5 t6 t7 t8",
+        # single token: no 2-grams or 5-grams at all -> 0s, not NaN
+        3: "solo",
+        # "x y" appears twice among 7 2-grams; no 5-gram repeats
+        4: "x y z w v x y q",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = D.doc_repetition_stats(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # docs_aug adds +1M/+2M rows for doc_id%10==0 / %7==0; none here apply
+    # except doc_id 7? (none) — ids 1..4 only, %7==0 and %10==0 never hit
+    assert set(out.index) == {1, 2, 3, 4}
+    assert out.loc[1, "top_2gram_frac"] == 1.0
+    assert out.loc[1, "dup_5gram_frac"] == 1.0
+    assert bool(out.loc[1, "is_repetitive"])
+    assert out.loc[2, "max_2gram_cnt"] == 1
+    assert out.loc[2, "top_2gram_frac"] == round(1 / 7, 6)
+    assert out.loc[2, "dup_5gram_frac"] == 0.0
+    assert out.loc[3, "n_tokens"] == 1
+    assert out.loc[3, "max_2gram_cnt"] == 0
+    assert out.loc[3, "top_2gram_frac"] == 0.0
+    assert not bool(out.loc[3, "is_repetitive"])
+    assert out.loc[4, "max_2gram_cnt"] == 2
+    assert out.loc[4, "top_2gram_frac"] == round(2 / 7, 6)
+    assert out.loc[4, "dup_5gram_frac"] == 0.0
+    assert bool(out.loc[4, "is_repetitive"])  # top2 2/7 > 0.04
