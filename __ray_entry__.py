@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_decontaminated_corpus,  # oracle, new r03 (sweep-checked)
         "doc_repetition_stats":
             D.doc_repetition_stats,       # oracle, new r03 (sweep-checked)
+        "doc_chunk_dup_stats":
+            D.doc_chunk_dup_stats,        # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -358,6 +360,26 @@ def oracle_sql() -> dict[str, str]:
         " FROM toks GROUP BY doc_id")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
+    # exact substring-chunk dedup coverage (non-overlapping 8-token
+    # windows, trailing partial dropped; dup = chunk text in >=2 docs)
+    _ct = D.CHUNK_TOKENS
+    out["doc_chunk_dup_stats"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs_aug),\n"
+        f"chunks AS (SELECT doc_id, array_to_string(tk[i:i+{_ct - 1}], ' ')"
+        " AS ch FROM toks,"
+        f" unnest(generate_series(1, len(tk) - {_ct - 1}, {_ct})) u(i)),\n"
+        "npc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks"
+        " FROM chunks GROUP BY 1),\n"
+        "per AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM chunks"
+        " GROUP BY 1),\n"
+        "dup AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks"
+        " FROM chunks c JOIN per p ON c.ch = p.ch WHERE p.nd >= 2"
+        " GROUP BY 1)\n"
+        "SELECT n.doc_id, n.n_chunks,"
+        " COALESCE(d.n_dup_chunks, 0) AS n_dup_chunks,"
+        " round(CAST(COALESCE(d.n_dup_chunks, 0) AS DOUBLE) / n.n_chunks, 6)"
+        " AS dup_chunk_frac"
+        " FROM npc n LEFT JOIN dup d USING (doc_id)")
     # Gopher-style repetition signals; the flag compares UNROUNDED ratios
     # (IEEE doubles: DuckDB and numpy divide identically), emitted
     # fractions rounded to 6 like the other ratio oracles

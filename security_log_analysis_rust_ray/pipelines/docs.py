@@ -1280,3 +1280,96 @@ def doc_repetition_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return docs_aug_ds(sf_dir).map_batches(rep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact substring-chunk dedup coverage (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — the fixed-window analog of their
+# suffix-array exact-substring dedup, which is the chunk granularity you
+# actually run distributed at crawl scale)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 8
+
+
+def _chunk_instances_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, ch) rows: every NON-overlapping ``CHUNK_TOKENS``-word
+    window per doc (trailing partial window dropped).  Same flat-token
+    window-gather kernel as the shingle ops, stride = window size."""
+    c = CHUNK_TOKENS
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets)
+    wins = np.diff(offs) // c
+    starts = np.repeat(offs[:-1], wins) + c * _concat_aranges(wins)
+    cols = [flat.take(pa.array(starts + j)) for j in range(c)]
+    ch = pc.binary_join_element_wise(*cols, " ")
+    doc_ids = np.repeat(b["doc_id"].to_numpy(), wins)
+    return pa.table({"doc_id": pa.array(doc_ids), "ch": ch})
+
+
+def doc_chunk_dup_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc exact substring-duplication coverage: the share of a doc's
+    fixed-size token chunks whose text also appears in ANOTHER doc.  The
+    distributed plan (runs unchanged at 10^9 docs):
+
+    1. chunk stream (doc_id, ch) — stateless fused map, no shuffle;
+    2. cross-doc dup chunk set: per-doc-distinct chunks -> one grouped
+       count on the chunk text (the only all-to-all), keep count >= 2;
+    3. dup instances via the size-aware ``semi_join`` (broadcast while the
+       dup set is small — the common case — partitioned probe beyond the
+       byte budget), then a grouped count per doc;
+    4. per-doc totals attach with a size-aware ``lookup_join`` (left), so
+       chunk-free docs never appear and dup-free docs get 0.
+    """
+    from ..stages.joins import lookup_join, semi_join
+
+    nparts = _join_parts(sf_dir)
+    base = docs_aug_ds(sf_dir)
+    inst = base.map_batches(_chunk_instances_batch, batch_format="pyarrow")
+    dist = inst.map_batches(
+        lambda t: t.group_by(["doc_id", "ch"]).aggregate([]),
+        batch_format="pyarrow")
+    per_chunk = agg.grouped_count(dist, ["ch"], alias="nd",
+                                  high_cardinality=True)
+    ch_schema = pa.schema([pa.field("ch", pa.string())])
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        # hash-partitioned grouped counts can emit zero-COLUMN empty blocks
+        if t.num_columns == 0 or t.num_rows == 0:
+            return ch_schema.empty_table()
+        return t.filter(pc.greater_equal(t["nd"], 2)).select(["ch"])
+
+    dup_set = per_chunk.map_batches(keep_dups, batch_format="pyarrow",
+                                    batch_size=None)
+    dup_inst = semi_join(inst, dup_set, "ch", "ch", nparts=nparts)
+    dup_cnt = agg.grouped_count(dup_inst, ["doc_id"], alias="n_dup_chunks",
+                                high_cardinality=True)
+
+    def totals(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        n_chunks = pc.cast(
+            pc.floor(pc.divide(pc.cast(n, pa.float64()),
+                               float(CHUNK_TOKENS))), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_chunks": n_chunks})
+        return out.filter(pc.greater_equal(out["n_chunks"], 1))
+
+    tot = base.map_batches(totals, batch_format="pyarrow")
+    joined = lookup_join(tot, dup_cnt, "doc_id", "doc_id",
+                         nparts=nparts, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = pc.fill_null(t["n_dup_chunks"], 0).cast(pa.int64())
+        frac = nd.to_numpy(zero_copy_only=False).astype(np.float64) \
+            / t["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chunks": t["n_chunks"],
+            "n_dup_chunks": nd,
+            "dup_chunk_frac": pa.array(round_half_up(frac)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -332,3 +332,34 @@ def test_doc_repetition_stats_handcrafted(tmp_path):
     assert out.loc[4, "top_2gram_frac"] == round(2 / 7, 6)
     assert out.loc[4, "dup_5gram_frac"] == 0.0
     assert bool(out.loc[4, "is_repetitive"])  # top2 2/7 > 0.04
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_chunk_dup_stats_handcrafted(tmp_path):
+    """Chunk coverage edges: docs sharing an 8-token chunk, a short doc
+    with no full chunk (excluded), and trailing partial windows dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    texts = {
+        1: shared + " u1 u2 u3 u4 u5 u6 u7 u8",   # 2 chunks, 1 shared
+        2: shared + " tail",                       # 1 chunk + dropped tail
+        3: "short doc",                            # no full chunk: excluded
+        4: "w1 w2 w3 w4 w5 w6 w7 w8 w9",           # 1 chunk, unique
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = D.doc_chunk_dup_stats(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert set(out.index) == {1, 2, 4}
+    assert out.loc[1, "n_chunks"] == 2
+    assert out.loc[1, "n_dup_chunks"] == 1
+    assert out.loc[1, "dup_chunk_frac"] == 0.5
+    assert out.loc[2, "n_chunks"] == 1      # "tail" partial window dropped
+    assert out.loc[2, "n_dup_chunks"] == 1
+    assert out.loc[2, "dup_chunk_frac"] == 1.0
+    assert out.loc[4, "n_chunks"] == 1      # "w9" dropped
+    assert out.loc[4, "n_dup_chunks"] == 0
+    assert out.loc[4, "dup_chunk_frac"] == 0.0
