@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_repetition_stats,       # oracle, new r03 (sweep-checked)
         "doc_chunk_dup_stats":
             D.doc_chunk_dup_stats,        # oracle, new r03 (sweep-checked)
+        "embedding_kmeans_assign":
+            ANN.embedding_kmeans_assign,  # oracle, new r03 (sweep-checked)
+        "embedding_cluster_sample":
+            ANN.embedding_cluster_sample,  # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -147,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
         "ann_pq_topk": ANN.ann_pq_topk,              # rows-only (PQ approx)
+        "embedding_kmeans": ANN.embedding_kmeans,    # rows-only (iterative)
         "media_features": M.media_features,          # rows-only (fake payloads)
         "media_thumbnails": M.media_thumbnails,      # rows-only (stub resize)
         "media_frames": M.media_frames,              # rows-only (stub frames)
@@ -480,6 +485,31 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC,"
         f" b.vec_id) <= {ANN.TOP_K}")
 
+    # spherical k-means assignment against the deterministic seed
+    # centroids (vec_id < KM_K, normalized — cosine is norm-invariant so
+    # the oracle skips the normalize); argmax ties break to the lowest
+    # cluster id on both sides
+    _km_emb = (
+        "WITH emb64 AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+        " FROM embeddings),\n"
+        f"cents AS (SELECT vec_id AS cluster, embedding FROM emb64"
+        f" WHERE vec_id < {ANN.KM_K}),\n"
+        "ranked AS (SELECT e.vec_id, c.cluster,"
+        " list_cosine_similarity(e.embedding, c.embedding) AS cos,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        " ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,"
+        " c.cluster) AS rn"
+        " FROM emb64 e CROSS JOIN cents c)\n")
+    out["embedding_kmeans_assign"] = _km_emb + (
+        "SELECT vec_id, cluster, round(cos, 6) AS cos_sim FROM ranked"
+        " WHERE rn = 1")
+    out["embedding_cluster_sample"] = _km_emb.rstrip() + (
+        ",\nassign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1)\n"
+        "SELECT cluster, vec_id FROM assign"
+        " QUALIFY row_number() OVER (PARTITION BY cluster"
+        f" ORDER BY (vec_id * {ANN._KM_SHUF_MULT}) % {ANN._KM_SHUF_MOD},"
+        f" vec_id) <= {ANN.KM_SAMPLE}")
     out["media_stats"] = (
         "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents")
     out["media_checksums"] = (

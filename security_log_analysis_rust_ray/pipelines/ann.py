@@ -570,3 +570,155 @@ def ann_pq_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
     out["cos_sim"] = round_half_up(out["cos_sim"].to_numpy())
     return rd.from_pandas(
         out[["query_id", "neighbor_id", "cos_sim"]].reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means document clustering (topic bucketing / curriculum
+# balance for a training corpus) + cluster-stratified sampling
+# ---------------------------------------------------------------------------
+
+KM_K = 8            # clusters; seeds = the first KM_K base vectors by vec_id
+KM_ITERS = 5        # Lloyd iterations for the iterative variant
+KM_SAMPLE = 10      # per-cluster stratified sample size
+# pseudo-shuffle key for sampling: Knuth multiplicative hash mod a prime,
+# small enough that vec_id * KNUTH never overflows int64 (vec_id < 2^40)
+_KM_SHUF_MULT = 2654435761
+_KM_SHUF_MOD = 1000003
+
+
+def _km_seed_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic seeds: base vectors with vec_id < KM_K, normalized.
+    Streaming vectorized filter — only KM_K rows reach the driver."""
+    rows = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(lambda b: b.filter(pc.less(b["vec_id"], KM_K)),
+                     batch_format="pyarrow", batch_size=None).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return _normalize(np.array([r["embedding"] for r in rows],
+                               dtype=np.float64))
+
+
+def _km_assign_ds(base: rd.Dataset, cm: np.ndarray,
+                  with_sim: bool = False) -> rd.Dataset:
+    """(vec_id, cluster[, cos_sim]) via one broadcast matmul per batch.
+    argmax returns the FIRST maximal row, i.e. ties break to the lowest
+    cluster id — mirrored by the oracle's (sim DESC, cluster ASC) rank."""
+    ref = ray.put(cm)
+
+    class Assign:
+        def __init__(self):
+            self.cm = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_mat(b["embedding"]))
+            sims = self.cm @ m.T                       # (K, B)
+            a = np.argmax(sims, axis=0)
+            cols = {"vec_id": b["vec_id"],
+                    "cluster": pa.array(a.astype(np.int64))}
+            if with_sim:
+                best = sims[a, np.arange(m.shape[0])]
+                cols["cos_sim"] = pa.array(round_half_up(best))
+            return pa.table(cols)
+
+    return base.map_batches(Assign, batch_format="pyarrow",
+                            concurrency=(1, 8), batch_size=8192)
+
+
+def embedding_kmeans_assign(sf_dir: str) -> rd.Dataset:
+    """Single spherical-k-means assignment step against the deterministic
+    seed centroids — the oracle-checkable granularity (the iterative fit
+    below is float-accumulation-order dependent, a cross JOIN argmin is
+    not).  Output: (vec_id, cluster, cos_sim)."""
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _km_assign_ds(base, _km_seed_centroids(sf_dir), with_sim=True)
+
+
+def kmeans_fit(sf_dir: str, k: int = KM_K,
+               iters: int = KM_ITERS) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd iterations (spherical): per-batch partial
+    (cluster, count, vector-sum, inertia) folds — K rows per block, never
+    the corpus — then a tiny grouped reduce; new centroid = normalized
+    cluster sum.  Returns (centroids, per-iteration inertia history).
+    The base is materialized once (k-means is inherently multi-pass; the
+    blocks live in the spillable object store, not on the driver)."""
+    base = read_table(sf_dir, "embeddings",
+                      columns=["vec_id", "embedding"]).materialize()
+    cm = _km_seed_centroids(sf_dir)[:k]
+    history: list[float] = []
+    for _ in range(iters):
+        ref = ray.put(cm)
+
+        class Partial:
+            def __init__(self):
+                self.cm = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                m = _normalize(_mat(b["embedding"]))
+                sims = self.cm @ m.T
+                a = np.argmax(sims, axis=0)
+                kk = self.cm.shape[0]
+                sums = np.zeros((kk, DIM))
+                np.add.at(sums, a, m)
+                n = np.bincount(a, minlength=kk)
+                best = sims[a, np.arange(m.shape[0])]
+                inert = np.zeros(kk)
+                np.add.at(inert, a, 1.0 - best)
+                keep = n > 0
+                return pa.table({
+                    "cluster": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                    "n": pa.array(n[keep].astype(np.int64)),
+                    "vec": _emb_list(sums[keep]),
+                    "inertia": pa.array(inert[keep]),
+                })
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "cluster": [g["cluster"].iloc[0]],
+                "n": [g["n"].sum()],
+                "vec": [np.stack(g["vec"].to_numpy()).sum(axis=0)],
+                "inertia": [g["inertia"].sum()],
+            })
+
+        rows = base.map_batches(Partial, batch_format="pyarrow",
+                                concurrency=(1, 8), batch_size=8192) \
+            .groupby("cluster").map_groups(fold, batch_format="pandas") \
+            .take_all()
+        history.append(float(sum(r["inertia"] for r in rows)))
+        new_cm = cm.copy()                 # empty cluster keeps its centroid
+        for r in rows:
+            new_cm[int(r["cluster"])] = np.asarray(r["vec"], dtype=np.float64)
+        cm = _normalize(new_cm)
+    return cm, history
+
+
+def embedding_kmeans(sf_dir: str) -> rd.Dataset:
+    """Iterative spherical k-means assignments after KM_ITERS Lloyd
+    rounds (rows-only: float-sum order makes the trained centroids
+    non-SQL-reproducible; pytest asserts the inertia contract instead).
+    Output: (vec_id, cluster)."""
+    cm, _ = kmeans_fit(sf_dir)
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _km_assign_ds(base, cm, with_sim=False)
+
+
+def embedding_cluster_sample(sf_dir: str, s: int = KM_SAMPLE) -> rd.Dataset:
+    """Cluster-stratified corpus sample: up to ``s`` vectors per seed-
+    assigned cluster, chosen by a deterministic multiplicative-hash
+    pseudo-shuffle (so the pick is unbiased-by-id yet SQL-replayable).
+    Distributed as the existing partial/final ``grouped_top_k`` — no
+    full sort, one hash exchange on the cluster key.  Output:
+    (cluster, vec_id)."""
+    from ..stages.aggregate import grouped_top_k
+
+    assign = embedding_kmeans_assign(sf_dir)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy()
+        h = (v * _KM_SHUF_MULT) % _KM_SHUF_MOD
+        return pa.table({"cluster": b["cluster"], "vec_id": b["vec_id"],
+                         "h": pa.array(h.astype(np.int64))})
+
+    keyed = assign.map_batches(add_key, batch_format="pyarrow",
+                               batch_size=None)
+    top = grouped_top_k(keyed, ["cluster"], "h", s, descending=False,
+                        tie_cols=["vec_id"])
+    return top.select_columns(["cluster", "vec_id"])

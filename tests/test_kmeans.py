@@ -1,0 +1,48 @@
+"""Spherical k-means tier: the iterative fit has no SQL oracle (float
+accumulation order), so its contract is invariants: monotone inertia,
+complete deterministic assignments, and the stratified sample's per-
+cluster bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from security_log_analysis_rust_ray.pipelines import ann as A
+from .conftest import SF_SMOKE
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_inertia_monotone_and_assignment_complete():
+    cm, hist = A.kmeans_fit(SF_SMOKE)
+    assert len(hist) == A.KM_ITERS
+    # Lloyd's algorithm never increases inertia (tiny FP slack)
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 1e-9, f"inertia rose: {hist}"
+    assert hist[-1] < hist[0], "no improvement over seed centroids at all"
+    # centroids stay unit-norm (spherical variant)
+    assert np.allclose(np.linalg.norm(cm, axis=1), 1.0)
+
+    out = A.embedding_kmeans(SF_SMOKE).to_pandas()
+    base_n = A.read_table(SF_SMOKE, "embeddings",
+                          columns=["vec_id"]).count()
+    assert len(out) == base_n
+    assert out["vec_id"].is_unique
+    assert set(out["cluster"].unique()) <= set(range(A.KM_K))
+    # deterministic: a second run reproduces the exact assignment
+    out2 = A.embedding_kmeans(SF_SMOKE).to_pandas()
+    assert out.sort_values("vec_id").reset_index(drop=True) \
+        .equals(out2.sort_values("vec_id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_sample_bounds():
+    samp = A.embedding_cluster_sample(SF_SMOKE).to_pandas()
+    assign = A.embedding_kmeans_assign(SF_SMOKE).to_pandas()
+    sizes = assign.groupby("cluster").size()
+    got = samp.groupby("cluster").size()
+    for cl, n in got.items():
+        assert n == min(A.KM_SAMPLE, sizes[cl])
+    # sampled ids really belong to the cluster they are listed under
+    merged = samp.merge(assign, on="vec_id", suffixes=("_s", "_a"))
+    assert (merged["cluster_s"] == merged["cluster_a"]).all()
