@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.embedding_kmeans_assign,  # oracle, new r03 (sweep-checked)
         "embedding_cluster_sample":
             ANN.embedding_cluster_sample,  # oracle, new r03 (sweep-checked)
+        "doc_curated_corpus":
+            D.doc_curated_corpus,         # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -365,6 +367,33 @@ def oracle_sql() -> dict[str, str]:
         " FROM toks GROUP BY doc_id")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
+    # end-to-end curation composite: quality gate (rounded score above
+    # CURATION_QUALITY_MIN) -> exact dedup (min doc_id per text) ->
+    # eval-5-gram decontamination
+    _ng = D.NGRAM
+    _qexpr = "round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6)"
+    out["doc_curated_corpus"] = docs_pre + token_cte.rstrip() + (
+        ",\n"
+        f"q AS (SELECT s.doc_id, d.text, {_qexpr} AS quality_score"
+        " FROM stats2 s JOIN docs_aug d USING (doc_id)"
+        f" WHERE s.doc_id < 1000000 AND {_qexpr}"
+        f" > {D.CURATION_QUALITY_MIN}),\n"
+        "dedup AS (SELECT doc_id, text, quality_score FROM q"
+        " QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id)"
+        " = 1),\n"
+        "toks2 AS (SELECT doc_id, str_split(text, ' ') AS t FROM dedup),\n"
+        "grams_s AS (SELECT DISTINCT doc_id,"
+        f" array_to_string(t[i:i+{_ng - 1}], ' ') AS g FROM toks2,"
+        f" unnest(generate_series(1, len(t) - {_ng - 1})) u(i)),\n"
+        "eval_t AS (SELECT doc_id, str_split(text, ' ') AS t FROM docs_aug"
+        " WHERE doc_id >= 1000000),\n"
+        "eval_g AS (SELECT DISTINCT"
+        f" array_to_string(t[i:i+{_ng - 1}], ' ') AS g FROM eval_t,"
+        f" unnest(generate_series(1, len(t) - {_ng - 1})) u(i)),\n"
+        "flagged AS (SELECT DISTINCT s.doc_id FROM grams_s s"
+        " JOIN eval_g e USING (g))\n"
+        "SELECT doc_id, text, quality_score FROM dedup"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM flagged)")
     # exact substring-chunk dedup coverage (non-overlapping 8-token
     # windows, trailing partial dropped; dup = chunk text in >=2 docs)
     _ct = D.CHUNK_TOKENS

@@ -1373,3 +1373,77 @@ def doc_chunk_dup_stats(sf_dir: str) -> rd.Dataset:
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation: quality filter -> exact dedup -> decontaminate
+# ---------------------------------------------------------------------------
+
+# curation quality gate: sits inside this corpus's score range (max 0.48
+# — every doc is shorter than the 200-token length-score knee), so the
+# gate genuinely splits the population (~53% survive at sf0.001)
+CURATION_QUALITY_MIN = 0.25
+
+
+def doc_curated_corpus(sf_dir: str) -> rd.Dataset:
+    """The composite curation pipeline a training run actually consumes,
+    chaining three oracle-checked stages over the training slice
+    (doc_id < _AUG_BASE) in the canonical order:
+
+    1. QUALITY GATE — keep docs whose (rounded) quality score exceeds
+       ``CURATION_QUALITY_MIN``,
+       computed in one fused stateless pass that carries the text through;
+    2. EXACT DEDUP — survivor with the minimum doc_id per distinct text
+       (partial per-block min -> grouped min -> size-aware ``semi_join``
+       to recover the full rows);
+    3. DECONTAMINATION — drop survivors sharing any word-5-gram with the
+       held-out eval slice (only the SURVIVORS are shingled — the quality
+       and dedup gates already shrank the stream — and the eval gram set
+       rides the size-aware ``semi_join``/``anti_join`` pair).
+
+    Every stage is a streaming map or a key-partitioned exchange; nothing
+    corpus-sized lands on the driver.  Output: (doc_id, text,
+    quality_score)."""
+    from ray.data.aggregate import Min
+
+    from ..stages.joins import anti_join, semi_join
+
+    nparts = _join_parts(sf_dir)
+    base = docs_aug_ds(sf_dir)
+    train = base.map_batches(_train_rows, batch_format="pyarrow",
+                             batch_size=None)
+
+    def qual(b: pa.Table) -> pa.Table:
+        s = _token_stats_batch(b)
+        nt = s["n_tokens"].to_numpy().astype(np.float64)
+        len_score = np.minimum(nt / 200.0, 1.0)
+        quality = pa.array(round_half_up(
+            len_score * (1.0 - s["stop_ratio"].to_numpy())))
+        t = pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                      "quality_score": quality})
+        return t.filter(pc.greater(t["quality_score"],
+                                   CURATION_QUALITY_MIN))
+
+    q = train.map_batches(qual, batch_format="pyarrow")
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        return b.select(["text", "doc_id"]).group_by(["text"]) \
+                .aggregate([("doc_id", "min")]) \
+                .rename_columns(["text", "doc_id"])
+
+    keep_ids = q.map_batches(partial_min, batch_format="pyarrow") \
+        .groupby("text").aggregate(Min("doc_id", alias_name="doc_id")) \
+        .select_columns(["doc_id"])
+    deduped = semi_join(q, keep_ids, "doc_id", "doc_id", nparts=nparts)
+
+    eval_g = base.map_batches(_eval_rows, batch_format="pyarrow",
+                              batch_size=None) \
+        .map_batches(_distinct_shingles_batch, batch_format="pyarrow") \
+        .select_columns(["g"])
+    surv_g = deduped.map_batches(_distinct_shingles_batch,
+                                 batch_format="pyarrow")
+    flagged = semi_join(surv_g, eval_g, "g", "g", nparts=nparts) \
+        .select_columns(["doc_id"])
+    from ..stages.dedup import distinct_rows
+    flagged = distinct_rows(flagged, ["doc_id"])
+    return anti_join(deduped, flagged, "doc_id", "doc_id", nparts=nparts)
