@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.embedding_cluster_sample,  # oracle, new r03 (sweep-checked)
         "doc_curated_corpus":
             D.doc_curated_corpus,         # oracle, new r03 (sweep-checked)
+        "doc_char_entropy":
+            D.doc_char_entropy,           # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -414,6 +416,20 @@ def oracle_sql() -> dict[str, str]:
         " round(CAST(COALESCE(d.n_dup_chunks, 0) AS DOUBLE) / n.n_chunks, 6)"
         " AS dup_chunk_frac"
         " FROM npc n LEFT JOIN dup d USING (doc_id)")
+    # per-doc character Shannon entropy; the flag compares the ROUNDED
+    # value on both sides so libm log2 ulp drift cannot flip it
+    out["doc_char_entropy"] = docs_pre + (
+        "chars AS (SELECT doc_id, substring(text, i, 1) AS ch"
+        " FROM docs_aug, unnest(generate_series(1, length(text))) u(i)),\n"
+        "c AS (SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2),\n"
+        "tot AS (SELECT doc_id, sum(n) AS t FROM c GROUP BY 1),\n"
+        "e AS (SELECT c.doc_id,"
+        " round(-sum((CAST(n AS DOUBLE) / t) * log2(CAST(n AS DOUBLE) / t)),"
+        " 6) AS char_entropy FROM c JOIN tot USING (doc_id) GROUP BY 1)\n"
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,"
+        " e.char_entropy,"
+        f" e.char_entropy < {D.ENTROPY_LOW_THRESHOLD} AS is_low_entropy"
+        " FROM docs_aug d JOIN e USING (doc_id)")
     # Gopher-style repetition signals; the flag compares UNROUNDED ratios
     # (IEEE doubles: DuckDB and numpy divide identically), emitted
     # fractions rounded to 6 like the other ratio oracles
