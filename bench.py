@@ -157,6 +157,13 @@ def run_bench() -> dict:
     timed("doc_fingerprints",
           lambda: docs_pipe.doc_fingerprints(docs_dir).count())
     timed("minhash_pairs", lambda: docs_pipe.minhash_pairs(docs_dir).count())
+    # r03 quality/dedup additions: the repetition stats are a pure fused
+    # gram-groupby map (no shuffle); chunk-dup coverage adds one grouped
+    # count + size-aware semi-join over the chunk stream
+    timed("repetition_stats",
+          lambda: docs_pipe.doc_repetition_stats(docs_dir).count())
+    timed("chunk_dup_stats",
+          lambda: docs_pipe.doc_chunk_dup_stats(docs_dir).count())
 
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",

@@ -1313,40 +1313,57 @@ def _chunk_instances_batch(b: pa.Table) -> pa.Table:
 def doc_chunk_dup_stats(sf_dir: str) -> rd.Dataset:
     """Per-doc exact substring-duplication coverage: the share of a doc's
     fixed-size token chunks whose text also appears in ANOTHER doc.  The
-    distributed plan (runs unchanged at 10^9 docs):
+    distributed plan — TWO exchanges total (runs unchanged at 10^9 docs):
 
-    1. chunk stream (doc_id, ch) — stateless fused map, no shuffle;
-    2. cross-doc dup chunk set: per-doc-distinct chunks -> one grouped
-       count on the chunk text (the only all-to-all), keep count >= 2;
-    3. dup instances via the size-aware ``semi_join`` (broadcast while the
-       dup set is small — the common case — partitioned probe beyond the
-       byte budget), then a grouped count per doc;
-    4. per-doc totals attach with a size-aware ``lookup_join`` (left), so
+    1. per-(doc, chunk) INSTANCE COUNTS fall out of the chunking map for
+       free (each row is a whole doc, so batch-local counts are global);
+    2. one hash exchange on the chunk text co-locates each chunk's rows;
+       per block: chunks in >= 2 distinct docs are found with a local
+       group_by, their instance rows kept, and per-doc dup counts
+       PARTIALLY summed — so the second exchange (grouped sum on doc_id)
+       moves at most one row per (doc, block);
+    3. per-doc totals attach with a size-aware ``lookup_join`` (left), so
        chunk-free docs never appear and dup-free docs get 0.
     """
-    from ..stages.joins import lookup_join, semi_join
+    from ..stages.dedup import _use_hash_shuffle
+    from ..stages.joins import lookup_join
 
     nparts = _join_parts(sf_dir)
     base = docs_aug_ds(sf_dir)
-    inst = base.map_batches(_chunk_instances_batch, batch_format="pyarrow")
-    dist = inst.map_batches(
-        lambda t: t.group_by(["doc_id", "ch"]).aggregate([]),
-        batch_format="pyarrow")
-    per_chunk = agg.grouped_count(dist, ["ch"], alias="nd",
-                                  high_cardinality=True)
-    ch_schema = pa.schema([pa.field("ch", pa.string())])
 
-    def keep_dups(t: pa.Table) -> pa.Table:
-        # hash-partitioned grouped counts can emit zero-COLUMN empty blocks
+    def chunk_counts(b: pa.Table) -> pa.Table:
+        t = _chunk_instances_batch(b)
+        return t.group_by(["doc_id", "ch"]).aggregate([("ch", "count")]) \
+                .rename_columns(["doc_id", "ch", "cnt"])
+
+    cnts = base.map_batches(chunk_counts, batch_format="pyarrow")
+    parts = _use_hash_shuffle(cnts, nparts).repartition(
+        num_blocks=nparts, keys=["ch"])
+    part_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                             pa.field("_partial", pa.int64())])
+
+    def block_dup(t: pa.Table) -> pa.Table:
+        # hash partitions can surface zero-column empty blocks
         if t.num_columns == 0 or t.num_rows == 0:
-            return ch_schema.empty_table()
-        return t.filter(pc.greater_equal(t["nd"], 2)).select(["ch"])
+            return part_schema.empty_table()
+        per = t.group_by("ch").aggregate([("doc_id", "count_distinct")])
+        dup_ch = per.filter(
+            pc.greater_equal(per["doc_id_count_distinct"], 2))["ch"]
+        keep = t.filter(pc.is_in(t["ch"], value_set=dup_ch.combine_chunks()))
+        out = keep.group_by("doc_id").aggregate([("cnt", "sum")])
+        return out.rename_columns(["doc_id", "_partial"]) \
+                  .cast(part_schema)
 
-    dup_set = per_chunk.map_batches(keep_dups, batch_format="pyarrow",
-                                    batch_size=None)
-    dup_inst = semi_join(inst, dup_set, "ch", "ch", nparts=nparts)
-    dup_cnt = agg.grouped_count(dup_inst, ["doc_id"], alias="n_dup_chunks",
-                                high_cardinality=True)
+    from ray.data.aggregate import Sum
+    # materialized: (a) the size gate in lookup_join sees the REAL bytes
+    # (at most one short row per doc-with-dups) instead of the corpus-
+    # sized root-file estimate, so the attach broadcasts; (b) the chunk
+    # pipeline is not re-executed as the join's dim lineage
+    dup_cnt = parts.map_batches(block_dup, batch_format="pyarrow",
+                                batch_size=None) \
+        .groupby("doc_id") \
+        .aggregate(Sum("_partial", alias_name="n_dup_chunks")) \
+        .materialize()
 
     def totals(t: pa.Table) -> pa.Table:
         n = pc.add(pc.count_substring(t["text"], " "), 1)
