@@ -129,6 +129,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_curated_corpus,         # oracle, new r03 (sweep-checked)
         "doc_char_entropy":
             D.doc_char_entropy,           # oracle, new r03 (sweep-checked)
+        "doc_split_assign":
+            D.doc_split_assign,           # oracle, new r03 (sweep-checked)
+        "corpus_source_report":
+            D.corpus_source_report,       # oracle, new r03 (sweep-checked)
+        "vocab_kl_divergence":
+            D.vocab_kl_divergence,        # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -416,6 +422,48 @@ def oracle_sql() -> dict[str, str]:
         " round(CAST(COALESCE(d.n_dup_chunks, 0) AS DOUBLE) / n.n_chunks, 6)"
         " AS dup_chunk_frac"
         " FROM npc n LEFT JOIN dup d USING (doc_id)")
+    # deterministic multiplicative-hash 80/10/10 split
+    out["doc_split_assign"] = (
+        "SELECT doc_id, CASE"
+        f" WHEN ((doc_id * {D.SPLIT_MULT}) % {D.SPLIT_MOD}) % 10 < 8"
+        " THEN 'train'"
+        f" WHEN ((doc_id * {D.SPLIT_MULT}) % {D.SPLIT_MOD}) % 10 = 8"
+        " THEN 'val' ELSE 'test' END AS split FROM documents")
+    # per-source corpus health report (averages rounded to 6 both sides)
+    out["corpus_source_report"] = (
+        "WITH stats AS (SELECT source,"
+        " CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,"
+        " CAST(len(list_filter(str_split(text, ' '),"
+        f" x -> x IN ({stop_list}))) AS BIGINT) AS stop_cnt"
+        " FROM documents),\n"
+        "q AS (SELECT source, n_tokens,"
+        " least(n_tokens / 200.0, 1.0)"
+        " * (1 - CAST(stop_cnt AS DOUBLE) / n_tokens) AS quality"
+        " FROM stats)\n"
+        "SELECT source, count(*) AS n_docs,"
+        " round(avg(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens,"
+        " round(avg(quality), 6) AS avg_quality FROM q GROUP BY source")
+    # add-one-smoothed KL(new-crawl || base) over the union vocabulary
+    out["vocab_kl_divergence"] = docs_pre + (
+        "bt AS (SELECT unnest(str_split(text, ' ')) AS term"
+        " FROM documents),\n"
+        "ntm AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug"
+        " WHERE doc_id >= 1000000),\n"
+        "bc AS (SELECT term, count(*) AS c FROM bt GROUP BY 1),\n"
+        "nc AS (SELECT term, count(*) AS c FROM ntm GROUP BY 1),\n"
+        "vocab AS (SELECT term FROM bc UNION SELECT term FROM nc),\n"
+        "tot AS (SELECT (SELECT sum(c) FROM bc) AS tb,"
+        " (SELECT sum(c) FROM nc) AS tn,"
+        " (SELECT count(*) FROM vocab) AS v),\n"
+        "p AS (SELECT v.term,"
+        " (COALESCE(bc.c, 0) + 1.0) / (tot.tb + tot.v) AS pb,"
+        " (COALESCE(nc.c, 0) + 1.0) / (tot.tn + tot.v) AS pn"
+        " FROM vocab v LEFT JOIN bc USING (term)"
+        " LEFT JOIN nc USING (term) CROSS JOIN tot)\n"
+        "SELECT round(sum(pn * log2(pn / pb)), 6) AS kl_bits,"
+        " CAST((SELECT v FROM tot) AS BIGINT) AS vocab_size,"
+        " CAST((SELECT tb FROM tot) AS BIGINT) AS total_base,"
+        " CAST((SELECT tn FROM tot) AS BIGINT) AS total_new FROM p")
     # per-doc character Shannon entropy; the flag compares the ROUNDED
     # value on both sides so libm log2 ulp drift cannot flip it
     out["doc_char_entropy"] = docs_pre + (

@@ -1508,3 +1508,139 @@ def doc_char_entropy(sf_dir: str) -> rd.Dataset:
         })
 
     return docs_aug_ds(sf_dir).map_batches(ent, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split + per-source corpus health report
+# ---------------------------------------------------------------------------
+
+SPLIT_MULT = 2654435761      # Knuth multiplicative hash (fits int64 here)
+SPLIT_MOD = 1000003
+
+
+def doc_split_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic 80/10/10 train/val/test assignment by multiplicative
+    hash of the doc id — stable under corpus growth and re-shuffling,
+    SQL-replayable (unlike RNG splits).  Pure fused map over the pruned
+    one-column read; streams at any scale."""
+    def assign(b: pa.Table) -> pa.Table:
+        v = b["doc_id"].to_numpy()
+        bucket = ((v * SPLIT_MULT) % SPLIT_MOD) % 10
+        split = np.where(bucket < 8, "train",
+                         np.where(bucket == 8, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def corpus_source_report(sf_dir: str) -> rd.Dataset:
+    """Per-source corpus health: doc count, mean token count, mean quality
+    score — the dashboard row a curation run checks per crawl source.
+    Partial sums fold inside each batch (one row per (source, block) moves)
+    before a tiny grouped final; averages round like every ratio oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = _token_stats_batch(b)
+        nt = s["n_tokens"].to_numpy().astype(np.float64)
+        quality = np.minimum(nt / 200.0, 1.0) \
+            * (1.0 - s["stop_ratio"].to_numpy())
+        t = pa.table({"source": b["source"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "tok": s["n_tokens"],
+                      "q": pa.array(quality)})
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("tok", "sum"), ("q", "sum")]) \
+            .rename_columns(["source", "n", "tok", "q"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("tok", alias_name="tok_sum"),
+            Sum("q", alias_name="q_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([
+                pa.field("source", pa.string()),
+                pa.field("n_docs", pa.int64()),
+                pa.field("avg_tokens", pa.float64()),
+                pa.field("avg_quality", pa.float64())]).empty_table()
+        n = t["n_docs"].to_numpy().astype(np.float64)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"],
+            "avg_tokens": pa.array(round_half_up(
+                t["tok_sum"].to_numpy() / n)),
+            "avg_quality": pa.array(round_half_up(
+                t["q_sum"].to_numpy(zero_copy_only=False) / n)),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary-distribution drift between corpus snapshots (KL divergence)
+# ---------------------------------------------------------------------------
+
+def vocab_kl_divergence(sf_dir: str) -> rd.Dataset:
+    """Add-one-smoothed KL(new-crawl || base) over the union vocabulary —
+    the drift gauge a recurring crawl pipeline watches before mixing a new
+    snapshot in.  Term counts are distributed grouped counts per side; the
+    union vocab attaches both sides via size-aware left lookup_joins (the
+    per-term table is vocabulary-sized, not corpus-sized); the three
+    scalars (totals + vocab size) are tiny aggregates; contributions fold
+    per batch and one global sum yields the single output row."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import lookup_join
+
+    base_terms = read_table(sf_dir, "documents", columns=["text"]) \
+        .map_batches(_terms_batch, batch_format="pyarrow")
+    new_terms = docs_aug_ds(sf_dir) \
+        .map_batches(_eval_rows, batch_format="pyarrow", batch_size=None) \
+        .map_batches(_terms_batch, batch_format="pyarrow")
+    bc = agg.grouped_count(base_terms, ["term"], alias="cnt_b",
+                           high_cardinality=True)
+    nc = agg.grouped_count(new_terms, ["term"], alias="cnt_n",
+                           high_cardinality=True)
+    vocab = distinct_rows(
+        bc.select_columns(["term"]).union(nc.select_columns(["term"])),
+        ["term"])
+    joined = lookup_join(vocab, bc.materialize(), "term", "term",
+                         how="left")
+    joined = lookup_join(joined, nc.materialize(), "term", "term",
+                         how="left").materialize()
+    v = joined.count()
+    tb = int(joined.sum("cnt_b", ignore_nulls=True) or 0)
+    tn = int(joined.sum("cnt_n", ignore_nulls=True) or 0)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        cb = pc.fill_null(t["cnt_b"], 0).to_numpy().astype(np.float64)
+        cn = pc.fill_null(t["cnt_n"], 0).to_numpy().astype(np.float64)
+        pb = (cb + 1.0) / (tb + v)
+        pn = (cn + 1.0) / (tn + v)
+        return pa.table({"kl": pa.array([float(
+            (pn * np.log2(pn / pb)).sum())])})
+
+    total = joined.map_batches(contrib, batch_format="pyarrow") \
+        .sum("kl")
+    return rd.from_arrow(pa.table({
+        "kl_bits": pa.array([float(round_half_up(np.array([total]))[0])]),
+        "vocab_size": pa.array([v], pa.int64()),
+        "total_base": pa.array([tb], pa.int64()),
+        "total_new": pa.array([tn], pa.int64()),
+    }))
+
+
+def _terms_batch(b: pa.Table) -> pa.Table:
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    return pa.table({"term": tk.values})
