@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.corpus_source_report,       # oracle, new r03 (sweep-checked)
         "vocab_kl_divergence":
             D.vocab_kl_divergence,        # oracle, new r03 (sweep-checked)
+        "doc_cdc_dup_stats":
+            D.doc_cdc_dup_stats,          # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -478,6 +480,35 @@ def oracle_sql() -> dict[str, str]:
         " e.char_entropy,"
         f" e.char_entropy < {D.ENTROPY_LOW_THRESHOLD} AS is_low_entropy"
         " FROM docs_aug d JOIN e USING (doc_id)")
+    # content-defined chunking dup coverage: boundary AFTER any token
+    # whose first byte % CDC_MOD == 0; chunks under CDC_MIN_TOKENS ignored
+    out["doc_cdc_dup_stats"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs_aug),\n"
+        "pos AS (SELECT doc_id, i, tk[i] AS t FROM toks,"
+        " unnest(generate_series(1, len(tk))) u(i)),\n"
+        "bnd AS (SELECT doc_id, i, t, CASE WHEN length(t) > 0 AND"
+        f" ascii(substring(t, 1, 1)) % {D.CDC_MOD} = 0 THEN 1 ELSE 0 END"
+        " AS b FROM pos),\n"
+        "cid AS (SELECT doc_id, i, t, COALESCE(sum(b) OVER ("
+        "PARTITION BY doc_id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c"
+        " FROM bnd),\n"
+        "chunks AS (SELECT doc_id, c, string_agg(t, ' ' ORDER BY i) AS ch,"
+        " count(*) AS ctok FROM cid GROUP BY doc_id, c),\n"
+        f"filt AS (SELECT doc_id, ch FROM chunks"
+        f" WHERE ctok >= {D.CDC_MIN_TOKENS}),\n"
+        "npc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks"
+        " FROM filt GROUP BY 1),\n"
+        "per AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM filt"
+        " GROUP BY 1),\n"
+        "dup AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks"
+        " FROM filt f JOIN per p ON f.ch = p.ch WHERE p.nd >= 2"
+        " GROUP BY 1)\n"
+        "SELECT n.doc_id, n.n_chunks,"
+        " COALESCE(d.n_dup_chunks, 0) AS n_dup_chunks,"
+        " round(CAST(COALESCE(d.n_dup_chunks, 0) AS DOUBLE) / n.n_chunks, 6)"
+        " AS dup_chunk_frac"
+        " FROM npc n LEFT JOIN dup d USING (doc_id)")
     # Gopher-style repetition signals; the flag compares UNROUNDED ratios
     # (IEEE doubles: DuckDB and numpy divide identically), emitted
     # fractions rounded to 6 like the other ratio oracles

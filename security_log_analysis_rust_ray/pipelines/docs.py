@@ -1325,18 +1325,33 @@ def doc_chunk_dup_stats(sf_dir: str) -> rd.Dataset:
     3. per-doc totals attach with a size-aware ``lookup_join`` (left), so
        chunk-free docs never appear and dup-free docs get 0.
     """
-    from ..stages.dedup import _use_hash_shuffle
-    from ..stages.joins import lookup_join
-
-    nparts = _join_parts(sf_dir)
-    base = docs_aug_ds(sf_dir)
-
     def chunk_counts(b: pa.Table) -> pa.Table:
         t = _chunk_instances_batch(b)
         return t.group_by(["doc_id", "ch"]).aggregate([("ch", "count")]) \
                 .rename_columns(["doc_id", "ch", "cnt"])
 
-    cnts = base.map_batches(chunk_counts, batch_format="pyarrow")
+    def totals(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        n_chunks = pc.cast(
+            pc.floor(pc.divide(pc.cast(n, pa.float64()),
+                               float(CHUNK_TOKENS))), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_chunks": n_chunks})
+        return out.filter(pc.greater_equal(out["n_chunks"], 1))
+
+    return _chunk_dup_pipeline(docs_aug_ds(sf_dir), chunk_counts, totals,
+                               _join_parts(sf_dir))
+
+
+def _chunk_dup_pipeline(base: rd.Dataset, chunk_counts_fn, totals_fn,
+                        nparts: int) -> rd.Dataset:
+    """Shared tail of the chunk-dup ops (fixed-window and CDC): one hash
+    exchange on the chunk text with block-local cross-doc detection and
+    partial per-doc sums, one grouped sum, totals attached by a
+    size-aware left ``lookup_join`` (see ``doc_chunk_dup_stats``)."""
+    from ..stages.dedup import _use_hash_shuffle
+    from ..stages.joins import lookup_join
+
+    cnts = base.map_batches(chunk_counts_fn, batch_format="pyarrow")
     parts = _use_hash_shuffle(cnts, nparts).repartition(
         num_blocks=nparts, keys=["ch"])
     part_schema = pa.schema([pa.field("doc_id", pa.int64()),
@@ -1365,15 +1380,7 @@ def doc_chunk_dup_stats(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("_partial", alias_name="n_dup_chunks")) \
         .materialize()
 
-    def totals(t: pa.Table) -> pa.Table:
-        n = pc.add(pc.count_substring(t["text"], " "), 1)
-        n_chunks = pc.cast(
-            pc.floor(pc.divide(pc.cast(n, pa.float64()),
-                               float(CHUNK_TOKENS))), pa.int64())
-        out = pa.table({"doc_id": t["doc_id"], "n_chunks": n_chunks})
-        return out.filter(pc.greater_equal(out["n_chunks"], 1))
-
-    tot = base.map_batches(totals, batch_format="pyarrow")
+    tot = base.map_batches(totals_fn, batch_format="pyarrow")
     joined = lookup_join(tot, dup_cnt, "doc_id", "doc_id",
                          nparts=nparts, how="left")
 
@@ -1644,3 +1651,83 @@ def _terms_batch(b: pa.Table) -> pa.Table:
     if isinstance(tk, pa.ChunkedArray):
         tk = tk.combine_chunks()
     return pa.table({"term": tk.values})
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup coverage — the insertion-resistant
+# chunking a recurring-crawl dedup actually wants: a fixed window shifts
+# every chunk after an edit, while content-defined boundaries realign
+# ---------------------------------------------------------------------------
+
+# boundary AFTER a token whose first byte satisfies this modulus (expected
+# chunk length = CDC_MOD tokens); chunks shorter than CDC_MIN_TOKENS are
+# ignored entirely (a 1-token chunk like "the" would be a meaningless
+# corpus-wide hot duplicate)
+CDC_MOD = 4
+CDC_MIN_TOKENS = 3
+
+
+def _cdc_chunks_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, ch, ctok) rows: content-defined chunks per doc.  Fully
+    vectorized: boundary flags from the tokens' FIRST BYTES (read straight
+    off the flat Arrow buffer), chunk starts by mask arithmetic, chunk
+    strings via one ``ListArray`` wrap + ``pc.binary_join`` — no per-row
+    Python.  Short chunks (< CDC_MIN_TOKENS) are dropped here so neither
+    counts nor totals ever see them."""
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    doc_offs = np.asarray(tk.offsets, dtype=np.int64)
+    lens = np.diff(doc_offs)
+    n = int(lens.sum())
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "ch": pa.array([], pa.string()),
+                         "ctok": pa.array([], pa.int64())})
+    # first byte of every token from the flat string buffer
+    tok_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset:flat.offset + len(flat) + 1].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    nonempty = tok_offs[:-1] < tok_offs[1:]
+    first = np.zeros(len(flat), dtype=np.int64)
+    first[nonempty] = data[tok_offs[:-1][nonempty]]
+    boundary = nonempty & (first % CDC_MOD == 0)
+    # chunk starts: every doc start, plus any token following a boundary
+    start = np.zeros(n, dtype=bool)
+    start[1:] = boundary[:-1]
+    start[doc_offs[:-1]] = True
+    spos = np.flatnonzero(start)
+    chunk_offs = np.append(spos, n).astype(np.int32)
+    ch = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(chunk_offs), flat),
+        pa.scalar(" "))
+    ctok = np.diff(chunk_offs).astype(np.int64)
+    doc_idx_per_tok = np.repeat(np.arange(len(lens)), lens)
+    doc_ids = b["doc_id"].to_numpy()[doc_idx_per_tok[spos]]
+    t = pa.table({"doc_id": pa.array(doc_ids), "ch": ch,
+                  "ctok": pa.array(ctok)})
+    return t.filter(pa.array(ctok >= CDC_MIN_TOKENS))
+
+
+def doc_cdc_dup_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc CDC-chunk duplication coverage: identical plan shape as
+    ``doc_chunk_dup_stats`` (two exchanges, block-local cross-doc
+    detection) but over content-defined chunks, so an insertion near the
+    head of a duplicated doc still lets the downstream chunks realign and
+    be caught — the property fixed windows lack
+    (``test_cdc_insertion_resistance``)."""
+    def chunk_counts(b: pa.Table) -> pa.Table:
+        t = _cdc_chunks_batch(b).drop_columns(["ctok"])
+        return t.group_by(["doc_id", "ch"]).aggregate([("ch", "count")]) \
+                .rename_columns(["doc_id", "ch", "cnt"])
+
+    def totals(b: pa.Table) -> pa.Table:
+        t = _cdc_chunks_batch(b)
+        out = t.group_by("doc_id").aggregate([("ch", "count")]) \
+               .rename_columns(["doc_id", "n_chunks"])
+        return out.set_column(1, "n_chunks",
+                              out["n_chunks"].cast(pa.int64()))
+
+    return _chunk_dup_pipeline(docs_aug_ds(sf_dir), chunk_counts, totals,
+                               _join_parts(sf_dir))

@@ -363,3 +363,40 @@ def test_doc_chunk_dup_stats_handcrafted(tmp_path):
     assert out.loc[4, "n_chunks"] == 1      # "w9" dropped
     assert out.loc[4, "n_dup_chunks"] == 0
     assert out.loc[4, "dup_chunk_frac"] == 0.0
+
+
+def test_cdc_insertion_resistance():
+    """The reason CDC exists: after inserting one token near the head of
+    a doc, content-defined boundaries realign at the next boundary token,
+    so most chunks still match; fixed windows shift and lose almost all
+    of them.  (Boundary rule: first byte % 4 == 0 — 'the', 'data', 'line',
+    'part', 'hash' start chunks; see CDC_MOD.)"""
+    import pyarrow as pa
+
+    base_tokens = ("key agg row the scan slow fast part value merge batch "
+                   "data window sort big line query join group hash small "
+                   "table filter part stream value column the merge scan "
+                   "row data sort join").split()
+    edited = base_tokens[:2] + ["inserted"] + base_tokens[2:]
+
+    def cdc_chunks(tokens):
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([" ".join(tokens)])})
+        return list(D._cdc_chunks_batch(t)["ch"].to_pylist())
+
+    def fixed_chunks(tokens):
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([" ".join(tokens)])})
+        return list(D._chunk_instances_batch(t)["ch"].to_pylist())
+
+    ca, cb = cdc_chunks(base_tokens), cdc_chunks(edited)
+    fa, fb = fixed_chunks(base_tokens), fixed_chunks(edited)
+    cdc_shared = len(set(ca) & set(cb)) / max(len(set(ca)), 1)
+    fixed_shared = len(set(fa) & set(fb)) / max(len(set(fa)), 1)
+    assert cdc_shared >= 0.6, (cdc_shared, ca, cb)
+    assert cdc_shared > fixed_shared, (cdc_shared, fixed_shared)
+    # chunk streams reconstruct the doc minus dropped short chunks:
+    # every chunk is a contiguous token run of the source
+    joined = " ".join(base_tokens)
+    for ch in ca:
+        assert ch in joined
