@@ -722,3 +722,37 @@ def embedding_cluster_sample(sf_dir: str, s: int = KM_SAMPLE) -> rd.Dataset:
     top = grouped_top_k(keyed, ["cluster"], "h", s, descending=False,
                         tie_cols=["vec_id"])
     return top.select_columns(["cluster", "vec_id"])
+
+
+CLUSTER_TOP_TERMS = 5
+
+
+def cluster_top_terms(sf_dir: str, k: int = CLUSTER_TOP_TERMS) -> rd.Dataset:
+    """Cluster labeling: the most frequent terms of the documents landing
+    in each seed-assigned k-means cluster (vec_id and doc_id share the id
+    space).  A cross-modal pipeline: embedding assignment (broadcast
+    matmul) -> size-aware ``lookup_join`` onto the text corpus -> term
+    explosion -> distributed (cluster, term) count -> partial/final
+    ``grouped_top_k``.  Every stage streams; the only exchanges are the
+    count and the top-k's single hash exchange."""
+    from ..stages import aggregate as agg
+    from ..stages.joins import lookup_join
+
+    assign = embedding_kmeans_assign(sf_dir) \
+        .select_columns(["vec_id", "cluster"]).materialize()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    joined = lookup_join(docs, assign, "doc_id", "vec_id", how="inner")
+
+    def cluster_terms(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        n = np.diff(np.asarray(tk.offsets))
+        cl = np.repeat(b["cluster"].to_numpy(), n)
+        return pa.table({"cluster": pa.array(cl), "term": tk.values})
+
+    counts = agg.grouped_count(
+        joined.map_batches(cluster_terms, batch_format="pyarrow"),
+        ["cluster", "term"], alias="cnt", high_cardinality=True)
+    return agg.grouped_top_k(counts, ["cluster"], "cnt", k,
+                             tie_cols=["term"])
