@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_cdc_dup_stats,          # oracle, new r03 (sweep-checked)
         "cluster_top_terms":
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
+        "crawl_overlap_report":
+            D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -482,6 +484,27 @@ def oracle_sql() -> dict[str, str]:
         " e.char_entropy,"
         f" e.char_entropy < {D.ENTROPY_LOW_THRESHOLD} AS is_low_entropy"
         " FROM docs_aug d JOIN e USING (doc_id)")
+    # recurring-crawl overlap: new-crawl chunks already in the base corpus
+    out["crawl_overlap_report"] = docs_pre + (
+        "nd AS (SELECT doc_id, text FROM docs_aug"
+        " WHERE doc_id >= 1000000),\n"
+        "bch AS (SELECT DISTINCT"
+        f" array_to_string(tk[i:i+{_ct - 1}], ' ') AS ch FROM"
+        " (SELECT str_split(text, ' ') AS tk FROM documents),"
+        f" unnest(generate_series(1, len(tk) - {_ct - 1}, {_ct})) u(i)),\n"
+        "nch AS (SELECT doc_id,"
+        f" array_to_string(tk[i:i+{_ct - 1}], ' ') AS ch FROM"
+        " (SELECT doc_id, str_split(text, ' ') AS tk FROM nd),"
+        f" unnest(generate_series(1, len(tk) - {_ct - 1}, {_ct})) u(i)),\n"
+        "npc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks"
+        " FROM nch GROUP BY 1),\n"
+        "kn AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_known"
+        " FROM nch n JOIN bch b ON n.ch = b.ch GROUP BY 1)\n"
+        "SELECT t.doc_id, t.n_chunks,"
+        " COALESCE(k.n_known, 0) AS n_known_chunks,"
+        " round(CAST(COALESCE(k.n_known, 0) AS DOUBLE) / t.n_chunks, 6)"
+        " AS known_chunk_frac"
+        " FROM npc t LEFT JOIN kn k USING (doc_id)")
     # content-defined chunking dup coverage: boundary AFTER any token
     # whose first byte % CDC_MOD == 0; chunks under CDC_MIN_TOKENS ignored
     out["doc_cdc_dup_stats"] = docs_pre + (

@@ -1731,3 +1731,64 @@ def doc_cdc_dup_stats(sf_dir: str) -> rd.Dataset:
 
     return _chunk_dup_pipeline(docs_aug_ds(sf_dir), chunk_counts, totals,
                                _join_parts(sf_dir))
+
+
+def crawl_overlap_report(sf_dir: str) -> rd.Dataset:
+    """Recurring-crawl overlap: for every NEW-crawl doc (the augmented
+    slice), the share of its fixed-window chunks already present in the
+    base corpus — the number a crawl-ingest job checks before paying to
+    near-dedup the new snapshot.  Exact duplicates score 1.0, near
+    duplicates score high, novel docs 0.
+
+    The base chunk set rides the size-aware ``semi_join`` (broadcast
+    while small, partitioned probe at corpus scale); totals attach with
+    a left ``lookup_join``.  Output: (doc_id, n_chunks, n_known_chunks,
+    known_chunk_frac)."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import lookup_join, semi_join
+    from ray.data.aggregate import Sum
+
+    nparts = _join_parts(sf_dir)
+    base_ch = distinct_rows(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(_chunk_instances_batch, batch_format="pyarrow")
+        .select_columns(["ch"]), ["ch"])
+    new_docs = docs_aug_ds(sf_dir).map_batches(
+        _eval_rows, batch_format="pyarrow", batch_size=None)
+
+    def chunk_counts(b: pa.Table) -> pa.Table:
+        t = _chunk_instances_batch(b)
+        return t.group_by(["doc_id", "ch"]).aggregate([("ch", "count")]) \
+                .rename_columns(["doc_id", "ch", "cnt"])
+
+    known = semi_join(new_docs.map_batches(chunk_counts,
+                                           batch_format="pyarrow"),
+                      base_ch, "ch", "ch", nparts=nparts)
+    known_cnt = known.groupby("doc_id") \
+        .aggregate(Sum("cnt", alias_name="n_known_chunks")).materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        n_chunks = pc.cast(
+            pc.floor(pc.divide(pc.cast(n, pa.float64()),
+                               float(CHUNK_TOKENS))), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_chunks": n_chunks})
+        return out.filter(pc.greater_equal(out["n_chunks"], 1))
+
+    tot = new_docs.map_batches(totals, batch_format="pyarrow")
+    joined = lookup_join(tot, known_cnt, "doc_id", "doc_id",
+                         nparts=nparts, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nk = pc.fill_null(t["n_known_chunks"], 0).cast(pa.int64())
+        frac = nk.to_numpy(zero_copy_only=False).astype(np.float64) \
+            / t["n_chunks"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chunks": t["n_chunks"],
+            "n_known_chunks": nk,
+            "known_chunk_frac": pa.array(round_half_up(frac)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -400,3 +400,29 @@ def test_cdc_insertion_resistance():
     joined = " ".join(base_tokens)
     for ch in ca:
         assert ch in joined
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_dup_universal_hot_chunk(tmp_path):
+    """Adversarial skew: EVERY doc shares one identical 8-token chunk, so
+    a single chunk group holds the whole corpus.  Unlike pair expansion
+    (k^2), the chunk-dup block kernel is linear per group (group_by +
+    is_in + partial sums), so this must complete and score every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n = 2000
+    shared = "h1 h2 h3 h4 h5 h6 h7 h8"
+    texts = [shared + f" u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h"
+             for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    out = D.doc_chunk_dup_stats(str(tmp_path)).to_pandas()
+    base = out[out["doc_id"] <= n]
+    assert len(base) == n
+    assert (base["n_chunks"] == 2).all()
+    # the shared head chunk is a cross-doc dup for every doc; the unique
+    # tail chunk is not (except docs also duplicated by the aug rows)
+    assert (base["n_dup_chunks"] >= 1).all()
+    assert (base["dup_chunk_frac"] >= 0.5).all()
