@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_approx":
             D.doc_length_quantiles_approx,  # rows-only (quantile sketch)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
+        "doc_length_bucketed_pack":
+            D.doc_length_bucketed_pack,  # rows-only (greedy bins), new r03
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "doc_incremental_near_dedup": D.doc_incremental_near_dedup,  # rows-only (LSH)
         "simhash64": D.simhash64,                    # rows-only (hash fn)

@@ -108,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--target-bytes", type=int, default=128 << 20)
     sk.add_argument("--dry-run", action="store_true")
 
+    su = sub.add_parser("curate", help="corpus curation: quality gate -> "
+                                       "exact dedup -> decontaminate -> "
+                                       "split-partitioned parquet")
+    su.add_argument("--sf-dir", required=True)
+    su.add_argument("--out", required=True)
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -170,6 +176,24 @@ def main(argv: list[str] | None = None) -> int:
                 if len(j) else 0,
                 "files_before": int(j["files_before"].sum()) if len(j) else 0,
                 "files_after": int(j["files_after"].sum()) if len(j) else 0,
+            }))
+        elif a.cmd == "curate":
+            from .pipelines.docs import doc_curated_corpus, doc_split_assign
+            from .stages.joins import lookup_join
+            cur = doc_curated_corpus(a.sf_dir)
+            splits = doc_split_assign(a.sf_dir).materialize()
+            out_ds = lookup_join(cur, splits, "doc_id", "doc_id",
+                                 how="left").materialize()
+            # split-partitioned sink: a failed rerun can resume per split
+            # dir, and training readers prune to their split at the read
+            out_ds.write_parquet(a.out, partition_cols=["split"])
+            import pandas as pd
+            per = out_ds.groupby("split").count().to_pandas()
+            print(json.dumps({
+                "docs_out": int(per["count()"].sum()),
+                "per_split": dict(zip(per["split"].astype(str),
+                                      per["count()"].astype(int))),
+                "out": a.out,
             }))
         elif a.cmd == "ses-stats":
             from .pipelines.streaming import ses_email_stats

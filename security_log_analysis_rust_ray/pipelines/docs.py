@@ -1792,3 +1792,69 @@ def crawl_overlap_report(sf_dir: str) -> rd.Dataset:
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+def doc_length_bucketed_pack(sf_dir: str,
+                             budget: int = PACK_BUDGET) -> rd.Dataset:
+    """Length-bucketed sequence packing: docs are bucketed by the corpus's
+    exact length quantiles (q25/q50/q90/q99 — 5 buckets), co-located with
+    one hash exchange on the bucket id, then greedily packed per bucket —
+    same-length neighbors pack tighter, which is why training loaders
+    length-bucket before batching (padding waste drops vs naive packing).
+    The quantile boundaries are 4 scalars from the exact distributed
+    quantile op; everything else streams.  Output: one row per bin
+    (bucket, doc_ids, n_docs, total_tokens).  Rows-only + invariants
+    (same contract as ``doc_pack`` plus same-bucket purity)."""
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+
+    qs = doc_length_quantiles(sf_dir).to_pandas()       # 4 tiny rows
+    bounds = sorted(int(v) for v in qs["n_tokens"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(b["text"], " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.searchsorted(np.asarray(bounds), n_tok, side="left")
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tok": pa.array(n_tok),
+                         "bucket": pa.array(bucket.astype(np.int64))})
+
+    ds = docs_aug_ds(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+    nparts = min(_num_partitions(ds), len(bounds) + 1)
+    parts = _use_hash_shuffle(ds, nparts).repartition(
+        num_blocks=nparts, keys=["bucket"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "doc_ids": pa.array([], pa.list_(pa.int64())),
+                          "n_docs": pa.array([], pa.int64()),
+                          "total_tokens": pa.array([], pa.int64())})
+        if b.num_columns == 0 or b.num_rows == 0:
+            return empty
+        srt = b.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+        bk = srt["bucket"].to_numpy()
+        ids = srt["doc_id"].to_numpy()
+        tk = srt["n_tok"].to_numpy()
+        rows = []
+        for bucket in np.unique(bk):
+            m = bk == bucket
+            cur, cur_tok = [], 0
+            for d, t in zip(ids[m], tk[m]):
+                if cur and cur_tok + t > budget:
+                    rows.append((int(bucket), cur, cur_tok))
+                    cur, cur_tok = [], 0
+                cur.append(int(d))
+                cur_tok += int(t)
+            if cur:
+                rows.append((int(bucket), cur, cur_tok))
+        if not rows:
+            return empty
+        return pa.table({
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_ids": pa.array([r[1] for r in rows],
+                                pa.list_(pa.int64())),
+            "n_docs": pa.array([len(r[1]) for r in rows], pa.int64()),
+            "total_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    return parts.map_batches(pack, batch_format="pyarrow",
+                             batch_size=None)

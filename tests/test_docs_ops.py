@@ -426,3 +426,41 @@ def test_chunk_dup_universal_hot_chunk(tmp_path):
     # tail chunk is not (except docs also duplicated by the aug rows)
     assert (base["n_dup_chunks"] >= 1).all()
     assert (base["dup_chunk_frac"] >= 0.5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_bucketed_pack_invariants():
+    """Bucketed packing contract: every doc packed exactly once, bins
+    never mix buckets, multi-doc bins stay within budget, and bucket ids
+    reflect the quantile boundaries (monotone in doc length)."""
+    bins = D.doc_length_bucketed_pack(SF_SMOKE).to_pandas()
+    toks = D.doc_token_stats(SF_SMOKE).to_pandas() \
+        .set_index("doc_id")["n_tokens"]
+    packed = [d for row in bins["doc_ids"] for d in row]
+    assert sorted(packed) == sorted(toks.index)          # coverage, once
+    assert (bins["n_docs"] >= 1).all()
+    over = bins[(bins["total_tokens"] > D.PACK_BUDGET) & (bins["n_docs"] > 1)]
+    assert len(over) == 0
+    # same-bucket purity + totals consistency
+    qs = D.doc_length_quantiles(SF_SMOKE).to_pandas()
+    bounds = sorted(int(v) for v in qs["n_tokens"])
+    import numpy as np
+    for row in bins.itertuples(index=False):
+        lens = toks.loc[list(row.doc_ids)]
+        assert int(lens.sum()) == row.total_tokens
+        buckets = set(np.searchsorted(np.asarray(bounds), lens.to_numpy(),
+                                      side="left"))
+        assert buckets == {row.bucket}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_assign_proportions():
+    out = D.doc_split_assign(SF_SMOKE).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac.get("train", 0) < 0.9
+    assert 0.05 < frac.get("val", 0) < 0.15
+    assert 0.05 < frac.get("test", 0) < 0.15
+    # deterministic: same ids -> same split on rerun
+    out2 = D.doc_split_assign(SF_SMOKE).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True) \
+        .equals(out2.sort_values("doc_id").reset_index(drop=True))
