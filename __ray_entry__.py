@@ -54,8 +54,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (CORRECTNESS_LOCAL_r03.json).
     return {
         "parsed": R.parsed,
-        "messages": R.messages,
-        "route_counts": R.route_counts,
         "parsed_dedup": R.parsed_dedup,
         "stream_dedup_natural_keys": R.stream_dedup_natural_keys,
         "enriched": R.enriched,
@@ -72,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
         "dup_clusters": D.dup_clusters,
         "doc_near_dedup": D.doc_near_dedup,
+        "doc_dup_weights": D.doc_dup_weights,        # oracle, new r03
+        "doc_epoch_shuffle": D.doc_epoch_shuffle,    # oracle, new r03
         "vocab_counts": D.vocab_counts,
         "doc_bpe_token_count": D.doc_bpe_token_count,
         "doc_tfidf_top_terms": D.doc_tfidf_top_terms,
@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
+        "messages": R.messages,                      # r01+r02-passed
+        "route_counts": R.route_counts,              # r01+r02-passed
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
         "top10_countries": R.top10_countries,        # r01+r02-passed
         "doc_sample": D.doc_sample,                  # r01+r02-passed
@@ -364,6 +366,20 @@ def oracle_sql() -> dict[str, str]:
         " GROUP BY n)\n"
         "SELECT d.doc_id, d.text FROM docs_aug d WHERE d.doc_id NOT IN"
         " (SELECT doc_id FROM clusters WHERE doc_id <> cluster)")
+    out["doc_dup_weights"] = _cc_prefix.rstrip() + (
+        ",\nclusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach"
+        " GROUP BY n)"
+        ",\ncsizes AS (SELECT cluster, count(*) AS sz FROM clusters"
+        " GROUP BY cluster)\n"
+        "SELECT d.doc_id, round(1.0 / coalesce(s.sz, 1), 6) AS weight"
+        " FROM docs_aug d LEFT JOIN clusters c ON d.doc_id = c.doc_id"
+        " LEFT JOIN csizes s ON c.cluster = s.cluster")
+    out["doc_epoch_shuffle"] = docs_pre + (
+        "keyed AS (SELECT doc_id,"
+        f" ((doc_id % {D.EPOCH_MOD}) * {D.EPOCH_MULT}) % {D.EPOCH_MOD}"
+        " AS shuffle_key FROM docs_aug)\n"
+        "SELECT doc_id, shuffle_key,"
+        f" (shuffle_key * 8) // {D.EPOCH_MOD} AS shard FROM keyed")
     out["vocab_counts"] = docs_pre + (
         "terms AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
         "SELECT term, count(*) AS cnt FROM terms GROUP BY term"

@@ -1858,3 +1858,82 @@ def doc_length_bucketed_pack(sf_dir: str,
 
     return parts.map_batches(pack, batch_format="pyarrow",
                              batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# soft dedup (sampling weights) + epoch shuffle
+# ---------------------------------------------------------------------------
+
+def doc_dup_weights(sf_dir: str,
+                    threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+    """SOFT dedup: instead of dropping near-duplicates, emit a per-document
+    sampling weight 1/|cluster| (1.0 for unclustered docs) so a training
+    loader can downweight duplicated content without losing coverage — the
+    SemDeDup/D4-style alternative to hard removal.  Composition: near-dup
+    connected components (``dup_clusters``) -> tiny (cluster, sz) count ->
+    two size-aware ``lookup_join``s back onto the corpus; the only wide
+    exchanges are the ones dup_clusters already pays, the weight join
+    broadcasts while the cluster set is small and hash-partitions when the
+    dup rate makes it corpus-scale.  Output (doc_id, weight)."""
+    from ..stages.aggregate import grouped_count
+    from ..stages.joins import lookup_join
+
+    clusters = dup_clusters(sf_dir, threshold=threshold)
+    sizes = grouped_count(clusters, ["cluster"], alias="sz")
+    sized = lookup_join(clusters, sizes, "cluster", "cluster", how="inner")
+    base = docs_aug_ds(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    joined = lookup_join(
+        base,
+        sized.map_batches(lambda t: t.select(["doc_id", "sz"]),
+                          batch_format="pyarrow"),
+        "doc_id", "doc_id", how="left")
+
+    def weigh(b: pa.Table) -> pa.Table:
+        # int64-with-nulls -> float64 with NaN for the unclustered docs
+        sz = b["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz = np.where(np.isnan(sz), 1.0, sz)
+        w = round_half_up(1.0 / sz, 6)
+        return pa.table({"doc_id": b["doc_id"],
+                         "weight": pa.array(w, pa.float64())})
+
+    return joined.map_batches(weigh, batch_format="pyarrow")
+
+
+# 2^31-1 (Mersenne prime) keyspace; Knuth multiplicative constant; odd
+# epoch step decorrelating successive epochs.  (did % MOD) * MULT stays
+# under 2^63 for ANY doc_id, so the kernel is overflow-free int64 math
+# that DuckDB BIGINT reproduces exactly.
+EPOCH_MOD = 2_147_483_647
+EPOCH_MULT = 2_654_435_761
+EPOCH_STEP = 40_503
+
+
+def doc_epoch_shuffle(sf_dir: str, epoch: int = 0,
+                      shards: int = 8) -> rd.Dataset:
+    """Deterministic seeded EPOCH SHUFFLE for training readers: every doc
+    gets a pseudo-random but reproducible shuffle_key from a multiplicative
+    hash of (doc_id, epoch); the dataset is globally sorted by that key (the
+    one all-to-all exchange a true global shuffle costs) and range-bucketed
+    into ``shards`` equal key-range output shards, so a loader can read
+    shard i in order and a failed export resumes per shard.  Re-keying by
+    epoch re-permutes without re-reading any state; same epoch -> identical
+    order across runs.  Output (doc_id, shuffle_key, shard), key-sorted."""
+    base = docs_aug_ds(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+    # epoch-dependent MULTIPLIER (an additive per-epoch constant would only
+    # rotate the keyspace, leaving the order intact): each epoch applies a
+    # different multiplicative permutation of Z_p.  Guarded off 0 mod p.
+    mult = (EPOCH_MULT + epoch * EPOCH_STEP) % EPOCH_MOD or 1
+
+    def key(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = ((did % EPOCH_MOD) * mult) % EPOCH_MOD
+        shard = (k * shards) // EPOCH_MOD
+        return pa.table({"doc_id": b["doc_id"],
+                         "shuffle_key": pa.array(k, pa.int64()),
+                         "shard": pa.array(shard, pa.int64())})
+
+    return base.map_batches(key, batch_format="pyarrow") \
+               .sort(["shuffle_key", "doc_id"])

@@ -464,3 +464,45 @@ def test_split_assign_proportions():
     out2 = D.doc_split_assign(SF_SMOKE).to_pandas()
     assert out.sort_values("doc_id").reset_index(drop=True) \
         .equals(out2.sort_values("doc_id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_weights_soft_dedup():
+    """Soft-dedup contract: every doc weighted once; cluster members share
+    weight 1/|cluster| (so each near-dup cluster contributes ~1.0 total
+    sampling mass); unclustered docs keep weight 1.0."""
+    w = D.doc_dup_weights(SF_SMOKE).to_pandas().set_index("doc_id")["weight"]
+    clusters = D.dup_clusters(SF_SMOKE).to_pandas()
+    docs = D.docs_aug_ds(SF_SMOKE).to_pandas()
+    assert sorted(w.index) == sorted(docs["doc_id"])
+    assert ((w > 0) & (w <= 1.0)).all()
+    sizes = clusters.groupby("cluster")["doc_id"].count()
+    for cluster, members in clusters.groupby("cluster")["doc_id"]:
+        expect = round(1.0 / sizes[cluster], 6)
+        assert (w.loc[members] == expect).all()
+    unclustered = set(docs["doc_id"]) - set(clusters["doc_id"])
+    assert unclustered and (w.loc[list(unclustered)] == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_shuffle_determinism_and_permutation():
+    """Epoch shuffle contract: output is a globally key-sorted permutation
+    of the corpus; identical across reruns of the same epoch; a different
+    epoch yields a different order; shard is the range partition of the
+    key so shard ids are non-decreasing along the sorted stream."""
+    e0 = D.doc_epoch_shuffle(SF_SMOKE, epoch=0).to_pandas()
+    docs = D.docs_aug_ds(SF_SMOKE).to_pandas()
+    assert sorted(e0["doc_id"]) == sorted(docs["doc_id"])
+    assert (np.diff(e0["shuffle_key"].to_numpy()) >= 0).all()
+    assert (np.diff(e0["shard"].to_numpy()) >= 0).all()
+    assert (e0["shard"] == e0["shuffle_key"] * 8 // D.EPOCH_MOD).all()
+    # deterministic rerun
+    e0b = D.doc_epoch_shuffle(SF_SMOKE, epoch=0).to_pandas()
+    assert e0.equals(e0b)
+    # a different epoch re-permutes (same ids, different order)
+    e1 = D.doc_epoch_shuffle(SF_SMOKE, epoch=1).to_pandas()
+    assert sorted(e1["doc_id"]) == sorted(e0["doc_id"])
+    assert not e0["doc_id"].equals(e1["doc_id"])
+    # range shards are reasonably balanced under the multiplicative hash
+    per = e0.groupby("shard")["doc_id"].count()
+    assert len(per) == 8 and per.min() >= 0.3 * per.mean()
