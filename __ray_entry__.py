@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "country_counts": R.country_counts,
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "agg_conv_role_tool": R.agg_conv_role_tool,
+        "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
         "doc_token_stats": D.doc_token_stats,
@@ -236,6 +237,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_conv_role_tool":
             "SELECT conv_id, role, tool, count(*) AS cnt FROM transcripts "
             "GROUP BY conv_id, role, tool",
+        "conversation_sft_text":
+            "SELECT conv_id,"
+            " string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)"
+            " AS sft_text, CAST(count(*) AS BIGINT) AS n_turns"
+            " FROM transcripts GROUP BY conv_id",
         "watermarks":
             "SELECT service, server, max(datetime) AS watermark FROM parsed "
             "GROUP BY service, server",

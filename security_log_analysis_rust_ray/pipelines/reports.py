@@ -214,3 +214,35 @@ def parsed_page_offset(sf_dir: str, offset: int = 20, k: int = 20):
         ["datetime", "conv_id", "turn_idx"],
         descending=[True, False, False]).limit(offset + k)
     return top.to_pandas().iloc[offset:offset + k].reset_index(drop=True)
+
+
+def conversation_sft_text(sf_dir: str) -> rd.Dataset:
+    """Training-example assembly: one row per conversation with its turns
+    concatenated in turn order as ``role: text`` lines — the transcripts ->
+    SFT-document step of an LLM data pipeline (the documents the doc_* ops
+    then dedup/score/pack).  ONE hash exchange co-locates each conv_id,
+    then a single vectorized pandas kernel per block assembles every
+    conversation in it (no per-group Python dispatch).  Output
+    (conv_id, sft_text, n_turns)."""
+    import pandas as pd
+
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_transcripts(sf_dir,
+                          columns=["conv_id", "turn_idx", "role", "text"])
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype="object"),
+                                 "sft_text": pd.Series([], dtype="object"),
+                                 "n_turns": pd.Series([], dtype="int64")})
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        grp = pd.DataFrame({"conv_id": df["conv_id"],
+                            "line": df["role"].str.cat(df["text"], sep=": ")})
+        out = grp.groupby("conv_id", sort=False).agg(
+            sft_text=("line", "\n".join),
+            n_turns=("line", "size")).reset_index()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out
+
+    return _by_key_blocks(ds, ["conv_id"]).map_batches(
+        assemble, batch_format="pandas", batch_size=None)
