@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "agg_conv_role_tool": R.agg_conv_role_tool,
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
+        "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
         "doc_token_stats": D.doc_token_stats,
@@ -242,6 +243,10 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)"
             " AS sft_text, CAST(count(*) AS BIGINT) AS n_turns"
             " FROM transcripts GROUP BY conv_id",
+        "boilerplate_turns":
+            "SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT)"
+            " AS n_convs FROM transcripts GROUP BY text"
+            " HAVING count(DISTINCT conv_id) >= 3",
         "watermarks":
             "SELECT service, server, max(datetime) AS watermark FROM parsed "
             "GROUP BY service, server",

@@ -246,3 +246,20 @@ def conversation_sft_text(sf_dir: str) -> rd.Dataset:
 
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
         assemble, batch_format="pandas", batch_size=None)
+
+
+def boilerplate_turns(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
+    """Boilerplate detection: turn texts that recur across >= ``min_convs``
+    DISTINCT conversations — templated/canned responses a training pipeline
+    typically downweights or strips before SFT assembly.  Plan: per-block
+    distinct (text, conv_id) combiner -> one hash exchange -> distinct ->
+    grouped count (itself combiner-first) -> vectorized threshold filter.
+    The distinct step makes the count a COUNT(DISTINCT conv_id) while only
+    unique pairs per block ever enter the shuffle.  Output (text, n_convs)."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "text"])
+    pairs = dd.distinct_rows(ds, ["text", "conv_id"])
+    counts = agg.grouped_count(pairs, ["text"], alias="n_convs",
+                               high_cardinality=True)
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_convs"], min_convs)),
+        batch_format="pyarrow", batch_size=None)
