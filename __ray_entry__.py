@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_conv_role_tool": R.agg_conv_role_tool,
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
+        "conversation_curated_corpus":
+            R.conversation_curated_corpus,                 # oracle, new r03
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
         "doc_token_stats": D.doc_token_stats,
@@ -247,6 +249,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT)"
             " AS n_convs FROM transcripts GROUP BY text"
             " HAVING count(DISTINCT conv_id) >= 3",
+        "conversation_curated_corpus":
+            "SELECT min(conv_id) AS conv_id, sft_text,"
+            " CAST(min(n_turns) AS BIGINT) AS n_turns FROM ("
+            " WITH boiler AS (SELECT text FROM transcripts GROUP BY text"
+            "  HAVING count(DISTINCT conv_id) >= 3),"
+            " sft AS (SELECT conv_id,"
+            "  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)"
+            "  AS sft_text, count(*) AS n_turns,"
+            "  sum(CASE WHEN text IN (SELECT text FROM boiler)"
+            "  THEN 1 ELSE 0 END) AS n_boiler"
+            "  FROM transcripts GROUP BY conv_id)"
+            " SELECT conv_id, sft_text, n_turns FROM sft"
+            " WHERE n_boiler * 4 < n_turns) GROUP BY sft_text",
         "watermarks":
             "SELECT service, server, max(datetime) AS watermark FROM parsed "
             "GROUP BY service, server",

@@ -230,19 +230,22 @@ def conversation_sft_text(sf_dir: str) -> rd.Dataset:
     ds = read_transcripts(sf_dir,
                           columns=["conv_id", "turn_idx", "role", "text"])
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+    _sft_schema = pa.schema([("conv_id", pa.string()),
+                             ("sft_text", pa.string()),
+                             ("n_turns", pa.int64())])
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        # emit ARROW (downstream joins read .schema().base_schema)
         if not len(df):
-            return pd.DataFrame({"conv_id": pd.Series([], dtype="object"),
-                                 "sft_text": pd.Series([], dtype="object"),
-                                 "n_turns": pd.Series([], dtype="int64")})
+            return _sft_schema.empty_table()
         df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
         grp = pd.DataFrame({"conv_id": df["conv_id"],
                             "line": df["role"].str.cat(df["text"], sep=": ")})
         out = grp.groupby("conv_id", sort=False).agg(
             sft_text=("line", "\n".join),
             n_turns=("line", "size")).reset_index()
-        out["n_turns"] = out["n_turns"].astype("int64")
-        return out
+        return pa.Table.from_pandas(out, schema=_sft_schema,
+                                    preserve_index=False)
 
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
         assemble, batch_format="pandas", batch_size=None)
@@ -262,4 +265,75 @@ def boilerplate_turns(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
                                high_cardinality=True)
     return counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n_convs"], min_convs)),
+        batch_format="pyarrow", batch_size=None)
+
+
+def conversation_curated_corpus(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
+    """The transcripts -> TRAINING-CORPUS composite, end to end: assemble
+    each conversation into an SFT document, drop boilerplate-heavy
+    conversations (>= a quarter of their turns are texts recurring in
+    >= ``min_convs`` conversations), then exact-dedup the survivors
+    keeping the min conv_id per distinct text.
+
+    Scale shape: the boilerplate text set is the classic BROADCAST side
+    (benchmark-boilerplate is MBs while the corpus is TBs) — it is
+    materialized so ``lookup_join``'s size gate sees exact bytes and ships
+    it once via ray.put (falling back to the partitioned hash probe only
+    past the byte budget).  Everything per-conversation (assembly, turn
+    count, boilerplate count, the keep rule) happens in ONE vectorized
+    kernel after the single conv_id hash exchange, and the exact dedup is
+    the combiner-first grouped min.  Two wide exchanges total; nothing
+    corpus-sized on the driver.  Output (conv_id, sft_text, n_turns)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages.joins import lookup_join
+
+    turns = read_transcripts(sf_dir,
+                             columns=["conv_id", "turn_idx", "role", "text"])
+    boiler = boilerplate_turns(sf_dir, min_convs=min_convs).map_batches(
+        lambda b: b.select(["text"]).append_column(
+            "is_boiler", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow").materialize()
+    marked = lookup_join(turns, boiler, "text", "text", how="left")
+
+    _schema = pa.schema([("conv_id", pa.string()),
+                         ("sft_text", pa.string()),
+                         ("n_turns", pa.int64())])
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _schema.empty_table()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        grp = pd.DataFrame({
+            "conv_id": df["conv_id"],
+            "line": df["role"].str.cat(df["text"], sep=": "),
+            "is_boiler": df["is_boiler"].fillna(0).astype("int64"),
+        })
+        out = grp.groupby("conv_id", sort=False).agg(
+            sft_text=("line", "\n".join),
+            n_turns=("line", "size"),
+            n_boiler=("is_boiler", "sum")).reset_index()
+        out = out[out["n_boiler"] * 4 < out["n_turns"]]
+        return pa.Table.from_pandas(
+            out[["conv_id", "sft_text", "n_turns"]], schema=_schema,
+            preserve_index=False)
+
+    kept = _by_key_blocks(marked, ["conv_id"]).map_batches(
+        assemble, batch_format="pandas", batch_size=None)
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        return b.group_by(["sft_text"]).aggregate(
+            [("conv_id", "min"), ("n_turns", "min")]) \
+            .rename_columns(["sft_text", "conv_id", "n_turns"])
+
+    pre = kept.map_batches(partial_min, batch_format="pyarrow")
+    out = pre.groupby("sft_text").aggregate(
+        Min("conv_id", alias_name="conv_id"),
+        Min("n_turns", alias_name="n_turns"))
+    return out.map_batches(
+        lambda b: b.select(["conv_id", "sft_text", "n_turns"]),
         batch_format="pyarrow", batch_size=None)
