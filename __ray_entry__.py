@@ -55,11 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parsed": R.parsed,
         "parsed_dedup": R.parsed_dedup,
-        "stream_dedup_natural_keys": R.stream_dedup_natural_keys,
         "enriched": R.enriched,
         "enriched_resolved": R.enriched_resolved,
         "dim_updates": R.dim_updates,
-        "dangling_hosts": R.dangling_hosts,
         "country_counts": R.country_counts,
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "agg_conv_role_tool": R.agg_conv_role_tool,
@@ -76,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup": D.doc_near_dedup,
         "doc_dup_weights": D.doc_dup_weights,        # oracle, new r03
         "doc_epoch_shuffle": D.doc_epoch_shuffle,    # oracle, new r03
-        "vocab_counts": D.vocab_counts,
         "doc_bpe_token_count": D.doc_bpe_token_count,
         "doc_tfidf_top_terms": D.doc_tfidf_top_terms,
         "doc_weighted_mix": D.doc_weighted_mix,
@@ -145,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
+        "stream_dedup_natural_keys":
+            R.stream_dedup_natural_keys,             # r01+r02-passed
+        "dangling_hosts": R.dangling_hosts,          # r01+r02-passed
+        "vocab_counts": D.vocab_counts,              # r01+r02-passed
         "messages": R.messages,                      # r01+r02-passed
         "route_counts": R.route_counts,              # r01+r02-passed
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
@@ -161,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": M.media_stats,                # r02-passed, unchanged
         "media_checksums": M.media_checksums,        # r02-passed, unchanged
         "approx_distinct_terms": D.approx_distinct_terms,  # rows-only (HLL)
+        "host_counts_cms":
+            REL.host_counts_cms,  # rows-only (count-min sketch), new r03
         "doc_length_quantiles_approx":
             D.doc_length_quantiles_approx,  # rows-only (quantile sketch)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)

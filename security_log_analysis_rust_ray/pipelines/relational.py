@@ -601,3 +601,34 @@ def events_daily_counts(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"]) \
         .map_batches(day, batch_format="pyarrow")
     return grouped_count(ds, ["user_id", "event_type", "day"])
+
+
+def host_counts_cms(sf_dir: str) -> rd.Dataset:
+    """Approximate per-host frequency via a COUNT-MIN sketch: one streaming
+    pass folds every block into a (4 x 2048) int64 sketch (~64 KB rows,
+    sum-mergeable — stages/sketch.cms_sketch), the merged sketch is
+    broadcast once with ray.put, and the distinct host set is probed
+    block-wise with the vectorized min-over-rows query.  Estimates are
+    one-sided (est >= true count, within e/W of the stream length w.h.p.)
+    — the sketch answer when an exact distinct-key shuffle (grouped_count)
+    is too wide.  Deterministic for fixed seeds; pytest bounds it against
+    the exact counts.  Output (host, est_cnt)."""
+    from ..pipelines.reports import parsed
+    from ..stages.dedup import distinct_rows
+    from ..stages.sketch import cms_query, cms_sketch
+
+    base = parsed(sf_dir)
+    hosts = base.map_batches(lambda b: b.select(["host"]),
+                             batch_format="pyarrow", batch_size=None)
+    sk = cms_sketch(hosts, "host")
+    ref = ray.put(sk)
+
+    def probe(b: pa.Table) -> pa.Table:
+        c = b["host"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        est = cms_query(ray.get(ref), c)
+        return pa.table({"host": c, "est_cnt": pa.array(est, pa.int64())})
+
+    return distinct_rows(hosts, ["host"]).map_batches(
+        probe, batch_format="pyarrow", batch_size=None)

@@ -271,3 +271,76 @@ def approx_distinct(ds: rd.Dataset, col: str) -> float:
     regs = np.stack([np.frombuffer(r, dtype=np.uint8)
                      for r in rows["reg"]])
     return hll_estimate(np.maximum.reduce(regs))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (mergeable frequency estimates)
+# ---------------------------------------------------------------------------
+
+CMS_W = 2048   # width: eps = e/W ~ 0.13% of stream length
+CMS_D = 4      # depth: err prob per query ~ e^-D ~ 1.8%
+
+
+def cms_partial(keys: pa.Array, w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """(d, w) count-min partial for one block of keys — d vectorized hash
+    rows over the shared stable FNV base hash (so partials from any worker
+    merge by plain addition)."""
+    from ..functions.hashing import hash64_stable, mix64
+    sk = np.zeros((d, w), dtype=np.int64)
+    if len(keys) == 0:
+        return sk
+    h = hash64_stable(keys)
+    for i in range(d):
+        pos = (mix64([h], seed=1000 + i) % np.uint64(w)).astype(np.int64)
+        np.add.at(sk[i], pos, 1)
+    return sk
+
+
+def cms_query(sk: np.ndarray, keys: pa.Array) -> np.ndarray:
+    """Point estimates for ``keys`` from a merged sketch: min over the d
+    rows — always >= the true count (one-sided error)."""
+    from ..functions.hashing import hash64_stable, mix64
+    d, w = sk.shape
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    h = hash64_stable(keys)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        pos = (mix64([h], seed=1000 + i) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, sk[i][pos])
+    return est
+
+
+def cms_sketch(ds: rd.Dataset, col: str, w: int = CMS_W,
+               d: int = CMS_D) -> np.ndarray:
+    """Merged count-min sketch of ``ds[col]``: one (d*w int64, ~64 KB)
+    partial row per block, distributed second-level SUM-merge (repartition
+    to a handful of blocks), tiny driver-side final sum — the same fold
+    shape as ``approx_distinct``; the driver never holds more than a few
+    sketch rows however many blocks the corpus has."""
+    def partial(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not pa.types.is_string(c.type):
+            c = c.cast(pa.string())
+        sk = cms_partial(c, w, d)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.large_binary())})
+
+    def summerge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sk" not in b.schema.names:
+            return pa.table({"sk": pa.array([], pa.large_binary())})
+        sks = np.stack([np.frombuffer(s.as_py(), dtype=np.int64)
+                        for s in b["sk"]])
+        return pa.table({"sk": pa.array([sks.sum(axis=0).tobytes()],
+                                        pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .repartition(8) \
+        .map_batches(summerge, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
+    if not len(rows):
+        return np.zeros((d, w), dtype=np.int64)
+    sks = np.stack([np.frombuffer(s, dtype=np.int64) for s in rows["sk"]])
+    return sks.sum(axis=0).reshape(d, w)

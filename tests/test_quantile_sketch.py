@@ -66,3 +66,36 @@ def test_docs_approx_vs_exact_quantiles():
         # token counts are small ints; allow the interpolation to land
         # within a few tokens of the exact discrete quantile
         assert abs(approx[q] - exact[q]) <= max(2, 0.05 * exact[q]), q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_count_min_one_sided_and_bounded():
+    """CMS contract vs exact counts: every estimate >= the true count
+    (one-sided error), total overshoot within the eps*N guarantee, and the
+    sketch is add-mergeable (two half-sketches sum to the full one)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        host_counts_cms
+    from security_log_analysis_rust_ray.pipelines.reports import parsed
+    from security_log_analysis_rust_ray.stages.sketch import (
+        CMS_W, cms_partial, cms_query)
+    from .conftest import SF_SMOKE
+
+    est = host_counts_cms(SF_SMOKE).to_pandas().set_index("host")["est_cnt"]
+    exact = parsed(SF_SMOKE).to_pandas()["host"].value_counts()
+    assert sorted(est.index) == sorted(exact.index)
+    exact = exact.reindex(est.index)
+    assert (est >= exact).all()
+    n = int(exact.sum())
+    eps = np.e / CMS_W
+    assert ((est - exact) <= max(1, int(eps * n))).all()
+
+    # mergeability: partial(a) + partial(b) == partial(a ++ b)
+    keys = pa.array([f"k{i % 17}" for i in range(1000)])
+    full = cms_partial(keys)
+    half = cms_partial(keys.slice(0, 500)) + cms_partial(keys.slice(500))
+    assert (full == half).all()
+    probe = pa.array([f"k{i}" for i in range(17)])
+    assert (cms_query(full, probe) == cms_query(half, probe)).all()
