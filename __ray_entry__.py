@@ -74,9 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup": D.doc_near_dedup,
         "doc_dup_weights": D.doc_dup_weights,        # oracle, new r03
         "doc_epoch_shuffle": D.doc_epoch_shuffle,    # oracle, new r03
-        "doc_bpe_token_count": D.doc_bpe_token_count,
         "doc_tfidf_top_terms": D.doc_tfidf_top_terms,
         "doc_weighted_mix": D.doc_weighted_mix,
+        "doc_budget_select": D.doc_budget_select,    # oracle, new r03
         # embedding similarity
         "embedding_near_dup_pairs": ANN.embedding_near_dup_pairs,
         "embedding_dup_clusters": ANN.embedding_dup_clusters,
@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.stream_dedup_natural_keys,             # r01+r02-passed
         "dangling_hosts": R.dangling_hosts,          # r01+r02-passed
         "vocab_counts": D.vocab_counts,              # r01+r02-passed
+        "doc_bpe_token_count":
+            D.doc_bpe_token_count,                   # r01+r02-passed
         "messages": R.messages,                      # r01+r02-passed
         "route_counts": R.route_counts,              # r01+r02-passed
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
@@ -433,6 +435,14 @@ def oracle_sql() -> dict[str, str]:
     # eval-5-gram decontamination
     _ng = D.NGRAM
     _qexpr = "round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6)"
+    out["doc_budget_select"] = docs_pre + token_cte.rstrip() + (
+        ",\n"
+        f"scored AS (SELECT doc_id, {_qexpr} AS quality_score,"
+        " n_tokens FROM stats2)\n"
+        "SELECT doc_id, quality_score, n_tokens FROM scored"
+        " QUALIFY sum(n_tokens) OVER"
+        " (ORDER BY quality_score DESC, doc_id)"
+        " <= (SELECT sum(n_tokens) FROM scored) // 2")
     out["doc_curated_corpus"] = docs_pre + token_cte.rstrip() + (
         ",\n"
         f"q AS (SELECT s.doc_id, d.text, {_qexpr} AS quality_score"

@@ -1937,3 +1937,64 @@ def doc_epoch_shuffle(sf_dir: str, epoch: int = 0,
 
     return base.map_batches(key, batch_format="pyarrow") \
                .sort(["shuffle_key", "doc_id"])
+
+
+def doc_budget_select(sf_dir: str) -> rd.Dataset:
+    """Token-BUDGET corpus selection: rank every doc by quality (desc,
+    doc_id tie-break) and keep the best prefix whose cumulative token count
+    fits half the corpus's tokens — the "select the best N tokens" step of
+    a data-constrained training run.
+
+    The primitive underneath is a DISTRIBUTED GLOBAL PREFIX SUM over the
+    sorted stream: after the one global sort, each block contributes a
+    single (first_key, block_token_sum) summary row; the driver turns that
+    block-count-sized table into exclusive offsets keyed by each block's
+    first row (blocks own disjoint key ranges, so the first key identifies
+    the block's global position), broadcasts the tiny offset map, and a
+    final vectorized pass adds in-block cumsum + offset and applies the
+    budget cutoff.  Driver state = one row per BLOCK, never per doc.
+    Output (doc_id, quality_score, n_tokens)."""
+    def score(b: pa.Table) -> pa.Table:
+        s = _token_stats_batch(b)
+        nt = s["n_tokens"].to_numpy().astype(np.float64)
+        q = round_half_up(np.minimum(nt / 200.0, 1.0)
+                          * (1.0 - s["stop_ratio"].to_numpy()))
+        return pa.table({"doc_id": b["doc_id"],
+                         "quality_score": pa.array(q, pa.float64()),
+                         "n_tokens": s["n_tokens"]})
+
+    ds = docs_aug_ds(sf_dir).map_batches(score, batch_format="pyarrow") \
+        .sort(["quality_score", "doc_id"], descending=[True, False]) \
+        .materialize()
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"q0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.int64())})
+        return pa.table({
+            "q0": b["quality_score"].slice(0, 1),
+            "id0": b["doc_id"].slice(0, 1),
+            "tok": pa.array([int(pc.sum(b["n_tokens"]).as_py())],
+                            pa.int64())})
+
+    summ = ds.map_batches(block_summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if not len(summ):
+        return ds
+    summ = summ.sort_values(["q0", "id0"],
+                            ascending=[False, True]).reset_index(drop=True)
+    offs = summ["tok"].cumsum().shift(fill_value=0)
+    budget = int(summ["tok"].sum()) // 2
+    ref = ray.put({(float(q), int(i)): int(o)
+                   for q, i, o in zip(summ["q0"], summ["id0"], offs)})
+
+    def cut(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        off = ray.get(ref)[(float(b["quality_score"][0].as_py()),
+                            int(b["doc_id"][0].as_py()))]
+        cum = off + np.cumsum(b["n_tokens"].to_numpy())
+        return b.filter(pa.array(cum <= budget))
+
+    return ds.map_batches(cut, batch_format="pyarrow", batch_size=None)
