@@ -74,9 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dedup": D.doc_near_dedup,
         "doc_dup_weights": D.doc_dup_weights,        # oracle, new r03
         "doc_epoch_shuffle": D.doc_epoch_shuffle,    # oracle, new r03
-        "doc_tfidf_top_terms": D.doc_tfidf_top_terms,
         "doc_weighted_mix": D.doc_weighted_mix,
         "doc_budget_select": D.doc_budget_select,    # oracle, new r03
+        "doc_temperature_mix": D.doc_temperature_mix,  # oracle, new r03
         # embedding similarity
         "embedding_near_dup_pairs": ANN.embedding_near_dup_pairs,
         "embedding_dup_clusters": ANN.embedding_dup_clusters,
@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_counts": D.vocab_counts,              # r01+r02-passed
         "doc_bpe_token_count":
             D.doc_bpe_token_count,                   # r01+r02-passed
+        "doc_tfidf_top_terms":
+            D.doc_tfidf_top_terms,                   # r01+r02-passed
         "messages": R.messages,                      # r01+r02-passed
         "route_counts": R.route_counts,              # r01+r02-passed
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
@@ -435,6 +437,12 @@ def oracle_sql() -> dict[str, str]:
     # eval-5-gram decontamination
     _ng = D.NGRAM
     _qexpr = "round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6)"
+    out["doc_temperature_mix"] = (
+        "WITH c AS (SELECT source,"
+        " CAST(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)"
+        " AS n_tokens FROM documents GROUP BY source)\n"
+        "SELECT source, n_tokens, round(sqrt(n_tokens) /"
+        " (SELECT sum(sqrt(n_tokens)) FROM c), 6) AS weight FROM c")
     out["doc_budget_select"] = docs_pre + token_cte.rstrip() + (
         ",\n"
         f"scored AS (SELECT doc_id, {_qexpr} AS quality_score,"

@@ -164,6 +164,17 @@ def run_bench() -> dict:
           lambda: docs_pipe.doc_repetition_stats(docs_dir).count())
     timed("chunk_dup_stats",
           lambda: docs_pipe.doc_chunk_dup_stats(docs_dir).count())
+    # r03 corpus-construction tier: the global-sort ops (epoch shuffle =
+    # one all-to-all key sort; budget select = sort + block-summary prefix
+    # sum) and the transcripts->SFT composite (conv exchange + broadcast
+    # boilerplate gate + dedup exchange, on the base 100k-turn corpus)
+    timed("epoch_shuffle",
+          lambda: docs_pipe.doc_epoch_shuffle(docs_dir).count())
+    timed("budget_select",
+          lambda: docs_pipe.doc_budget_select(docs_dir).count())
+    from security_log_analysis_rust_ray.pipelines import reports as rep
+    timed("conversation_curated",
+          lambda: rep.conversation_curated_corpus(SF_DIR).count())
 
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",

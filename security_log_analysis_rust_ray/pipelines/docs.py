@@ -1998,3 +1998,41 @@ def doc_budget_select(sf_dir: str) -> rd.Dataset:
         return b.filter(pa.array(cum <= budget))
 
     return ds.map_batches(cut, batch_format="pyarrow", batch_size=None)
+
+
+def doc_temperature_mix(sf_dir: str) -> rd.Dataset:
+    """Temperature-based source mixing (T=2, i.e. alpha=0.5): per-source
+    sampling weight proportional to sqrt(token mass), normalized — the
+    standard rebalancing that upweights small sources relative to plain
+    proportional mixing.  sqrt (not an arbitrary pow) because IEEE sqrt is
+    correctly rounded, so engine and SQL agree bit-for-bit before the
+    round.  Plan: in-batch partial token sums per source (one row per
+    (source, block) moves) -> tiny grouped final -> single-block normalize
+    (the source list is dashboard-sized at any corpus scale).
+    Output (source, n_tokens, weight)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.add(pc.count_substring(b["text"], " "), 1),
+                        pa.int64())
+        t = pa.table({"source": b["source"], "tok": n_tok})
+        return t.group_by("source").aggregate([("tok", "sum")]) \
+                .rename_columns(["source", "tok"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("tok", alias_name="n_tokens")) \
+        .repartition(1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.schema([pa.field("source", pa.string()),
+                              pa.field("n_tokens", pa.int64()),
+                              pa.field("weight", pa.float64())]).empty_table()
+        w = np.sqrt(t["n_tokens"].to_numpy().astype(np.float64))
+        return pa.table({"source": t["source"], "n_tokens": t["n_tokens"],
+                         "weight": pa.array(round_half_up(w / w.sum()))})
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
