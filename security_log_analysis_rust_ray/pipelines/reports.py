@@ -298,7 +298,15 @@ def conversation_curated_corpus(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
         lambda b: b.select(["text"]).append_column(
             "is_boiler", pa.array([1] * b.num_rows, pa.int8())),
         batch_format="pyarrow").materialize()
-    marked = lookup_join(turns, boiler, "text", "text", how="left")
+    if boiler.count() == 0:
+        # no boilerplate anywhere: skip the join (an all-empty derived
+        # dataset also loses its schema, which the join cannot probe)
+        marked = turns.map_batches(
+            lambda b: b.append_column(
+                "is_boiler", pa.nulls(b.num_rows, pa.int8())),
+            batch_format="pyarrow", batch_size=None)
+    else:
+        marked = lookup_join(turns, boiler, "text", "text", how="left")
 
     _schema = pa.schema([("conv_id", pa.string()),
                          ("sft_text", pa.string()),

@@ -42,7 +42,16 @@ def _collect_table(ds: rd.Dataset) -> pa.Table:
     tbls = ray.get(ds.to_arrow_refs())
     tbls = [t for t in tbls if t.num_rows > 0]
     if not tbls:
-        return ds.schema().base_schema.empty_table()
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if not isinstance(base, pa.Schema):
+            # an all-empty DERIVED dataset can lose its Arrow schema
+            # entirely; callers must guard (join an empty unknown-schema
+            # dim is unanswerable — which payload columns would we null?)
+            raise ValueError(
+                "empty dataset with no recoverable Arrow schema; guard the "
+                "call site (e.g. skip the join when the dim is empty)")
+        return base.empty_table()
     return pa.concat_tables(tbls, promote_options="default")
 
 

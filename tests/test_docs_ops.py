@@ -506,3 +506,15 @@ def test_epoch_shuffle_determinism_and_permutation():
     # range shards are reasonably balanced under the multiplicative hash
     per = e0.groupby("shard")["doc_id"].count()
     assert len(per) == 8 and per.min() >= 0.3 * per.mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conversation_curation_empty_boilerplate_set():
+    """A threshold no text reaches must mean 'nothing dropped', not a
+    crash: an all-empty derived boilerplate dataset loses its Arrow
+    schema, so the composite skips the join outright."""
+    from security_log_analysis_rust_ray.pipelines import reports as R
+    got = R.conversation_curated_corpus(SF_SMOKE, min_convs=10**9) \
+        .to_pandas()
+    base = R.conversation_sft_text(SF_SMOKE).to_pandas()
+    assert sorted(got["conv_id"]) == sorted(base["conv_id"])
