@@ -1879,10 +1879,20 @@ def doc_dup_weights(sf_dir: str,
     from ..stages.joins import lookup_join
 
     clusters = dup_clusters(sf_dir, threshold=threshold)
-    sizes = grouped_count(clusters, ["cluster"], alias="sz")
-    sized = lookup_join(clusters, sizes, "cluster", "cluster", how="inner")
+    # cluster-count-scale, not corpus-scale: materialized so the join's
+    # size gate sees exact bytes (broadcast in the common case)
+    sizes = grouped_count(clusters, ["cluster"], alias="sz").materialize()
     base = docs_aug_ds(sf_dir).map_batches(
         lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    if sizes.count() == 0:
+        # no near-dup clusters at all: every doc keeps weight 1.0 (an
+        # all-empty derived dataset also loses its joinable schema)
+        return base.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "weight": pa.array(np.ones(b.num_rows, np.float64))}),
+            batch_format="pyarrow", batch_size=None)
+    sized = lookup_join(clusters, sizes, "cluster", "cluster", how="inner")
     joined = lookup_join(
         base,
         sized.map_batches(lambda t: t.select(["doc_id", "sz"]),

@@ -43,8 +43,8 @@ def _cc_one_task(edges: rd.Dataset, src: str, dst: str) -> rd.Dataset:
     @ray.remote
     def solve(*blocks):
         import pyarrow as _pa
-        t = _pa.concat_tables([b for b in blocks if b.num_rows > 0]) \
-            if blocks else None
+        live = [b for b in blocks if b.num_rows > 0]
+        t = _pa.concat_tables(live) if live else None
         if t is None or t.num_rows == 0:
             return _pa.table({"node": _pa.array([], _pa.int64()),
                               "label": _pa.array([], _pa.int64())})

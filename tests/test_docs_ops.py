@@ -518,3 +518,14 @@ def test_conversation_curation_empty_boilerplate_set():
         .to_pandas()
     base = R.conversation_sft_text(SF_SMOKE).to_pandas()
     assert sorted(got["conv_id"]) == sorted(base["conv_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_weights_no_clusters_edge():
+    """A threshold above 1.0 yields an empty cluster graph — every doc
+    must keep weight 1.0 rather than crashing on the schema-less empty
+    joins (the all-empty connected-components path)."""
+    df = D.doc_dup_weights(SF_SMOKE, threshold=1.01).to_pandas()
+    docs = D.docs_aug_ds(SF_SMOKE).to_pandas()
+    assert sorted(df["doc_id"]) == sorted(docs["doc_id"])
+    assert (df["weight"] == 1.0).all()
