@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
     su.add_argument("--sf-dir", required=True)
     su.add_argument("--out", required=True)
 
+    dc = sub.add_parser("datacard", help="one-JSON corpus data card: "
+                                         "sources, length quantiles, dup "
+                                         "rates, splits, mix weights")
+    dc.add_argument("--sf-dir", required=True)
+    dc.add_argument("--out", default=None)
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -195,6 +201,36 @@ def main(argv: list[str] | None = None) -> int:
                                       per["count()"].astype(int))),
                 "out": a.out,
             }))
+        elif a.cmd == "datacard":
+            from .pipelines import docs as Dp
+            src = Dp.corpus_source_report(a.sf_dir).to_pandas() \
+                .sort_values("source")
+            qs = Dp.doc_length_quantiles(a.sf_dir).to_pandas()
+            mix = Dp.doc_temperature_mix(a.sf_dir).to_pandas() \
+                .sort_values("source")
+            splits = Dp.doc_split_assign(a.sf_dir).to_pandas()["split"] \
+                .value_counts()
+            n_docs = int(Dp.docs_aug_ds(a.sf_dir).count())
+            n_unique = int(Dp.doc_exact_dedup(a.sf_dir).count())
+            card = {
+                "sf_dir": a.sf_dir,
+                # the aug corpus (dedup universe) vs the base table the
+                # split/source ops cover
+                "n_docs": n_docs,
+                "n_base_docs": int(src["n_docs"].sum()),
+                "n_unique_texts": n_unique,
+                "exact_dup_rate": round(1.0 - n_unique / n_docs, 6),
+                "token_quantiles": {str(q): int(v) for q, v in
+                                    zip(qs["q"], qs["n_tokens"])},
+                "splits": {str(k): int(v) for k, v in splits.items()},
+                "sources": src.to_dict("records"),
+                "mix_weights": {str(s): float(w) for s, w in
+                                zip(mix["source"], mix["weight"])},
+            }
+            if a.out:
+                with open(a.out, "w") as f:
+                    json.dump(card, f, indent=1)
+            print(json.dumps(card))
         elif a.cmd == "ses-stats":
             from .pipelines.streaming import ses_email_stats
             row = ses_email_stats(a.sf_dir, threshold=a.threshold).iloc[0]

@@ -309,3 +309,26 @@ def test_alert_knobs_resolve_from_config_at_call_time():
         set_config(prev)
     assert (strict["total_bytes"] <= 500).all()
     assert strict["n_messages"].sum() < base["n_messages"].sum()
+
+
+def test_cli_datacard(tmp_path):
+    """datacard subcommand: one JSON artifact composing the curation-health
+    ops; internal consistency checks (dup rate, split total, weight sum)."""
+    import json as _json
+    import subprocess, sys
+    card_path = str(tmp_path / "card.json")
+    out = subprocess.run(
+        [sys.executable, "-m", "security_log_analysis_rust_ray",
+         "datacard", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", card_path],
+        capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-500:]
+    card = _json.load(open(card_path))
+    assert card["n_base_docs"] == sum(card["splits"].values())
+    assert card["n_docs"] >= card["n_base_docs"]
+    assert 0 < card["n_unique_texts"] <= card["n_docs"]
+    assert abs(card["exact_dup_rate"]
+               - (1 - card["n_unique_texts"] / card["n_docs"])) < 1e-6
+    assert abs(sum(card["mix_weights"].values()) - 1.0) < 1e-3
+    assert len(card["sources"]) == len(card["mix_weights"])
+    assert list(card["token_quantiles"]) == ["0.25", "0.5", "0.9", "0.99"]
