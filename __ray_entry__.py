@@ -77,9 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_mix": D.doc_weighted_mix,
         "doc_budget_select": D.doc_budget_select,    # oracle, new r03
         "doc_temperature_mix": D.doc_temperature_mix,  # oracle, new r03
+        "source_length_quantiles":
+            D.source_length_quantiles,               # oracle, new r03
         # embedding similarity
         "embedding_near_dup_pairs": ANN.embedding_near_dup_pairs,
-        "embedding_dup_clusters": ANN.embedding_dup_clusters,
         "embedding_near_dedup": ANN.embedding_near_dedup,    # new r03
         "ann_topk": ANN.ann_topk,
         # multimodal plumbing (decode is a marked stub)
@@ -150,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_bpe_token_count,                   # r01+r02-passed
         "doc_tfidf_top_terms":
             D.doc_tfidf_top_terms,                   # r01+r02-passed
+        "embedding_dup_clusters":
+            ANN.embedding_dup_clusters,              # r01+r02-passed
         "messages": R.messages,                      # r01+r02-passed
         "route_counts": R.route_counts,              # r01+r02-passed
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
@@ -437,6 +440,11 @@ def oracle_sql() -> dict[str, str]:
     # eval-5-gram decontamination
     _ng = D.NGRAM
     _qexpr = "round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6)"
+    out["source_length_quantiles"] = (
+        "WITH lens AS (SELECT source,"
+        " CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens"
+        " FROM documents)\n"
+        "SELECT source, CAST(0.25 AS DOUBLE) AS q, quantile_disc(n_tokens, 0.25) AS n_tokens FROM lens GROUP BY source UNION ALL SELECT source, CAST(0.5 AS DOUBLE) AS q, quantile_disc(n_tokens, 0.5) AS n_tokens FROM lens GROUP BY source UNION ALL SELECT source, CAST(0.9 AS DOUBLE) AS q, quantile_disc(n_tokens, 0.9) AS n_tokens FROM lens GROUP BY source UNION ALL SELECT source, CAST(0.99 AS DOUBLE) AS q, quantile_disc(n_tokens, 0.99) AS n_tokens FROM lens GROUP BY source")
     out["doc_temperature_mix"] = (
         "WITH c AS (SELECT source,"
         " CAST(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)"

@@ -2046,3 +2046,33 @@ def doc_temperature_mix(sf_dir: str) -> rd.Dataset:
 
     return folded.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+def source_length_quantiles(sf_dir: str,
+                            qs: tuple = (0.25, 0.5, 0.9, 0.99)) -> rd.Dataset:
+    """EXACT per-SOURCE token-count quantiles (the stratified version of
+    ``doc_length_quantiles`` a curation dashboard shows per crawl source).
+    Same value-histogram plan, keyed by (source, length): the distributed
+    grouped count stays bounded by sources x max doc length no matter the
+    corpus size; the cumulative walk over the tiny histogram happens once
+    driver-side.  ``quantile_disc`` semantics shared with the oracle.
+    Output (source, q, n_tokens)."""
+    def lens(b: pa.Table) -> pa.Table:
+        nt = pc.add(pc.count_substring(b["text"], " "), 1)
+        return pa.table({"source": b["source"],
+                         "n_tokens": pc.cast(nt, pa.int64())})
+
+    hist = agg.grouped_count(
+        read_table(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(lens, batch_format="pyarrow", batch_size=None),
+        ["source", "n_tokens"], alias="cnt").to_pandas() \
+        .sort_values(["source", "n_tokens"]).reset_index(drop=True)
+    rows = []
+    for source, g in hist.groupby("source", sort=True):
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum()
+        for q in qs:
+            rank = max(int(np.ceil(q * n)), 1)
+            val = int(g.loc[cum >= rank, "n_tokens"].iloc[0])
+            rows.append({"source": source, "q": q, "n_tokens": val})
+    return rd.from_pandas(pd.DataFrame(rows))
