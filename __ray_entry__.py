@@ -79,8 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_temperature_mix": D.doc_temperature_mix,  # oracle, new r03
         "source_length_quantiles":
             D.source_length_quantiles,               # oracle, new r03
+        "doc_sampling_manifest":
+            D.doc_sampling_manifest,                 # oracle, new r03
         # embedding similarity
-        "embedding_near_dup_pairs": ANN.embedding_near_dup_pairs,
         "embedding_near_dedup": ANN.embedding_near_dedup,    # new r03
         "ann_topk": ANN.ann_topk,
         # multimodal plumbing (decode is a marked stub)
@@ -153,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_tfidf_top_terms,                   # r01+r02-passed
         "embedding_dup_clusters":
             ANN.embedding_dup_clusters,              # r01+r02-passed
+        "embedding_near_dup_pairs":
+            ANN.embedding_near_dup_pairs,            # r01+r02-passed
         "messages": R.messages,                      # r01+r02-passed
         "route_counts": R.route_counts,              # r01+r02-passed
         "transcripts": R.transcripts,                # r01+r02-passed SELECT *
@@ -410,6 +413,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, round(1.0 / coalesce(s.sz, 1), 6) AS weight"
         " FROM docs_aug d LEFT JOIN clusters c ON d.doc_id = c.doc_id"
         " LEFT JOIN csizes s ON c.cluster = s.cluster")
+    out["doc_sampling_manifest"] = _cc_prefix.rstrip() + (
+        ",\nclusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach"
+        " GROUP BY n)"
+        ",\ncsizes AS (SELECT cluster, count(*) AS sz FROM clusters"
+        " GROUP BY cluster)"
+        ",\nsrc_tok AS (SELECT source,"
+        " CAST(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)"
+        " AS n_tokens FROM documents GROUP BY source)"
+        ",\nmix AS (SELECT source, round(sqrt(n_tokens) /"
+        " (SELECT sum(sqrt(n_tokens)) FROM src_tok), 6) AS mix_weight"
+        " FROM src_tok)\n"
+        "SELECT d.doc_id, d.source,"
+        " round(coalesce(round(1.0 / s.sz, 6), 1.0) * m.mix_weight, 6)"
+        " AS sample_weight"
+        " FROM documents d"
+        " LEFT JOIN clusters c ON d.doc_id = c.doc_id"
+        " LEFT JOIN csizes s ON c.cluster = s.cluster"
+        " JOIN mix m ON d.source = m.source")
     out["doc_epoch_shuffle"] = docs_pre + (
         "keyed AS (SELECT doc_id,"
         f" ((doc_id % {D.EPOCH_MOD}) * {D.EPOCH_MULT}) % {D.EPOCH_MOD}"

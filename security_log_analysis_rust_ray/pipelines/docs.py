@@ -2076,3 +2076,36 @@ def source_length_quantiles(sf_dir: str,
             val = int(g.loc[cum >= rank, "n_tokens"].iloc[0])
             rows.append({"source": source, "q": q, "n_tokens": val})
     return rd.from_pandas(pd.DataFrame(rows))
+
+
+def doc_sampling_manifest(sf_dir: str) -> rd.Dataset:
+    """The per-doc SAMPLING MANIFEST a weighted training loader actually
+    consumes: final_weight = soft-dedup weight (1/|near-dup cluster|) x
+    the doc's source temperature weight — duplicates are downweighted AND
+    over-represented sources are tempered, in one artifact.  Composition:
+    the tiny per-source mix table broadcasts (materialized -> exact size
+    gate); the corpus-scale dup-weight table joins via the partitioned
+    hash path; one rounding at the end mirrors the oracle bit-for-bit.
+    Output (doc_id, source, sample_weight) over the base documents."""
+    from ..stages.joins import lookup_join
+
+    base = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    mix = doc_temperature_mix(sf_dir).map_batches(
+        lambda t: pa.table({"source": t["source"],
+                            "mix_weight": t["weight"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    dupw = doc_dup_weights(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "dup_weight": t["weight"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = lookup_join(lookup_join(base, mix, "source", "source", how="left"),
+                    dupw, "doc_id", "doc_id", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        dw = b["dup_weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dw = np.where(np.isnan(dw), 1.0, dw)
+        mw = b["mix_weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "sample_weight": pa.array(round_half_up(dw * mw))})
+
+    return j.map_batches(finish, batch_format="pyarrow", batch_size=None)
