@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries that passed bit-exact in BOTH r01 and r02 with unchanged code,
     # plus the rows-only entries (no oracle_sql key — approximate or
     # hash-defined results, each covered by pytest invariants instead).
-    # tools/parity_sweep.py checks ALL 78 every round regardless
+    # tools/parity_sweep.py checks ALL 102 every round regardless
     # (CORRECTNESS_LOCAL_r03.json).
     return {
         "parsed": R.parsed,

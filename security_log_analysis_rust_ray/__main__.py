@@ -193,7 +193,6 @@ def main(argv: list[str] | None = None) -> int:
             # split-partitioned sink: a failed rerun can resume per split
             # dir, and training readers prune to their split at the read
             out_ds.write_parquet(a.out, partition_cols=["split"])
-            import pandas as pd
             per = out_ds.groupby("split").count().to_pandas()
             print(json.dumps({
                 "docs_out": int(per["count()"].sum()),

@@ -940,23 +940,39 @@ def doc_length_quantiles(sf_dir: str,
     over the sorted histogram driver-side.  ``quantile_disc`` semantics
     (smallest value with 1-based rank >= ceil(q*n)) shared with the
     DuckDB oracle — no sample, no sort of the corpus."""
-    def lens(b: pa.Table) -> pa.Table:
-        nt = pc.add(pc.count_substring(b["text"], " "), 1)
-        return pa.table({"n_tokens": pc.cast(nt, pa.int64())})
-
     hist = agg.grouped_count(
-        docs_aug_ds(sf_dir).map_batches(lens, batch_format="pyarrow",
+        docs_aug_ds(sf_dir).map_batches(_len_cols(None),
+                                        batch_format="pyarrow",
                                         batch_size=None),
-        ["n_tokens"], alias="cnt").to_pandas() \
-        .sort_values("n_tokens").reset_index(drop=True)
+        ["n_tokens"], alias="cnt").to_pandas()
+    return rd.from_pandas(pd.DataFrame(_quantile_walk(hist, qs)))
+
+
+def _len_cols(group_col):
+    """Per-batch token-length kernel, optionally carrying a group column."""
+    def lens(b: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.add(pc.count_substring(b["text"], " "), 1),
+                     pa.int64())
+        cols = {"n_tokens": nt}
+        if group_col:
+            cols = {group_col: b[group_col], "n_tokens": nt}
+        return pa.table(cols)
+    return lens
+
+
+def _quantile_walk(hist: pd.DataFrame, qs, extra: dict | None = None):
+    """quantile_disc semantics (smallest value with 1-based rank >=
+    ceil(q*n)) over a (n_tokens, cnt) histogram — the ONE encoding of the
+    DuckDB rank rule, shared by the global and per-source ops."""
+    hist = hist.sort_values("n_tokens").reset_index(drop=True)
     n = int(hist["cnt"].sum())
     cum = hist["cnt"].cumsum()
     rows = []
     for q in qs:
         rank = max(int(np.ceil(q * n)), 1)
         val = int(hist.loc[cum >= rank, "n_tokens"].iloc[0])
-        rows.append({"q": q, "n_tokens": val})
-    return rd.from_pandas(pd.DataFrame(rows))
+        rows.append({**(extra or {}), "q": q, "n_tokens": val})
+    return rows
 
 
 def doc_length_quantiles_approx(sf_dir: str,
@@ -2057,25 +2073,15 @@ def source_length_quantiles(sf_dir: str,
     corpus size; the cumulative walk over the tiny histogram happens once
     driver-side.  ``quantile_disc`` semantics shared with the oracle.
     Output (source, q, n_tokens)."""
-    def lens(b: pa.Table) -> pa.Table:
-        nt = pc.add(pc.count_substring(b["text"], " "), 1)
-        return pa.table({"source": b["source"],
-                         "n_tokens": pc.cast(nt, pa.int64())})
-
     hist = agg.grouped_count(
         read_table(sf_dir, "documents", columns=["source", "text"])
-        .map_batches(lens, batch_format="pyarrow", batch_size=None),
-        ["source", "n_tokens"], alias="cnt").to_pandas() \
-        .sort_values(["source", "n_tokens"]).reset_index(drop=True)
+        .map_batches(_len_cols("source"), batch_format="pyarrow",
+                     batch_size=None),
+        ["source", "n_tokens"], alias="cnt").to_pandas()
     rows = []
     for source, g in hist.groupby("source", sort=True):
-        n = int(g["cnt"].sum())
-        cum = g["cnt"].cumsum()
-        for q in qs:
-            rank = max(int(np.ceil(q * n)), 1)
-            val = int(g.loc[cum >= rank, "n_tokens"].iloc[0])
-            rows.append({"source": source, "q": q, "n_tokens": val})
-    return rd.from_pandas(pd.DataFrame(rows))
+        rows.extend(_quantile_walk(g, qs, extra={"source": source}))
+    return rd.from_pandas(pd.DataFrame(rows)[["source", "q", "n_tokens"]])
 
 
 def doc_sampling_manifest(sf_dir: str) -> rd.Dataset:

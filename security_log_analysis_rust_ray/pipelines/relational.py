@@ -618,8 +618,12 @@ def host_counts_cms(sf_dir: str) -> rd.Dataset:
     from ..stages.sketch import cms_query, cms_sketch
 
     base = parsed(sf_dir)
+    # materialize the one-column projection: the sketch fold consumes it
+    # eagerly and the distinct-probe pass would otherwise re-execute the
+    # whole read->parse lineage a second time
     hosts = base.map_batches(lambda b: b.select(["host"]),
-                             batch_format="pyarrow", batch_size=None)
+                             batch_format="pyarrow",
+                             batch_size=None).materialize()
     sk = cms_sketch(hosts, "host")
     ref = ray.put(sk)
 

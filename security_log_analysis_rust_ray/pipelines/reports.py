@@ -216,6 +216,38 @@ def parsed_page_offset(sf_dir: str, offset: int = 20, k: int = 20):
     return top.to_pandas().iloc[offset:offset + k].reset_index(drop=True)
 
 
+_SFT_SCHEMA = pa.schema([("conv_id", pa.string()),
+                         ("sft_text", pa.string()),
+                         ("n_turns", pa.int64())])
+
+
+def _assemble_convs(df, max_boiler_quarters: int | None = None):
+    """Shared per-block conversation-assembly kernel (one vectorized pandas
+    pass across ALL conversations in the block): sort by (conv_id,
+    turn_idx), join ``role: text`` lines — the exact mirror of the oracle's
+    string_agg expression, kept in ONE place so engine/oracle parity cannot
+    drift between the plain and curated queries.  With
+    ``max_boiler_quarters`` set, rows carry an ``is_boiler`` mark and
+    conversations with >= 1/4 boilerplate turns are dropped.  Emits ARROW
+    (downstream joins read .schema().base_schema)."""
+    import pandas as pd
+
+    if not len(df):
+        return _SFT_SCHEMA.empty_table()
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    cols = {"conv_id": df["conv_id"],
+            "line": df["role"].str.cat(df["text"], sep=": ")}
+    aggs = {"sft_text": ("line", "\n".join), "n_turns": ("line", "size")}
+    if max_boiler_quarters is not None:
+        cols["is_boiler"] = df["is_boiler"].fillna(0).astype("int64")
+        aggs["n_boiler"] = ("is_boiler", "sum")
+    out = pd.DataFrame(cols).groupby("conv_id", sort=False)         .agg(**aggs).reset_index()
+    if max_boiler_quarters is not None:
+        out = out[out["n_boiler"] * 4 < out["n_turns"]]
+    return pa.Table.from_pandas(out[["conv_id", "sft_text", "n_turns"]],
+                                schema=_SFT_SCHEMA, preserve_index=False)
+
+
 def conversation_sft_text(sf_dir: str) -> rd.Dataset:
     """Training-example assembly: one row per conversation with its turns
     concatenated in turn order as ``role: text`` lines — the transcripts ->
@@ -224,31 +256,11 @@ def conversation_sft_text(sf_dir: str) -> rd.Dataset:
     then a single vectorized pandas kernel per block assembles every
     conversation in it (no per-group Python dispatch).  Output
     (conv_id, sft_text, n_turns)."""
-    import pandas as pd
-
     from ..pipelines.streaming import _by_key_blocks
     ds = read_transcripts(sf_dir,
                           columns=["conv_id", "turn_idx", "role", "text"])
-
-    _sft_schema = pa.schema([("conv_id", pa.string()),
-                             ("sft_text", pa.string()),
-                             ("n_turns", pa.int64())])
-
-    def assemble(df: pd.DataFrame) -> pa.Table:
-        # emit ARROW (downstream joins read .schema().base_schema)
-        if not len(df):
-            return _sft_schema.empty_table()
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        grp = pd.DataFrame({"conv_id": df["conv_id"],
-                            "line": df["role"].str.cat(df["text"], sep=": ")})
-        out = grp.groupby("conv_id", sort=False).agg(
-            sft_text=("line", "\n".join),
-            n_turns=("line", "size")).reset_index()
-        return pa.Table.from_pandas(out, schema=_sft_schema,
-                                    preserve_index=False)
-
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
-        assemble, batch_format="pandas", batch_size=None)
+        _assemble_convs, batch_format="pandas", batch_size=None)
 
 
 def boilerplate_turns(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
@@ -284,9 +296,6 @@ def conversation_curated_corpus(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
     kernel after the single conv_id hash exchange, and the exact dedup is
     the combiner-first grouped min.  Two wide exchanges total; nothing
     corpus-sized on the driver.  Output (conv_id, sft_text, n_turns)."""
-    import numpy as np
-    import pandas as pd
-
     from ray.data.aggregate import Min
 
     from ..pipelines.streaming import _by_key_blocks
@@ -308,30 +317,9 @@ def conversation_curated_corpus(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
     else:
         marked = lookup_join(turns, boiler, "text", "text", how="left")
 
-    _schema = pa.schema([("conv_id", pa.string()),
-                         ("sft_text", pa.string()),
-                         ("n_turns", pa.int64())])
-
-    def assemble(df: pd.DataFrame) -> pa.Table:
-        if not len(df):
-            return _schema.empty_table()
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        grp = pd.DataFrame({
-            "conv_id": df["conv_id"],
-            "line": df["role"].str.cat(df["text"], sep=": "),
-            "is_boiler": df["is_boiler"].fillna(0).astype("int64"),
-        })
-        out = grp.groupby("conv_id", sort=False).agg(
-            sft_text=("line", "\n".join),
-            n_turns=("line", "size"),
-            n_boiler=("is_boiler", "sum")).reset_index()
-        out = out[out["n_boiler"] * 4 < out["n_turns"]]
-        return pa.Table.from_pandas(
-            out[["conv_id", "sft_text", "n_turns"]], schema=_schema,
-            preserve_index=False)
-
     kept = _by_key_blocks(marked, ["conv_id"]).map_batches(
-        assemble, batch_format="pandas", batch_size=None)
+        lambda df: _assemble_convs(df, max_boiler_quarters=1),
+        batch_format="pandas", batch_size=None)
 
     def partial_min(b: pa.Table) -> pa.Table:
         return b.group_by(["sft_text"]).aggregate(

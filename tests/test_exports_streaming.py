@@ -332,3 +332,21 @@ def test_cli_datacard(tmp_path):
     assert abs(sum(card["mix_weights"].values()) - 1.0) < 1e-3
     assert len(card["sources"]) == len(card["mix_weights"])
     assert list(card["token_quantiles"]) == ["0.25", "0.5", "0.9", "0.99"]
+
+
+def test_cli_curate(tmp_path):
+    """curate subcommand: split-partitioned curated corpus on disk; the
+    per-split report sums to the doc total and split dirs exist."""
+    import json as _json
+    import os
+    import subprocess, sys
+    out_dir = str(tmp_path / "corpus")
+    out = subprocess.run(
+        [sys.executable, "-m", "security_log_analysis_rust_ray",
+         "curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir],
+        capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["docs_out"] == sum(rep["per_split"].values()) > 0
+    dirs = {d for d in os.listdir(out_dir) if d.startswith("split=")}
+    assert dirs == {f"split={k}" for k in rep["per_split"]}
