@@ -120,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--sf-dir", required=True)
     dc.add_argument("--out", default=None)
 
+    sh = sub.add_parser("shuffle", help="seeded epoch shuffle -> shard-"
+                                        "partitioned parquet (training "
+                                        "reader input; per-shard resume)")
+    sh.add_argument("--sf-dir", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--epoch", type=int, default=0)
+    sh.add_argument("--shards", type=int, default=8)
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -230,6 +238,21 @@ def main(argv: list[str] | None = None) -> int:
                 with open(a.out, "w") as f:
                     json.dump(card, f, indent=1)
             print(json.dumps(card))
+        elif a.cmd == "shuffle":
+            from .pipelines.docs import doc_epoch_shuffle
+            ds = doc_epoch_shuffle(a.sf_dir, epoch=a.epoch,
+                                   shards=a.shards).materialize()
+            # shard-partitioned sink: loaders read shard i in key order; a
+            # failed export resumes per shard dir
+            ds.write_parquet(a.out, partition_cols=["shard"])
+            per = ds.groupby("shard").count().to_pandas()
+            print(json.dumps({
+                "epoch": a.epoch,
+                "docs": int(per["count()"].sum()),
+                "per_shard": {str(k): int(v) for k, v in
+                              zip(per["shard"], per["count()"])},
+                "out": a.out,
+            }))
         elif a.cmd == "ses-stats":
             from .pipelines.streaming import ses_email_stats
             row = ses_email_stats(a.sf_dir, threshold=a.threshold).iloc[0]
