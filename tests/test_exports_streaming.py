@@ -378,3 +378,11 @@ def test_cli_shuffle(tmp_path):
         keys = t["shuffle_key"].to_pylist()
         assert min(keys) > prev_max
         prev_max = max(keys)
+    # same epoch -> identical content on a rerun into a fresh dir
+    out_dir2 = str(tmp_path / "e0b")
+    cmd2 = cmd[:-3] + [out_dir2, "--epoch", "3"]
+    assert subprocess.run(cmd2, capture_output=True, text=True,
+                          timeout=420).returncode == 0
+    a = pq.read_table(out_dir).sort_by("doc_id")
+    b = pq.read_table(out_dir2).sort_by("doc_id")
+    assert a.equals(b)
