@@ -57,7 +57,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parsed_dedup": R.parsed_dedup,
         "enriched": R.enriched,
         "enriched_resolved": R.enriched_resolved,
-        "dim_updates": R.dim_updates,
         "country_counts": R.country_counts,
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "agg_conv_role_tool": R.agg_conv_role_tool,
@@ -111,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": D.doc_lang_id,                      # oracle, new r03
         "doc_decontaminate": D.doc_decontaminate,          # oracle, new r03
         "redact_pii": D.redact_pii,                        # oracle, new r03
+        "doc_lm_score": D.doc_lm_score,                    # oracle, new r03
         # ---- positions 51+: entries past the driver's 50-row window.
         # First: oracle queries that already carry PASSING CORRECTNESS
         # rows from r01 AND r02 with unchanged code (parked to make window
@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
+        "dim_updates": R.dim_updates,                # r01+r02-passed
         "stream_dedup_natural_keys":
             R.stream_dedup_natural_keys,             # r01+r02-passed
         "dangling_hosts": R.dangling_hosts,          # r01+r02-passed
@@ -454,6 +455,23 @@ def oracle_sql() -> dict[str, str]:
         " round(CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)"
         " THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate"
         " FROM toks GROUP BY doc_id")
+    # CCNet-style unigram-LM score: the SQL states the IDENTICAL
+    # tf-weighted arithmetic the engine folds (tf * -log2((c+1)/(t+v)),
+    # divided by sum(tf)), so the parity check verifies the distributed
+    # term-count + join + per-doc fold plumbing
+    out["doc_lm_score"] = docs_pre + (
+        "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug),\n"
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+        " GROUP BY doc_id, term),\n"
+        "cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf"
+        " GROUP BY term),\n"
+        "tot AS (SELECT (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS t,"
+        " (SELECT count(*) FROM cnt) AS v)\n"
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS lm_tokens,"
+        " round(sum(tf * -log2((cnt.c + 1.0) / (tot.t + tot.v)))"
+        " / sum(tf), 6) AS avg_nll"
+        " FROM tf JOIN cnt USING (term), tot GROUP BY doc_id")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
     # end-to-end curation composite: quality gate (rounded score above

@@ -718,6 +718,22 @@ def doc_sample(sf_dir: str, mod: int = 10) -> rd.Dataset:
                                            batch_size=None)
 
 
+def _doc_tf_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows for one batch of docs (docs never span
+    batches): one Arrow split + offsets-repeat explode, one batch-level
+    ``group_by`` — the shared term-frequency kernel under TF-IDF and the
+    unigram-LM scorer."""
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets)
+    doc_ids = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
+    t = pa.table({"doc_id": pa.array(doc_ids), "term": flat})
+    g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "term", "tf"])
+
+
 def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Per-doc top-k TF-IDF terms, fully distributed (VERDICT r01 #8: at
     web scale the vocab is NOT small, so document frequencies must not live
@@ -736,22 +752,11 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     nparts = _join_parts(sf_dir)
     n_docs = docs_aug_ds(sf_dir).count()
 
-    def tf_batch(b: pa.Table) -> pa.Table:
-        tk = pc.split_pattern(b["text"], " ")
-        if isinstance(tk, pa.ChunkedArray):
-            tk = tk.combine_chunks()
-        flat = tk.values
-        offs = np.asarray(tk.offsets)
-        doc_ids = np.repeat(b["doc_id"].to_numpy(), np.diff(offs))
-        t = pa.table({"doc_id": pa.array(doc_ids), "term": flat})
-        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
-        return g.rename_columns(["doc_id", "term", "tf"])
-
     # tf feeds both df and the scoring join; materialize so the token
     # explosion runs once (at 100-TB scale this is the spill-backed
     # intermediate the object store is for)
     tf = docs_aug_ds(sf_dir).map_batches(
-        tf_batch, batch_format="pyarrow", batch_size=None).materialize()
+        _doc_tf_batch, batch_format="pyarrow", batch_size=None).materialize()
     # tf rows are distinct per (doc, term), so counting rows per term IS df
     df = agg.grouped_count(tf, ["term"], alias="df",
                            high_cardinality=True).materialize()
@@ -2115,3 +2120,88 @@ def doc_sampling_manifest(sf_dir: str) -> rd.Dataset:
                          "sample_weight": pa.array(round_half_up(dw * mw))})
 
     return j.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM quality score: train a smoothed unigram LM on the
+# corpus itself, score every doc by mean negative log-probability — the
+# perplexity-bucket filter a crawl-curation pipeline runs before mixing
+# ---------------------------------------------------------------------------
+
+
+def doc_lm_score(sf_dir: str) -> rd.Dataset:
+    """Per-doc mean negative log2-probability under an add-one-smoothed
+    unigram LM trained on the corpus itself (the CCNet/Wenzek-style
+    quality signal: low avg_nll ~ head/common text, high ~ tail/noise).
+
+    Plan (all stages stream):
+      tf   = per-batch (doc_id, term, tf) counts (`_doc_tf_batch`; docs
+             never span batches), materialized once — it feeds the LM
+             counts, the totals AND the scoring join;
+      cnt  = corpus term counts: ONE hash aggregate summing tf per term
+             (the distributed LM "training" step);
+      tf |x| cnt on term via the size-aware ``lookup_join`` (broadcast
+             while the vocab fits the byte budget, partitioned hash join
+             past it — the vocab is NOT assumed driver-sized);
+      fold = per-batch partial (doc_id, Σ tf·nll, Σ tf) -> one hash
+             aggregate on doc_id -> vectorized finish.
+
+    avg_nll = Σ_terms tf · −log2((c+1)/(T+V)) / Σ_terms tf, rounded to 6
+    (half-up, DuckDB ROUND parity); the oracle states the identical
+    tf-weighted arithmetic so the check verifies the distributed plumbing.
+    At 100 TB the LM side caps to a top-V vocabulary with an OOV bucket
+    (same plan, one extra fill_null); the full vocab here keeps the
+    oracle exact.  Scale op beyond the reference (quality-filter family,
+    cf. src/parse_logs.rs filter gates)."""
+    from ray.data.aggregate import Sum
+    from ..stages.joins import lookup_join
+
+    nparts = _join_parts(sf_dir)
+    tf = docs_aug_ds(sf_dir).map_batches(
+        _doc_tf_batch, batch_format="pyarrow", batch_size=None).materialize()
+    # materialized: the lookup_join size gate sees the real vocab bytes
+    cnt = tf.groupby("term").aggregate(Sum("tf", alias_name="c")) \
+        .materialize()
+    total = int(tf.sum("tf"))
+    v = cnt.count()
+    denom = float(total + v)
+
+    joined = lookup_join(tf, cnt, "term", "term", nparts=nparts, how="inner")
+    part_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                             pa.field("_nll", pa.float64()),
+                             pa.field("_ntok", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # hash partitions can surface zero-column empty blocks
+        if t.num_columns == 0 or t.num_rows == 0:
+            return part_schema.empty_table()
+        tfv = t["tf"].to_numpy().astype(np.float64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nll = tfv * -np.log2((c + 1.0) / denom)
+        g = pa.table({"doc_id": t["doc_id"], "_nll": pa.array(nll),
+                      "_ntok": t["tf"]})
+        out = g.group_by("doc_id").aggregate([("_nll", "sum"),
+                                              ("_ntok", "sum")])
+        return out.rename_columns(["doc_id", "_nll", "_ntok"]) \
+                  .cast(part_schema)
+
+    folded = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Sum("_nll", alias_name="s"), Sum("_ntok", alias_name="n"))
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("lm_tokens", pa.int64()),
+                            pa.field("avg_nll", pa.float64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lm_tokens": pa.array(n.astype(np.int64)),
+            "avg_nll": pa.array(round_half_up(s / n)),
+        }).cast(out_schema)
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -529,3 +529,37 @@ def test_dup_weights_no_clusters_edge():
     docs = D.docs_aug_ds(SF_SMOKE).to_pandas()
     assert sorted(df["doc_id"]) == sorted(docs["doc_id"])
     assert (df["weight"] == 1.0).all()
+
+
+def test_doc_lm_score_handcrafted(tmp_path):
+    """Unigram-LM scores on a 3-doc corpus with hand-computable counts:
+    the common-word doc scores LOWER avg_nll than the rare-word doc, and
+    every value matches the add-one-smoothed formula exactly (doc_ids
+    avoid the %10/%7 augmentation residues so docs_aug == documents)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = {
+        1: "the the the cat",   # mostly the corpus's most common term
+        2: "the zebra quux",    # two singleton terms
+        3: "the the dog dog",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = D.doc_lm_score(str(tmp_path)).to_pandas().set_index("doc_id")
+
+    # corpus counts: the=6, cat=1, zebra=1, quux=1, dog=2 -> T=11, V=5
+    cnt = {"the": 6, "cat": 1, "zebra": 1, "quux": 1, "dog": 2}
+    T, V = 11, 5
+    assert int(out["lm_tokens"].sum()) == T
+    for did, txt in texts.items():
+        toks = txt.split(" ")
+        exp = float(np.mean([-np.log2((cnt[t] + 1.0) / (T + V))
+                             for t in toks]))
+        assert out.loc[did, "lm_tokens"] == len(toks)
+        assert abs(out.loc[did, "avg_nll"] - exp) < 1e-6, did
+    # ordering: common-term doc is "head", rare-term doc is "tail"
+    assert out.loc[1, "avg_nll"] < out.loc[3, "avg_nll"] \
+        < out.loc[2, "avg_nll"]
