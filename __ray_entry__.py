@@ -56,7 +56,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parsed": R.parsed,
         "parsed_dedup": R.parsed_dedup,
         "enriched": R.enriched,
-        "enriched_resolved": R.enriched_resolved,
         "country_counts": R.country_counts,
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "agg_conv_role_tool": R.agg_conv_role_tool,
@@ -111,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": D.doc_decontaminate,          # oracle, new r03
         "redact_pii": D.redact_pii,                        # oracle, new r03
         "doc_lm_score": D.doc_lm_score,                    # oracle, new r03
+        "doc_ppl_buckets": D.doc_ppl_buckets,              # oracle, new r03
         # ---- positions 51+: entries past the driver's 50-row window.
         # First: oracle queries that already carry PASSING CORRECTNESS
         # rows from r01 AND r02 with unchanged code (parked to make window
@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
         "dim_updates": R.dim_updates,                # r01+r02-passed
+        "enriched_resolved": R.enriched_resolved,    # r01+r02-passed
         "stream_dedup_natural_keys":
             R.stream_dedup_natural_keys,             # r01+r02-passed
         "dangling_hosts": R.dangling_hosts,          # r01+r02-passed
@@ -459,7 +460,7 @@ def oracle_sql() -> dict[str, str]:
     # tf-weighted arithmetic the engine folds (tf * -log2((c+1)/(t+v)),
     # divided by sum(tf)), so the parity check verifies the distributed
     # term-count + join + per-doc fold plumbing
-    out["doc_lm_score"] = docs_pre + (
+    lm_ctes = (
         "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term"
         " FROM docs_aug),\n"
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
@@ -467,11 +468,24 @@ def oracle_sql() -> dict[str, str]:
         "cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf"
         " GROUP BY term),\n"
         "tot AS (SELECT (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS t,"
-        " (SELECT count(*) FROM cnt) AS v)\n"
-        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS lm_tokens,"
+        " (SELECT count(*) FROM cnt) AS v),\n"
+        "lm_scores AS (SELECT doc_id,"
+        " CAST(sum(tf) AS BIGINT) AS lm_tokens,"
         " round(sum(tf * -log2((cnt.c + 1.0) / (tot.t + tot.v)))"
         " / sum(tf), 6) AS avg_nll"
-        " FROM tf JOIN cnt USING (term), tot GROUP BY doc_id")
+        " FROM tf JOIN cnt USING (term), tot GROUP BY doc_id)\n")
+    out["doc_lm_score"] = docs_pre + lm_ctes + (
+        "SELECT doc_id, lm_tokens, avg_nll FROM lm_scores")
+    # CCNet selection: exact perplexity tertiles (quantile_disc rank rule,
+    # same as the length-quantile ops) over the ROUNDED score, bucket by
+    # the identical <= comparisons the engine broadcasts
+    out["doc_ppl_buckets"] = docs_pre + lm_ctes.rstrip("\n") + (
+        ",\nth AS (SELECT quantile_disc(avg_nll, 1.0/3) AS t1,"
+        " quantile_disc(avg_nll, 2.0/3) AS t2 FROM lm_scores)\n"
+        "SELECT doc_id, avg_nll,"
+        " CASE WHEN avg_nll <= t1 THEN 'head'"
+        " WHEN avg_nll <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket"
+        " FROM lm_scores, th")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
     # end-to-end curation composite: quality gate (rounded score above

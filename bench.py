@@ -164,6 +164,9 @@ def run_bench() -> dict:
           lambda: docs_pipe.doc_repetition_stats(docs_dir).count())
     timed("chunk_dup_stats",
           lambda: docs_pipe.doc_chunk_dup_stats(docs_dir).count())
+    # unigram-LM quality score: tf explode (materialized once), one term
+    # hash aggregate, size-aware tf|x|cnt join, per-doc fold
+    timed("lm_score", lambda: docs_pipe.doc_lm_score(docs_dir).count())
     # r03 corpus-construction tier: the global-sort ops (epoch shuffle =
     # one all-to-all key sort; budget select = sort + block-summary prefix
     # sum) and the transcripts->SFT composite (conv exchange + broadcast

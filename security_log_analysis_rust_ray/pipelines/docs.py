@@ -965,18 +965,20 @@ def _len_cols(group_col):
     return lens
 
 
-def _quantile_walk(hist: pd.DataFrame, qs, extra: dict | None = None):
+def _quantile_walk(hist: pd.DataFrame, qs, extra: dict | None = None,
+                   col: str = "n_tokens", cast=int):
     """quantile_disc semantics (smallest value with 1-based rank >=
-    ceil(q*n)) over a (n_tokens, cnt) histogram — the ONE encoding of the
-    DuckDB rank rule, shared by the global and per-source ops."""
-    hist = hist.sort_values("n_tokens").reset_index(drop=True)
+    ceil(q*n)) over a (value, cnt) histogram — the ONE encoding of the
+    DuckDB rank rule, shared by the length-quantile ops and the
+    perplexity-bucket thresholds."""
+    hist = hist.sort_values(col).reset_index(drop=True)
     n = int(hist["cnt"].sum())
     cum = hist["cnt"].cumsum()
     rows = []
     for q in qs:
         rank = max(int(np.ceil(q * n)), 1)
-        val = int(hist.loc[cum >= rank, "n_tokens"].iloc[0])
-        rows.append({**(extra or {}), "q": q, "n_tokens": val})
+        val = cast(hist.loc[cum >= rank, col].iloc[0])
+        rows.append({**(extra or {}), "q": q, col: val})
     return rows
 
 
@@ -2204,4 +2206,36 @@ def doc_lm_score(sf_dir: str) -> rd.Dataset:
         }).cast(out_schema)
 
     return folded.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def doc_ppl_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet's selection step on top of ``doc_lm_score``: split the corpus
+    into head/middle/tail perplexity tertiles (head = lowest avg_nll =
+    most LM-like text; CCNet keeps head+middle for training).
+
+    Thresholds are EXACT tertiles via the value-histogram plan shared
+    with ``doc_length_quantiles``: one distributed grouped count on the
+    ROUNDED score value (bounded domain — scores are 6-decimal doubles in
+    a narrow range), cumulative walk driver-side, then the two scalar
+    cuts broadcast into a vectorized bucket map.  At 100 TB the
+    threshold step swaps to the mergeable ``approx_quantiles`` sketch
+    (`stages/sketch.py`) — same plan shape, one fewer exchange.  Bucket
+    rule and rank semantics (``quantile_disc``) are stated identically
+    in the oracle."""
+    scores = doc_lm_score(sf_dir).materialize()
+    hist = agg.grouped_count(scores.select_columns(["avg_nll"]),
+                             ["avg_nll"], alias="cnt").to_pandas()
+    walk = _quantile_walk(hist, (1 / 3, 2 / 3), col="avg_nll", cast=float)
+    t1, t2 = walk[0]["avg_nll"], walk[1]["avg_nll"]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t["avg_nll"].to_numpy()
+        lab = np.where(v <= t1, "head",
+                       np.where(v <= t2, "middle", "tail"))
+        return pa.table({"doc_id": t["doc_id"], "avg_nll": t["avg_nll"],
+                         "ppl_bucket": pa.array(lab.astype(object),
+                                                pa.string())})
+
+    return scores.map_batches(bucket, batch_format="pyarrow",
                               batch_size=None)

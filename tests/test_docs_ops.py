@@ -563,3 +563,18 @@ def test_doc_lm_score_handcrafted(tmp_path):
     # ordering: common-term doc is "head", rare-term doc is "tail"
     assert out.loc[1, "avg_nll"] < out.loc[3, "avg_nll"] \
         < out.loc[2, "avg_nll"]
+
+
+def test_doc_ppl_buckets_invariants():
+    """Tertile buckets are ordered (every head score <= every middle
+    score <= every tail score) and roughly balanced (each tertile holds
+    >= 20% of docs on the smoke corpus)."""
+    out = D.doc_ppl_buckets(SF_SMOKE).to_pandas()
+    n = len(out)
+    assert n > 0
+    g = out.groupby("ppl_bucket")["avg_nll"]
+    assert set(out["ppl_bucket"]) == {"head", "middle", "tail"}
+    assert g.max()["head"] <= g.min()["middle"]
+    assert g.max()["middle"] <= g.min()["tail"]
+    for share in out["ppl_bucket"].value_counts(normalize=True):
+        assert share >= 0.20
