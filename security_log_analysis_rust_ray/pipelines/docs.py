@@ -2161,12 +2161,63 @@ def doc_lm_score(sf_dir: str) -> rd.Dataset:
     nparts = _join_parts(sf_dir)
     tf = docs_aug_ds(sf_dir).map_batches(
         _doc_tf_batch, batch_format="pyarrow", batch_size=None).materialize()
-    # materialized: the lookup_join size gate sees the real vocab bytes
-    cnt = tf.groupby("term").aggregate(Sum("tf", alias_name="c")) \
-        .materialize()
-    total = int(tf.sum("tf"))
+    # materialized: the lookup_join size gate sees the real vocab bytes.
+    # high_cardinality: the vocab is web-scale; the hash-repartition final
+    # beats the native sort groupby ~13x here (profiled: 27 s -> 2 s/100k)
+    cnt = agg.grouped_sum(tf, ["term"], "tf", alias="c",
+                          high_cardinality=True).materialize()
+    # corpus totals fold over the VOCAB-sized cnt, not the token-scale tf
+    total = int(cnt.sum("c"))
     v = cnt.count()
     denom = float(total + v)
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("lm_tokens", pa.int64()),
+                            pa.field("avg_nll", pa.float64())])
+
+    # Fused broadcast path: every tf term matches cnt by construction and
+    # tf blocks hold COMPLETE docs (`_doc_tf_batch` explodes whole docs,
+    # materialize preserves block boundaries), so with the vocab under the
+    # broadcast budget the probe + nll + per-doc fold is ONE map_batches
+    # stage emitting FINAL rows — no join exchange, no doc_id groupby
+    # (profiled: 13.7 s -> ~8 s/100k).  Past the budget, the partitioned
+    # lookup_join + partial/final fold below is the 100-TB path.
+    from ..config import get_config
+    from ..stages.dedup import _estimate_bytes
+    est = _estimate_bytes(cnt)
+    if est is not None and est <= get_config().broadcast_max_bytes:
+        vocab_tbl = pa.concat_tables(
+            [t for t in ray.get(list(cnt.to_arrow_refs()))
+             if t.num_rows > 0]).combine_chunks()
+        ref = ray.put((vocab_tbl["term"].combine_chunks(),
+                       vocab_tbl["c"].combine_chunks()))
+
+        def score_block(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return out_schema.empty_table()
+            terms, c_arr = ray.get(ref)
+            probe = t["term"].combine_chunks() \
+                if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+            idx = pc.index_in(probe, value_set=terms)
+            c = c_arr.take(idx).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            tfv = t["tf"].to_numpy().astype(np.float64)
+            nll = tfv * -np.log2((c + 1.0) / denom)
+            g = pa.table({"doc_id": t["doc_id"], "_nll": pa.array(nll),
+                          "_ntok": t["tf"]})
+            f = g.group_by("doc_id").aggregate([("_nll", "sum"),
+                                                ("_ntok", "sum")])
+            s = f["_nll_sum"].to_numpy()
+            n = f["_ntok_sum"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            return pa.table({
+                "doc_id": f["doc_id"],
+                "lm_tokens": pa.array(n.astype(np.int64)),
+                "avg_nll": pa.array(round_half_up(s / n)),
+            }).cast(out_schema)
+
+        return tf.map_batches(score_block, batch_format="pyarrow",
+                              batch_size=None)
 
     joined = lookup_join(tf, cnt, "term", "term", nparts=nparts, how="inner")
     part_schema = pa.schema([pa.field("doc_id", pa.int64()),

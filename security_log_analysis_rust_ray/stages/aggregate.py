@@ -55,6 +55,36 @@ def grouped_count(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
         g = b.group_by(keys).aggregate([([], "count_all")])
         return g.rename_columns(keys + ["_partial"])
 
+    return _grouped_fold(ds, keys, partial, alias,
+                         high_cardinality, small_keyspace)
+
+
+def grouped_sum(ds: rd.Dataset, keys: list[str], value_col: str,
+                alias: str = "sum",
+                high_cardinality: bool = False,
+                small_keyspace: bool = False) -> rd.Dataset:
+    """groupby(keys).sum(value_col) with the same partial/final combiner
+    plan as ``grouped_count`` — the in-batch Arrow partial means the
+    exchange moves one row per (key, block), and ``high_cardinality=True``
+    swaps the sort-based final for hash-repartition + per-block sum (the
+    term-count "LM training" fold in ``doc_lm_score`` went 27 s -> ~2 s on
+    the 100k bench corpus with this path vs the native sort groupby)."""
+    def partial(b: pa.Table) -> pa.Table:
+        b = _fill(b.select(keys + [value_col]), keys)
+        g = b.group_by(keys).aggregate([(value_col, "sum")])
+        return g.rename_columns(keys + ["_partial"])
+
+    return _grouped_fold(ds, keys, partial, alias,
+                         high_cardinality, small_keyspace)
+
+
+def _grouped_fold(ds: rd.Dataset, keys: list[str], partial, alias: str,
+                  high_cardinality: bool, small_keyspace: bool) -> rd.Dataset:
+    """Shared final-exchange plan under ``grouped_count``/``grouped_sum``:
+    ``partial`` emits (keys + "_partial") per batch; the final sums
+    "_partial" per key via driver combine (guarded small keyspace),
+    hash-repartition + per-block sum (high cardinality), or the sort-based
+    aggregate (default)."""
     if small_keyspace:
         # guard (VERDICT r01): partial rows scale with BLOCK COUNT, so the
         # driver-side final combine is only safe while the input (hence its

@@ -312,3 +312,25 @@ def test_sync_crashed_merge_leftover_is_ignored(tmp_path):
     (store / "_tmp-sync-k1.parquet").mkdir()
     keys = scan_store(str(store))
     assert set(keys) == {"k1.parquet"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_sum_all_paths_match_pandas():
+    """grouped_sum: all three exchange paths agree with pandas groupby-sum,
+    including null string keys (SQL GROUP BY groups nulls together)."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    n = 50_000
+    k = np.array([f"t{i}" for i in rng.randint(0, 200, n)], dtype=object)
+    k[rng.rand(n) < 0.01] = None
+    df = pd.DataFrame({"k": k, "v": rng.randint(1, 100, n).astype(np.int64)})
+    expected = df.groupby("k", dropna=False)["v"].sum()
+
+    ds = rd.from_pandas(df).repartition(16)
+    for kwargs in ({}, {"high_cardinality": True}, {"small_keyspace": True}):
+        out = agg.grouped_sum(ds, ["k"], "v", alias="s", **kwargs) \
+            .to_pandas().set_index("k")["s"]
+        assert len(out) == len(expected)
+        assert int(out.sum()) == int(expected.sum())
+        assert out["t0"] == expected["t0"]
+        assert out[out.index.isnull()].iloc[0] == expected[np.nan]
