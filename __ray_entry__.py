@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-repo parity sweep still checks them every run), then the
         # rows-only entries (no oracle_sql key; each has pytest
         # invariant/recall/determinism coverage) ----
+        "doc_dsir_weights":
+            D.doc_dsir_weights,           # oracle, new r03 (sweep-checked)
         "doc_decontaminated_corpus":
             D.doc_decontaminated_corpus,  # oracle, new r03 (sweep-checked)
         "doc_repetition_stats":
@@ -486,6 +488,27 @@ def oracle_sql() -> dict[str, str]:
         " CASE WHEN avg_nll <= t1 THEN 'head'"
         " WHEN avg_nll <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket"
         " FROM lm_scores, th")
+    # DSIR importance weights: target LM over the doc_id%10=3 held-out
+    # sample vs the raw-corpus LM, union vocab V in both smoothings,
+    # absent-in-target terms COALESCE to 0 — the identical per-token
+    # log-ratio arithmetic the engine folds
+    out["doc_dsir_weights"] = docs_pre + (
+        "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug),\n"
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+        " GROUP BY doc_id, term),\n"
+        "cnt_r AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_r FROM tf"
+        " GROUP BY term),\n"
+        "cnt_t AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c_t FROM tf"
+        " WHERE doc_id % 10 = 3 GROUP BY term),\n"
+        "tot AS (SELECT (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS t_r,"
+        " (SELECT CAST(sum(tf) AS BIGINT) FROM tf WHERE doc_id % 10 = 3)"
+        " AS t_t, (SELECT count(*) FROM cnt_r) AS v)\n"
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS lm_tokens,"
+        " round(sum(tf * (log2((COALESCE(c_t, 0) + 1.0) / (tot.t_t + tot.v))"
+        " - log2((c_r + 1.0) / (tot.t_r + tot.v)))) / sum(tf), 6) AS avg_llr"
+        " FROM tf JOIN cnt_r USING (term) LEFT JOIN cnt_t USING (term), tot"
+        " GROUP BY doc_id")
     out["doc_sample"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug WHERE doc_id % 10 = 3")
     # end-to-end curation composite: quality gate (rounded score above

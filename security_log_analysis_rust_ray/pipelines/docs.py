@@ -2290,3 +2290,143 @@ def doc_ppl_buckets(sf_dir: str) -> rd.Dataset:
 
     return scores.map_batches(bucket, batch_format="pyarrow",
                               batch_size=None)
+
+
+def doc_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-doc mean
+    log-likelihood ratio between a TARGET unigram LM (trained on the
+    deterministic held-out sample, ``doc_id % 10 == 3`` — the same rule as
+    ``doc_sample``) and the RAW corpus LM.  Docs whose text looks like the
+    target distribution get positive ``avg_llr``; resampling ∝ exp(llr)
+    is the DSIR selection step (the threshold/bucket pattern is
+    ``doc_ppl_buckets``).
+
+    Plan (mirrors ``doc_lm_score``): ONE materialized tf explode feeds
+    both LM folds (``grouped_sum`` combiner path) and the scoring pass;
+    raw vocab = union vocab, so both add-one smoothings share V.  Target
+    counts attach LEFT (absent term -> 0).  Broadcast-fused single-stage
+    scoring while both vocab tables fit the byte budget; size-aware
+    ``lookup_join`` x2 + partial/final fold past it.  At 100 TB DSIR
+    hashes terms into a fixed bucket space (same plan, bounded vocab —
+    documented cap, as in ``doc_lm_score``).
+
+    avg_llr = Σ tf·(log2((c_t+1)/(T_t+V)) − log2((c_r+1)/(T_r+V))) / Σ tf,
+    rounded to 6 (half-up); the oracle states the identical arithmetic."""
+    from ray.data.aggregate import Sum
+    from ..config import get_config
+    from ..stages.dedup import _estimate_bytes
+    from ..stages.joins import lookup_join
+
+    nparts = _join_parts(sf_dir)
+    tf = docs_aug_ds(sf_dir).map_batches(
+        _doc_tf_batch, batch_format="pyarrow", batch_size=None).materialize()
+
+    def tgt_only(t: pa.Table) -> pa.Table:
+        m = np.mod(t["doc_id"].to_numpy(), 10) == 3
+        return t.filter(pa.array(m))
+
+    cnt_r = agg.grouped_sum(tf, ["term"], "tf", alias="c_r",
+                            high_cardinality=True).materialize()
+    cnt_t = agg.grouped_sum(
+        tf.map_batches(tgt_only, batch_format="pyarrow", batch_size=None),
+        ["term"], "tf", alias="c_t", high_cardinality=True).materialize()
+    v = cnt_r.count()                       # union vocab (target ⊆ raw)
+    denom_r = float(int(cnt_r.sum("c_r")) + v)
+    denom_t = float(int(cnt_t.sum("c_t")) + v)
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("lm_tokens", pa.int64()),
+                            pa.field("avg_llr", pa.float64())])
+
+    def finish_block(doc_id, llr, tfv) -> pa.Table:
+        g = pa.table({"doc_id": doc_id, "_llr": pa.array(llr),
+                      "_ntok": tfv})
+        f = g.group_by("doc_id").aggregate([("_llr", "sum"),
+                                            ("_ntok", "sum")])
+        s = f["_llr_sum"].to_numpy()
+        n = f["_ntok_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": f["doc_id"],
+            "lm_tokens": pa.array(n.astype(np.int64)),
+            "avg_llr": pa.array(round_half_up(s / n)),
+        }).cast(out_schema)
+
+    est_r, est_t = _estimate_bytes(cnt_r), _estimate_bytes(cnt_t)
+    budget = get_config().broadcast_max_bytes
+    if est_r is not None and est_t is not None \
+            and est_r + est_t <= budget:
+        # fused path: tf blocks hold complete docs, every term matches
+        # cnt_r, absent-in-target probes yield null -> 0
+        def collect(ds):
+            return pa.concat_tables(
+                [t for t in ray.get(list(ds.to_arrow_refs()))
+                 if t.num_rows > 0]).combine_chunks()
+
+        r_tbl, t_tbl = collect(cnt_r), collect(cnt_t)
+        ref = ray.put((r_tbl["term"].combine_chunks(),
+                       r_tbl["c_r"].combine_chunks(),
+                       t_tbl["term"].combine_chunks(),
+                       t_tbl["c_t"].combine_chunks()))
+
+        def score_block(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return out_schema.empty_table()
+            rt, rc, tt, tc = ray.get(ref)
+            probe = t["term"].combine_chunks() \
+                if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+            c_r = rc.take(pc.index_in(probe, value_set=rt)) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            c_t = pc.fill_null(
+                tc.take(pc.index_in(probe, value_set=tt)), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            tfv = t["tf"].to_numpy().astype(np.float64)
+            llr = tfv * (np.log2((c_t + 1.0) / denom_t)
+                         - np.log2((c_r + 1.0) / denom_r))
+            return finish_block(t["doc_id"], llr, t["tf"])
+
+        return tf.map_batches(score_block, batch_format="pyarrow",
+                              batch_size=None)
+
+    # partitioned path: two size-aware joins, then partial/final fold
+    joined = lookup_join(tf, cnt_r, "term", "term", nparts=nparts,
+                         how="inner")
+    joined = lookup_join(joined, cnt_t, "term", "term", nparts=nparts,
+                         how="left")
+    part_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                             pa.field("_llr", pa.float64()),
+                             pa.field("_ntok", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return part_schema.empty_table()
+        tfv = t["tf"].to_numpy().astype(np.float64)
+        c_r = t["c_r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_t = pc.fill_null(t["c_t"], 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        llr = tfv * (np.log2((c_t + 1.0) / denom_t)
+                     - np.log2((c_r + 1.0) / denom_r))
+        g = pa.table({"doc_id": t["doc_id"], "_llr": pa.array(llr),
+                      "_ntok": t["tf"]})
+        out = g.group_by("doc_id").aggregate([("_llr", "sum"),
+                                              ("_ntok", "sum")])
+        return out.rename_columns(["doc_id", "_llr", "_ntok"]) \
+                  .cast(part_schema)
+
+    folded = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Sum("_llr", alias_name="s"), Sum("_ntok", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lm_tokens": pa.array(n.astype(np.int64)),
+            "avg_llr": pa.array(round_half_up(s / n)),
+        }).cast(out_schema)
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

@@ -578,3 +578,27 @@ def test_doc_ppl_buckets_invariants():
     assert g.max()["middle"] <= g.min()["tail"]
     for share in out["ppl_bucket"].value_counts(normalize=True):
         assert share >= 0.20
+
+
+def test_doc_dsir_weights_paths_agree_and_orient():
+    """DSIR importance weights: the fused broadcast path and the
+    partitioned two-join path produce identical rows, every doc gets a
+    weight, and target-sample docs (doc_id%10==3) average HIGHER avg_llr
+    than the rest (their text defines the target distribution)."""
+    from security_log_analysis_rust_ray.config import override, set_config
+
+    fused = D.doc_dsir_weights(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    prev = override(broadcast_max_bytes=0)
+    try:
+        parted = D.doc_dsir_weights(SF_SMOKE).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        set_config(prev)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(fused, parted)
+    assert fused["doc_id"].is_unique and len(fused) > 0
+    tgt = fused["doc_id"] % 10 == 3
+    assert tgt.any() and (~tgt).any()
+    assert fused.loc[tgt, "avg_llr"].mean() > fused.loc[~tgt, "avg_llr"].mean()
