@@ -2186,9 +2186,11 @@ def doc_lm_score(sf_dir: str) -> rd.Dataset:
     from ..stages.dedup import _estimate_bytes
     est = _estimate_bytes(cnt)
     if est is not None and est <= get_config().broadcast_max_bytes:
-        vocab_tbl = pa.concat_tables(
-            [t for t in ray.get(list(cnt.to_arrow_refs()))
-             if t.num_rows > 0]).combine_chunks()
+        blocks = [t for t in ray.get(list(cnt.to_arrow_refs()))
+                  if t.num_rows > 0]
+        vocab_tbl = pa.concat_tables(blocks).combine_chunks() if blocks \
+            else pa.table({"term": pa.array([], pa.string()),
+                           "c": pa.array([], pa.int64())})
         ref = ray.put((vocab_tbl["term"].combine_chunks(),
                        vocab_tbl["c"].combine_chunks()))
 
@@ -2332,8 +2334,10 @@ def doc_dsir_weights(sf_dir: str) -> rd.Dataset:
         tf.map_batches(tgt_only, batch_format="pyarrow", batch_size=None),
         ["term"], "tf", alias="c_t", high_cardinality=True).materialize()
     v = cnt_r.count()                       # union vocab (target ⊆ raw)
-    denom_r = float(int(cnt_r.sum("c_r")) + v)
-    denom_t = float(int(cnt_t.sum("c_t")) + v)
+    denom_r = float(int(cnt_r.sum("c_r") or 0) + v)
+    # ds.sum on an empty dataset returns None — an empty target sample
+    # still leaves the add-one smoothing defined (denom = V)
+    denom_t = float(int(cnt_t.sum("c_t") or 0) + v)
 
     out_schema = pa.schema([pa.field("doc_id", pa.int64()),
                             pa.field("lm_tokens", pa.int64()),
@@ -2358,12 +2362,16 @@ def doc_dsir_weights(sf_dir: str) -> rd.Dataset:
             and est_r + est_t <= budget:
         # fused path: tf blocks hold complete docs, every term matches
         # cnt_r, absent-in-target probes yield null -> 0
-        def collect(ds):
-            return pa.concat_tables(
-                [t for t in ray.get(list(ds.to_arrow_refs()))
-                 if t.num_rows > 0]).combine_chunks()
+        def collect(ds, c_name):
+            blocks = [t for t in ray.get(list(ds.to_arrow_refs()))
+                      if t.num_rows > 0]
+            # an all-empty dataset (e.g. no target-sample docs) has no
+            # blocks to concat — synthesize the empty (term, count) table
+            return pa.concat_tables(blocks).combine_chunks() if blocks \
+                else pa.table({"term": pa.array([], pa.string()),
+                               c_name: pa.array([], pa.int64())})
 
-        r_tbl, t_tbl = collect(cnt_r), collect(cnt_t)
+        r_tbl, t_tbl = collect(cnt_r, "c_r"), collect(cnt_t, "c_t")
         ref = ray.put((r_tbl["term"].combine_chunks(),
                        r_tbl["c_r"].combine_chunks(),
                        t_tbl["term"].combine_chunks(),
@@ -2391,8 +2399,16 @@ def doc_dsir_weights(sf_dir: str) -> rd.Dataset:
     # partitioned path: two size-aware joins, then partial/final fold
     joined = lookup_join(tf, cnt_r, "term", "term", nparts=nparts,
                          how="inner")
-    joined = lookup_join(joined, cnt_t, "term", "term", nparts=nparts,
-                         how="left")
+    if cnt_t.count() == 0:
+        # empty target sample: an all-empty dim is unjoinable (schema-less
+        # guard in lookup_join) — every c_t is 0 by definition
+        joined = joined.map_batches(
+            lambda b: b.append_column("c_t", pa.nulls(b.num_rows,
+                                                      pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+    else:
+        joined = lookup_join(joined, cnt_t, "term", "term", nparts=nparts,
+                             how="left")
     part_schema = pa.schema([pa.field("doc_id", pa.int64()),
                              pa.field("_llr", pa.float64()),
                              pa.field("_ntok", pa.int64())])

@@ -602,3 +602,31 @@ def test_doc_dsir_weights_paths_agree_and_orient():
     tgt = fused["doc_id"] % 10 == 3
     assert tgt.any() and (~tgt).any()
     assert fused.loc[tgt, "avg_llr"].mean() > fused.loc[~tgt, "avg_llr"].mean()
+
+
+def test_doc_dsir_weights_empty_target_sample(tmp_path):
+    """No doc has doc_id%10==3: the target LM is trained on nothing
+    (every term COALESCEs to count 0) and the op still returns one
+    finite weight per doc on both paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from security_log_analysis_rust_ray.config import override, set_config
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 4], pa.int64()),
+        "text": pa.array(["the cat", "the dog", "zebra quux"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    fused = D.doc_dsir_weights(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    prev = override(broadcast_max_bytes=0)
+    try:
+        parted = D.doc_dsir_weights(str(tmp_path)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        set_config(prev)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(fused, parted)
+    assert len(fused) == 3
+    assert np.isfinite(fused["avg_llr"]).all()
