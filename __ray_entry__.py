@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
         "ann_pq_topk": ANN.ann_pq_topk,              # rows-only (PQ approx)
         "embedding_kmeans": ANN.embedding_kmeans,    # rows-only (iterative)
+        "embedding_pca_project":
+            ANN.embedding_pca_project,  # rows-only (eigh), new r03
         "media_features": M.media_features,          # rows-only (fake payloads)
         "media_thumbnails": M.media_thumbnails,      # rows-only (stub resize)
         "media_frames": M.media_frames,              # rows-only (stub frames)

@@ -756,3 +756,81 @@ def cluster_top_terms(sf_dir: str, k: int = CLUSTER_TOP_TERMS) -> rd.Dataset:
         ["cluster", "term"], alias="cnt", high_cardinality=True)
     return agg.grouped_top_k(counts, ["cluster"], "cnt", k,
                              tie_cols=["term"])
+
+
+# ---------------------------------------------------------------------------
+# PCA embedding compression (project before ANN / clustering)
+# ---------------------------------------------------------------------------
+
+PCA_K = 16
+
+
+def _any_list(v: np.ndarray) -> pa.Array:
+    """(n, w) float64 -> list<double> Arrow column, any width (``_emb_list``
+    is pinned to DIM; PCA rows are DIM² moments / k-dim projections)."""
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(v.reshape(-1), pa.float64()), v.shape[1]).cast(
+            pa.list_(pa.float64()))
+
+
+def pca_fit(sf_dir: str, k: int = PCA_K) -> tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray]:
+    """Distributed PCA fit in ONE streaming pass: per-block partial
+    (n, Σx, ΣxᵀX flattened) — one short row per block, never the corpus —
+    then a driver fold of the DIM×DIM=4096-float moment matrices, an
+    `eigh` of the covariance, and a deterministic sign convention (the
+    max-|.| element of each component is made positive; eigh's sign is
+    otherwise arbitrary).  Returns (mean (DIM,), components (k, DIM) —
+    rows are descending-variance principal axes, explained_var (k,)).
+
+    At 100 TB this plan is unchanged: the fold moves one 4 KB row per
+    block and the eigenproblem is DIM-sized, not corpus-sized.  Scale op
+    beyond the reference (embedding-compression family, cf. the IVF/PQ
+    codebook pipeline above)."""
+    base = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _mat(b["embedding"])
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": _any_list(m.sum(axis=0)[None, :]),
+            "xtx": _any_list((m.T @ m).reshape(1, -1)),
+        })
+
+    rows = base.map_batches(partial, batch_format="pyarrow").take_all()
+    n = float(sum(r["n"] for r in rows))
+    s = np.sum([np.asarray(r["s"], dtype=np.float64) for r in rows], axis=0)
+    xtx = np.sum([np.asarray(r["xtx"], dtype=np.float64) for r in rows],
+                 axis=0).reshape(DIM, DIM)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)             # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T                  # (k, DIM)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return mean, comps, w[order]
+
+
+def embedding_pca_project(sf_dir: str, k: int = PCA_K) -> rd.Dataset:
+    """Project every embedding onto the top-``k`` principal axes
+    (compression before ANN / k-means: 64 -> 16 dims keeps the bulk of
+    the variance at 1/4 the bytes).  The (mean, components) pair is
+    broadcast once via ``ray.put``; projection is one matmul per block.
+    Rows-only (eigendecomposition is not SQL-expressible); pytest asserts
+    orthonormal axes, descending explained variance, and that the
+    projected per-axis variance matches the eigenvalues.  Output:
+    (vec_id, embedding list<float> of k dims)."""
+    mean, comps, _ = pca_fit(sf_dir, k)
+    ref = ray.put((mean, comps))
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(b: pa.Table) -> pa.Table:
+        mu, c = ray.get(ref)
+        m = _mat(b["embedding"]) - mu
+        return pa.table({"vec_id": b["vec_id"],
+                         "embedding": _any_list(m @ c.T)})
+
+    return base.map_batches(project, batch_format="pyarrow",
+                            batch_size=None)

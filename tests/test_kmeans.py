@@ -46,3 +46,35 @@ def test_cluster_sample_bounds():
     # sampled ids really belong to the cluster they are listed under
     merged = samp.merge(assign, on="vec_id", suffixes=("_s", "_a"))
     assert (merged["cluster_s"] == merged["cluster_a"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_fit_invariants():
+    """Components are orthonormal, explained variance is descending and
+    the projected data's per-axis variance equals the eigenvalues (that
+    IS what PCA solves for)."""
+    mean, comps, ev = A.pca_fit(SF_SMOKE)
+    k = A.PCA_K
+    assert comps.shape == (k, A.DIM) and ev.shape == (k,)
+    np.testing.assert_allclose(comps @ comps.T, np.eye(k), atol=1e-8)
+    assert np.all(np.diff(ev) <= 1e-12)          # descending
+    assert ev[0] > 0
+
+    proj = A.embedding_pca_project(SF_SMOKE).to_pandas()
+    m = np.stack(proj["embedding"].to_numpy())
+    assert m.shape[1] == k
+    # mean-centered projection: per-axis variance == eigenvalue
+    np.testing.assert_allclose(m.mean(axis=0), 0, atol=1e-8)
+    np.testing.assert_allclose(m.var(axis=0), ev, rtol=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_projection_complete_and_deterministic():
+    a = A.embedding_pca_project(SF_SMOKE).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = A.embedding_pca_project(SF_SMOKE).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert a["vec_id"].is_unique
+    ma, mb = np.stack(a["embedding"]), np.stack(b["embedding"])
+    np.testing.assert_allclose(ma, mb, rtol=1e-9)
+    assert (a["vec_id"] == b["vec_id"]).all()
