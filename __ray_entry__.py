@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
+        "embedding_semdedup":
+            ANN.embedding_semdedup,       # oracle, new r03 (sweep-checked)
         "dim_updates": R.dim_updates,                # r01+r02-passed
         "enriched_resolved": R.enriched_resolved,    # r01+r02-passed
         "stream_dedup_natural_keys":
@@ -810,6 +812,23 @@ def oracle_sql() -> dict[str, str]:
         " QUALIFY row_number() OVER (PARTITION BY cluster"
         f" ORDER BY (vec_id * {ANN._KM_SHUF_MULT}) % {ANN._KM_SHUF_MOD},"
         f" vec_id) <= {ANN.KM_SAMPLE}")
+    # SemDeDup: nearest-seed-centroid assignment over the AUGMENTED corpus,
+    # then drop any vector with a lower-id same-cluster neighbor at
+    # cosine >= threshold (survivor = one representative per dup chain)
+    out["embedding_semdedup"] = emb_pre.rstrip() + (
+        ",\ncents AS (SELECT vec_id AS cluster, embedding FROM emb_aug"
+        f" WHERE vec_id < {ANN.KM_K}),\n"
+        "ranked AS (SELECT e.vec_id, c.cluster,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        " ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,"
+        " c.cluster) AS rn FROM emb_aug e CROSS JOIN cents c),\n"
+        "assign AS (SELECT r.vec_id, r.cluster, e.embedding FROM ranked r"
+        " JOIN emb_aug e USING (vec_id) WHERE rn = 1)\n"
+        "SELECT a.vec_id, a.cluster FROM assign a"
+        " WHERE NOT EXISTS (SELECT 1 FROM assign b"
+        " WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id"
+        " AND list_cosine_similarity(a.embedding, b.embedding)"
+        f" >= {ANN.SEMDEDUP_COS})")
     out["cluster_top_terms"] = _km_emb.rstrip() + (
         ",\nassign AS (SELECT vec_id, cluster FROM ranked WHERE rn = 1),\n"
         "terms AS (SELECT a.cluster, unnest(str_split(d.text, ' ')) AS term"

@@ -759,6 +759,105 @@ def cluster_top_terms(sf_dir: str, k: int = CLUSTER_TOP_TERMS) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-then-within-cluster cosine
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication")
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COS = NEAR_DUP_COS
+
+
+def embedding_semdedup(sf_dir: str,
+                       threshold: float = SEMDEDUP_COS) -> rd.Dataset:
+    """SemDeDup over the augmented embedding corpus: assign every vector
+    to its nearest seed centroid (the oracle-checkable k-means step), then
+    DROP any vector that has a same-cluster neighbor with LOWER vec_id at
+    cosine >= threshold — one representative survives per within-cluster
+    duplicate chain.  Output: surviving (vec_id, cluster).
+
+    Distribution plan: ONE fused map computes the normalized vector and
+    its argmax cluster (centroid matrix broadcast via ``ray.put``), a hash
+    exchange on the cluster key co-locates whole clusters, and each
+    cluster resolves with one gram matmul + a strict-lower-triangle max —
+    never a driver-side matrix.  Differs from ``embedding_near_dedup``
+    (IVF-bucketed pair graph + connected components): SemDeDup never
+    materializes the pair stream and only compares WITHIN a semantic
+    cluster, which is the paper's trade — cross-cluster near-dups are out
+    of scope by construction.
+
+    Partitioning contract at 100 TB: cluster count scales with the corpus
+    (the paper uses ~50k clusters for 100M+ docs) so each cluster's gram
+    matrix stays block-sized; the ``max_group_pairs`` hot-cluster guard
+    skips (and logs) any cluster whose pair count would exceed the
+    configured cap, same as the IVF bucket guard above."""
+    from ..config import get_config
+    from ..stages.dedup import _num_partitions
+
+    cm = _km_seed_centroids(sf_dir)
+    ref = ray.put(cm)
+
+    class AssignKeep:
+        def __init__(self):
+            self.cm = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = _normalize(_mat(b["embedding"]))
+            a = np.argmax(self.cm @ v.T, axis=0)
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "bucket": pa.array(a.astype(np.int32)),
+                "embedding": _emb_list(v),
+            })
+
+    base = embeddings_aug_ds(sf_dir)
+    nparts = max(8, min(KM_K, _num_partitions(base)))
+    assigned = base.map_batches(AssignKeep, batch_format="pyarrow",
+                                concurrency=(1, 8), batch_size=8192)
+    rep = _bucket_repartition(assigned, nparts)
+    cap = get_config().max_group_pairs
+
+    def survivors(b: pa.Table) -> pa.Table:
+        import logging
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b["vec_id"].to_numpy()
+        buckets = b["bucket"].to_numpy()
+        v = _mat(b["embedding"])            # normalized by AssignKeep
+        out_id, out_cl = [], []
+        order = np.argsort(buckets, kind="stable")
+        uniq, starts = np.unique(buckets[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        for k in range(len(uniq)):
+            idx = order[bounds[k]:bounds[k + 1]]
+            mid = ids[idx]
+            if len(idx) * (len(idx) - 1) // 2 > cap:
+                logging.getLogger(__name__).warning(
+                    "hot-cluster guard: keeping SemDeDup cluster %s with "
+                    "%d vectors un-deduped (> max_group_pairs=%d)",
+                    uniq[k], len(idx), cap)
+                keep = np.ones(len(idx), dtype=bool)
+            elif len(idx) < 2:
+                keep = np.ones(len(idx), dtype=bool)
+            else:
+                by_id = np.argsort(mid)
+                m, mid = v[idx][by_id], mid[by_id]
+                g = m @ m.T
+                # row i survives iff NO earlier-id row j<i has cos >= τ
+                keep = ~np.any(np.tril(g, -1) >= threshold, axis=1)
+            out_id.append(mid[keep])
+            out_cl.append(np.full(int(keep.sum()), uniq[k], dtype=np.int64))
+        if not out_id:
+            return empty
+        return pa.table({"vec_id": pa.array(np.concatenate(out_id)),
+                         "cluster": pa.array(np.concatenate(out_cl))})
+
+    return rep.map_batches(survivors, batch_format="pyarrow",
+                           batch_size=None).sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # PCA embedding compression (project before ANN / clustering)
 # ---------------------------------------------------------------------------
 

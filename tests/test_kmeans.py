@@ -78,3 +78,44 @@ def test_pca_projection_complete_and_deterministic():
     ma, mb = np.stack(a["embedding"]), np.stack(b["embedding"])
     np.testing.assert_allclose(ma, mb, rtol=1e-9)
     assert (a["vec_id"] == b["vec_id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_invariants():
+    """Survivors are unique, the keep rule holds exactly: a vector is
+    dropped iff some LOWER-id same-cluster vector sits at cos >= tau
+    (recomputed densely here at smoke scale)."""
+    out = A.embedding_semdedup(SF_SMOKE).to_pandas()
+    assert out["vec_id"].is_unique
+
+    aug = A.embeddings_aug_ds(SF_SMOKE).to_pandas().sort_values("vec_id")
+    ids = aug["vec_id"].to_numpy()
+    m = A._normalize(np.stack(aug["embedding"].to_numpy()))
+    cm = A._km_seed_centroids(SF_SMOKE)
+    cl = np.argmax(cm @ m.T, axis=0)
+    g = m @ m.T
+    same = cl[:, None] == cl[None, :]
+    lower = ids[:, None] > ids[None, :]          # column id < row id
+    dropped = np.any(same & lower & (g >= A.SEMDEDUP_COS), axis=1)
+    expect = set(ids[~dropped])
+    assert set(out["vec_id"]) == expect
+    # at least the injected exact duplicates (+1e6 ids) must be dropped
+    assert len(out) < len(aug)
+    # surviving cluster labels match the dense assignment
+    dense = dict(zip(ids, cl))
+    assert all(dense[v] == c for v, c in
+               zip(out["vec_id"], out["cluster"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_hot_cluster_guard():
+    """A cluster whose pair count exceeds Config.max_group_pairs is kept
+    UN-deduped (and logged) rather than doing an s^2 gram matmul."""
+    from security_log_analysis_rust_ray.config import override, set_config
+    n_aug = A.embeddings_aug_ds(SF_SMOKE).count()
+    prev = override(max_group_pairs=1)     # every real cluster is "hot"
+    try:
+        out = A.embedding_semdedup(SF_SMOKE).to_pandas()
+    finally:
+        set_config(prev)
+    assert len(out) == n_aug               # nothing dropped under the guard
