@@ -2458,3 +2458,161 @@ def doc_dsir_weights(sf_dir: str) -> rd.Dataset:
 
     return folded.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge learning (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units") — train the tokenizer,
+# not just count with a fixed regex (doc_bpe_token_count above)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+BPE_EOW = "</w>"    # end-of-word sentinel, per the reference algorithm
+
+
+def _bpe_init_state(sf_dir: str) -> rd.Dataset:
+    """(word, cnt, syms list<string>) over the distributed word-frequency
+    vocabulary: BPE trains on the word-count table, which is vocab-sized,
+    not corpus-sized — the only pass over the full corpus is the initial
+    term count (explode -> grouped_sum combiner).  The char split is a
+    per-unique-word Python loop, run ONCE at init over vocab rows only."""
+    terms = docs_aug_ds(sf_dir).map_batches(
+        _terms_batch, batch_format="pyarrow", batch_size=None)
+    vocab = agg.grouped_count(terms, ["term"], alias="cnt",
+                              high_cardinality=True)
+
+    def split(b: pa.Table) -> pa.Table:
+        words = b["term"].to_pylist()
+        syms = [list(w) + [BPE_EOW] for w in words]
+        return pa.table({"word": b["term"], "cnt": b["cnt"],
+                         "syms": pa.array(syms, pa.list_(pa.string()))})
+
+    return vocab.map_batches(split, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+
+def _bpe_flat(b: pa.Table):
+    """syms list column -> (flat object ndarray, word-index per symbol)."""
+    col = b["syms"]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = col.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(col.offsets.to_numpy())
+    return flat, np.repeat(np.arange(b.num_rows), lens)
+
+
+def _bpe_pair_counts(b: pa.Table) -> pa.Table:
+    """Per-block partial: weighted counts of adjacent symbol pairs (the
+    in-batch Arrow group_by combiner — one row per distinct pair per
+    block reaches the exchange)."""
+    empty = pa.table({"left": pa.array([], pa.string()),
+                      "right": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    flat, word_of = _bpe_flat(b)
+    cnt = b["cnt"].to_numpy()
+    valid = word_of[:-1] == word_of[1:]
+    if not valid.any():
+        return empty
+    t = pa.table({"left": pa.array(flat[:-1][valid], pa.string()),
+                  "right": pa.array(flat[1:][valid], pa.string()),
+                  "c": pa.array(cnt[word_of[:-1][valid]])})
+    g = t.group_by(["left", "right"]).aggregate([("c", "sum")])
+    return g.rename_columns(["left", "right", "c"])
+
+
+def _bpe_top_pair(counts: rd.Dataset) -> tuple[str, str, int] | None:
+    """Global argmax pair with (c DESC, left ASC, right ASC) tie-break:
+    per-block partial top-1, then a driver fold over one row per block."""
+    def top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas().sort_values(
+            ["c", "left", "right"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
+    rows = counts.map_batches(top1, batch_format="pyarrow",
+                              batch_size=None).take_all()
+    if not rows:
+        return None
+    best = min(rows, key=lambda r: (-r["c"], r["left"], r["right"]))
+    return best["left"], best["right"], int(best["c"])
+
+
+def _bpe_apply_merge(left: str, right: str):
+    """Vectorized leftmost-greedy merge of one (left, right) pair across
+    every word in a block: runs of consecutive match positions alternate
+    (so 'aaa' under ('a','a') merges the FIRST two), selected positions
+    get the concatenated symbol and their right neighbor is dropped."""
+    def apply(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        flat, word_of = _bpe_flat(b)
+        m = np.zeros(len(flat), dtype=bool)
+        if len(flat) > 1:
+            m[:-1] = ((word_of[:-1] == word_of[1:])
+                      & (flat[:-1] == left) & (flat[1:] == right))
+        idx = np.flatnonzero(m)
+        if idx.size == 0:
+            return b
+        # leftmost-greedy non-overlap: within each run of consecutive
+        # positions keep every other, starting at the run head
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                np.diff(idx) > 1]))
+        run_len = np.diff(np.append(starts, idx.size))
+        pos_in_run = np.arange(idx.size) - np.repeat(starts, run_len)
+        sel = idx[pos_in_run % 2 == 0]
+        out = flat.copy()
+        out[sel] = left + right
+        keep = np.ones(len(flat), dtype=bool)
+        keep[sel + 1] = False
+        new_flat, new_word = out[keep], word_of[keep]
+        new_off = np.concatenate(
+            [[0], np.cumsum(np.bincount(new_word, minlength=b.num_rows))])
+        syms = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()),
+            pa.array(new_flat, pa.string()))
+        return pa.table({"word": b["word"], "cnt": b["cnt"], "syms": syms})
+
+    return apply
+
+
+def bpe_learn(sf_dir: str,
+              n_merges: int = BPE_MERGES) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus vocabulary.  Each
+    round is one pair-count pass (in-batch combiner -> grouped_sum -> one
+    partial-top-1 row per block to the driver) and one merge-apply pass
+    over the vocab-sized state; the corpus itself is read exactly once.
+    Returns [(left, right, count), ...] in merge order.
+
+    Iterative + tie-broken deterministically, so not SQL-expressible (a
+    merge changes every later round's counts); pytest matches the merge
+    list exactly against a pure-Python reference implementation."""
+    state = _bpe_init_state(sf_dir)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts = agg.grouped_sum(
+            state.map_batches(_bpe_pair_counts, batch_format="pyarrow",
+                              batch_size=None),
+            ["left", "right"], "c", alias="c", high_cardinality=True)
+        top = _bpe_top_pair(counts)
+        if top is None or top[2] < 2:   # nothing left worth merging
+            break
+        merges.append(top)
+        state = state.map_batches(
+            _bpe_apply_merge(top[0], top[1]), batch_format="pyarrow",
+            batch_size=None).materialize()
+    return merges
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> rd.Dataset:
+    """The learned merge table as a Dataset: (merge_idx, left, right,
+    pair_count) — ``n_merges`` rows, the trained-tokenizer artifact a
+    downstream tokenize stage would broadcast."""
+    m = bpe_learn(sf_dir, n_merges)
+    return rd.from_arrow(pa.table({
+        "merge_idx": pa.array(range(len(m)), pa.int64()),
+        "left": pa.array([x[0] for x in m], pa.string()),
+        "right": pa.array([x[1] for x in m], pa.string()),
+        "pair_count": pa.array([x[2] for x in m], pa.int64()),
+    }))
