@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
         "embedding_semdedup":
             ANN.embedding_semdedup,       # oracle, new r03 (sweep-checked)
+        "doc_source_cap":
+            D.doc_source_cap,             # oracle, new r03 (sweep-checked)
         "dim_updates": R.dim_updates,                # r01+r02-passed
         "enriched_resolved": R.enriched_resolved,    # r01+r02-passed
         "stream_dedup_natural_keys":
@@ -748,6 +750,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id"
         " ORDER BY score DESC, term) AS INT) AS rank"
         " FROM scored QUALIFY rank <= 3")
+    out["doc_source_cap"] = (
+        "SELECT doc_id, source FROM documents"
+        " QUALIFY row_number() OVER (PARTITION BY source"
+        f" ORDER BY (doc_id * {D._SRC_SHUF_MULT}) % {D._SRC_SHUF_MOD},"
+        f" doc_id) <= {D.SOURCE_CAP}")
     mix_case = " OR ".join(
         f"(source = '{s_}' AND doc_id % 100 < {r})"
         for s_, r in D.MIX_RATES.items())

@@ -2616,3 +2616,34 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> rd.Dataset:
         "right": pa.array([x[1] for x in m], pa.string()),
         "pair_count": pa.array([x[2] for x in m], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# per-source document cap (C4-style per-domain limits: no single domain
+# may dominate the training mix)
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 20
+_SRC_SHUF_MULT = 2654435761     # Knuth multiplicative hash, as in the
+_SRC_SHUF_MOD = 1000003         # cluster-stratified embedding sample
+
+
+def doc_source_cap(sf_dir: str, cap: int = SOURCE_CAP) -> rd.Dataset:
+    """Keep at most ``cap`` documents per source, chosen by a
+    deterministic multiplicative-hash pseudo-shuffle (unbiased-by-id yet
+    SQL-replayable — the per-domain cap step of a C4-style crawl mix).
+    Distributed as the partial/final ``grouped_top_k``: each block keeps
+    <= cap rows per source before the ONE hash exchange on the source
+    key.  Output: (doc_id, source)."""
+    base = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h = (b["doc_id"].to_numpy() * _SRC_SHUF_MULT) % _SRC_SHUF_MOD
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "h": pa.array(h.astype(np.int64))})
+
+    keyed = base.map_batches(add_key, batch_format="pyarrow",
+                             batch_size=None)
+    top = agg.grouped_top_k(keyed, ["source"], "h", cap,
+                            descending=False, tie_cols=["doc_id"])
+    return top.select_columns(["doc_id", "source"])

@@ -630,3 +630,26 @@ def test_doc_dsir_weights_empty_target_sample(tmp_path):
     pd.testing.assert_frame_equal(fused, parted)
     assert len(fused) == 3
     assert np.isfinite(fused["avg_llr"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_source_cap_bound_and_determinism():
+    """Per-source cap holds, picks are deterministic, and every kept doc
+    really belongs to the source it is listed under."""
+    cap = 3
+    a = D.doc_source_cap(SF_SMOKE, cap=cap).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = D.doc_source_cap(SF_SMOKE, cap=cap).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["doc_id"].is_unique
+    assert (a.groupby("source").size() <= cap).all()
+    import pandas as pd
+    from security_log_analysis_rust_ray.sources.readers import read_table
+    full = read_table(SF_SMOKE, "documents",
+                      columns=["doc_id", "source"]).to_pandas()
+    m = a.merge(full, on="doc_id", suffixes=("", "_full"))
+    assert (m["source"] == m["source_full"]).all()
+    # a source with more than cap docs is actually trimmed
+    if (full.groupby("source").size() > cap).any():
+        assert len(a) < len(full)
