@@ -66,13 +66,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
         "doc_token_stats": D.doc_token_stats,
-        "doc_quality": D.doc_quality,
+        "doc_source_cap": D.doc_source_cap,           # oracle, new r03
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
         "dup_clusters": D.dup_clusters,
         "doc_near_dedup": D.doc_near_dedup,
         "doc_dup_weights": D.doc_dup_weights,        # oracle, new r03
         "doc_epoch_shuffle": D.doc_epoch_shuffle,    # oracle, new r03
-        "doc_weighted_mix": D.doc_weighted_mix,
+        "embedding_semdedup": ANN.embedding_semdedup,  # oracle, new r03
         "doc_budget_select": D.doc_budget_select,    # oracle, new r03
         "doc_temperature_mix": D.doc_temperature_mix,  # oracle, new r03
         "source_length_quantiles":
@@ -146,10 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
-        "embedding_semdedup":
-            ANN.embedding_semdedup,       # oracle, new r03 (sweep-checked)
-        "doc_source_cap":
-            D.doc_source_cap,             # oracle, new r03 (sweep-checked)
+        "doc_quality": D.doc_quality,                # r01+r02-passed
+        "doc_weighted_mix": D.doc_weighted_mix,      # r01+r02-passed
         "dim_updates": R.dim_updates,                # r01+r02-passed
         "enriched_resolved": R.enriched_resolved,    # r01+r02-passed
         "stream_dedup_natural_keys":
