@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": D.simhash_near_dup_pairs,  # rows-only
 
         "bpe_merges": D.bpe_merges,  # rows-only (iterative), new r03
+        "doc_bpe_learned_token_count":
+            D.doc_bpe_learned_token_count,  # rows-only (iterative), new r03
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)

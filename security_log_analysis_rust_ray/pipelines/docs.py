@@ -2647,3 +2647,58 @@ def doc_source_cap(sf_dir: str, cap: int = SOURCE_CAP) -> rd.Dataset:
     top = agg.grouped_top_k(keyed, ["source"], "h", cap,
                             descending=False, tie_cols=["doc_id"])
     return top.select_columns(["doc_id", "source"])
+
+
+def bpe_vocab_token_lens(sf_dir: str,
+                         merges: list[tuple[str, str, int]]) -> rd.Dataset:
+    """Apply a learned merge table to the vocab: (term, n_tokens).  A
+    learned merge's operand symbols are always produced by LOWER-rank
+    merges (they must exist in training when the merge is learned), so
+    one full pass per rank IN ORDER is exactly the reference apply — and
+    because the merge list is known up front the k passes are a LAZY
+    chain of map_batches that operator-fuse into ONE streaming pass."""
+    state = _bpe_init_state(sf_dir)
+    for left, right, _ in merges:
+        state = state.map_batches(_bpe_apply_merge(left, right),
+                                  batch_format="pyarrow", batch_size=None)
+
+    def lens(b: pa.Table) -> pa.Table:
+        col = b["syms"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        n = np.diff(col.offsets.to_numpy())
+        return pa.table({"term": b["word"],
+                         "n_tokens": pa.array(n.astype(np.int64))})
+
+    return state.map_batches(lens, batch_format="pyarrow", batch_size=None)
+
+
+def doc_bpe_learned_token_count(sf_dir: str,
+                                n_merges: int = BPE_MERGES) -> rd.Dataset:
+    """Per-doc token count under the TRAINED tokenizer (vs the fixed-regex
+    ``doc_bpe_token_count``): learn the merge table, tokenize the VOCAB
+    (vocab-sized work, one fused pass), then attach per-word token lengths
+    to the corpus term stream with a size-aware ``lookup_join`` and fold a
+    grouped sum per doc — the corpus is never re-tokenized row by row.
+    Output: (doc_id, n_tokens).  Rows-only (iterative merges); pytest
+    matches a pure-Python reference end-to-end."""
+    merges = bpe_learn(sf_dir, n_merges)
+    lens = bpe_vocab_token_lens(sf_dir, merges).materialize()
+    from ..stages.joins import lookup_join
+    nparts = _join_parts(sf_dir)
+
+    def doc_terms(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        n = np.diff(tk.offsets.to_numpy())
+        return pa.table({
+            "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), n)),
+            "term": tk.values,
+        })
+
+    terms = docs_aug_ds(sf_dir).map_batches(
+        doc_terms, batch_format="pyarrow", batch_size=None)
+    joined = lookup_join(terms, lens, "term", "term", nparts=nparts)
+    return agg.grouped_sum(joined, ["doc_id"], "n_tokens",
+                           alias="n_tokens", high_cardinality=True)

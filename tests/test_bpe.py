@@ -80,3 +80,36 @@ def test_bpe_apply_merge_overlap_rule():
     pairs = dict(zip(zip(pc_["left"], pc_["right"]), pc_["c"]))
     assert pairs[("aa", "aa")] == 1
     assert ("</w>", "aa") not in pairs and ("</w>", "b") not in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_learned_token_count_matches_reference():
+    """End-to-end: learn merges, tokenize, count per doc — exact match
+    against the pure-Python reference apply."""
+    texts_df = D.docs_aug_ds(SF_SMOKE).to_pandas()
+    merges = D.bpe_learn(SF_SMOKE, 5)
+
+    # reference apply: one full pass per merge, in rank order
+    def ref_tokens(word):
+        s = list(word) + [D.BPE_EOW]
+        for l, r, _ in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    lens = D.bpe_vocab_token_lens(SF_SMOKE, merges).to_pandas()
+    lut = dict(zip(lens["term"], lens["n_tokens"]))
+    for w in list(lut)[:200]:
+        assert lut[w] == ref_tokens(w), w
+
+    got = D.doc_bpe_learned_token_count(SF_SMOKE, 5).to_pandas()
+    exp = {int(r.doc_id): sum(ref_tokens(w) for w in r.text.split(" "))
+           for r in texts_df.itertuples()}
+    assert dict(zip(got["doc_id"], got["n_tokens"])) == exp
