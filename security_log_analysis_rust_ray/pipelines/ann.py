@@ -632,19 +632,66 @@ def embedding_kmeans_assign(sf_dir: str) -> rd.Dataset:
     return _km_assign_ds(base, _km_seed_centroids(sf_dir), with_sim=True)
 
 
+def _km_ckpt_load(checkpoint_dir) -> tuple[int, np.ndarray, list[float]] | None:
+    """Latest (iter, centroids, history) checkpoint, or None.  Files are
+    written atomically (tmp + rename) so a kill mid-write leaves only the
+    previous complete checkpoint behind."""
+    import json
+    import os
+    done = sorted(f for f in os.listdir(checkpoint_dir)
+                  if f.startswith("iter-") and f.endswith(".json"))
+    if not done:
+        return None
+    with open(os.path.join(checkpoint_dir, done[-1])) as fh:
+        d = json.load(fh)
+    return (int(d["iter"]), np.asarray(d["centroids"], dtype=np.float64),
+            [float(x) for x in d["history"]])
+
+
+def _km_ckpt_save(checkpoint_dir, it: int, cm: np.ndarray,
+                  history: list[float]) -> None:
+    import json
+    import os
+    path = os.path.join(checkpoint_dir, f"iter-{it:04d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"iter": it, "centroids": cm.tolist(),
+                   "history": history}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
+
+
 def kmeans_fit(sf_dir: str, k: int = KM_K,
-               iters: int = KM_ITERS) -> tuple[np.ndarray, list[float]]:
+               iters: int = KM_ITERS,
+               checkpoint_dir: str | None = None
+               ) -> tuple[np.ndarray, list[float]]:
     """Distributed Lloyd iterations (spherical): per-batch partial
     (cluster, count, vector-sum, inertia) folds — K rows per block, never
     the corpus — then a tiny grouped reduce; new centroid = normalized
     cluster sum.  Returns (centroids, per-iteration inertia history).
     The base is materialized once (k-means is inherently multi-pass; the
-    blocks live in the spillable object store, not on the driver)."""
+    blocks live in the spillable object store, not on the driver).
+
+    ``checkpoint_dir``: persist (iter, centroids, history) after every
+    round (atomic tmp+rename, fsync'd) and RESUME from the latest
+    complete round on restart — at 100 TB one Lloyd round is a full
+    corpus pass, so a killed job must not restart the fit from the
+    seeds.  Resume is exact: the per-round state is only the centroid
+    matrix, so a resumed run is bit-identical to an uninterrupted one."""
     base = read_table(sf_dir, "embeddings",
                       columns=["vec_id", "embedding"]).materialize()
     cm = _km_seed_centroids(sf_dir)[:k]
     history: list[float] = []
-    for _ in range(iters):
+    start = 0
+    if checkpoint_dir is not None:
+        import os
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        got = _km_ckpt_load(checkpoint_dir)
+        if got is not None:
+            start, cm, history = got
+            start += 1                       # that round is complete
+    for _it in range(start, iters):
         ref = ray.put(cm)
 
         class Partial:
@@ -687,6 +734,8 @@ def kmeans_fit(sf_dir: str, k: int = KM_K,
         for r in rows:
             new_cm[int(r["cluster"])] = np.asarray(r["vec"], dtype=np.float64)
         cm = _normalize(new_cm)
+        if checkpoint_dir is not None:
+            _km_ckpt_save(checkpoint_dir, _it, cm, history)
     return cm, history
 
 

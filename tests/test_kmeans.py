@@ -119,3 +119,28 @@ def test_semdedup_hot_cluster_guard():
     finally:
         set_config(prev)
     assert len(out) == n_aug               # nothing dropped under the guard
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_checkpoint_resume_is_exact(tmp_path):
+    """Kill-after-2-rounds + resume == uninterrupted run, bit-for-bit:
+    the per-round state is only the centroid matrix."""
+    ck = str(tmp_path / "ck")
+    full_cm, full_hist = A.kmeans_fit(SF_SMOKE)       # no checkpoints
+
+    # "killed" run: only 2 of KM_ITERS rounds complete
+    cm2, hist2 = A.kmeans_fit(SF_SMOKE, iters=2, checkpoint_dir=ck)
+    import os
+    assert sorted(os.listdir(ck)) == ["iter-0000.json", "iter-0001.json"]
+
+    # resume finishes the remaining rounds from the persisted state
+    cm_r, hist_r = A.kmeans_fit(SF_SMOKE, checkpoint_dir=ck)
+    np.testing.assert_array_equal(cm_r, full_cm)
+    assert hist_r == full_hist
+    # resumed run only appended the missing rounds
+    assert hist_r[:2] == hist2
+
+    # a second resume after completion is a pure no-op (0 corpus passes)
+    cm_n, hist_n = A.kmeans_fit(SF_SMOKE, checkpoint_dir=ck)
+    np.testing.assert_array_equal(cm_n, full_cm)
+    assert hist_n == full_hist
