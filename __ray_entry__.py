@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.conversation_curated_corpus,                 # oracle, new r03
         # training-data document ops
         "doc_exact_dedup": D.doc_exact_dedup,
-        "doc_token_stats": D.doc_token_stats,
+        "doc_blocklist_filter": D.doc_blocklist_filter,  # oracle, new r03
         "doc_source_cap": D.doc_source_cap,           # oracle, new r03
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
         "dup_clusters": D.dup_clusters,
@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
+        "doc_token_stats": D.doc_token_stats,        # r01+r02-passed
         "doc_quality": D.doc_quality,                # r01+r02-passed
         "doc_weighted_mix": D.doc_weighted_mix,      # r01+r02-passed
         "dim_updates": R.dim_updates,                # r01+r02-passed
@@ -750,6 +751,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id"
         " ORDER BY score DESC, term) AS INT) AS rank"
         " FROM scored QUALIFY rank <= 3")
+    out["doc_blocklist_filter"] = docs_only + (
+        "SELECT doc_id, text FROM docs_aug"
+        f" WHERE NOT regexp_matches(text, '{D.BLOCKLIST_RE}')")
     out["doc_source_cap"] = (
         "SELECT doc_id, source FROM documents"
         " QUALIFY row_number() OVER (PARTITION BY source"

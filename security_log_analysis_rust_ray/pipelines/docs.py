@@ -2702,3 +2702,28 @@ def doc_bpe_learned_token_count(sf_dir: str,
     joined = lookup_join(terms, lens, "term", "term", nparts=nparts)
     return agg.grouped_sum(joined, ["doc_id"], "n_tokens",
                            alias="n_tokens", high_cardinality=True)
+
+
+# ---------------------------------------------------------------------------
+# bad-phrase blocklist filter (the C4 "bad words" step: drop any doc
+# containing a listed word or phrase at word boundaries)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST = ("dup", "slow spark", "slow join")
+BLOCKLIST_RE = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+
+
+def doc_blocklist_filter(sf_dir: str) -> rd.Dataset:
+    """Survivors of the blocklist gate: docs whose text matches NO listed
+    word/phrase at word boundaries.  ONE vectorized RE2 alternation per
+    batch (pyarrow and DuckDB both run RE2, so the oracle states the
+    identical pattern) — a pure fused map over the pruned read; at 100 TB
+    real blocklists (hundreds of phrases) stay a single compiled
+    alternation, the same plan.  Output: (doc_id, text)."""
+    base = docs_aug_ds(sf_dir)
+
+    def gate(b: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(b["text"], BLOCKLIST_RE)
+        return b.filter(pc.invert(m)).select(["doc_id", "text"])
+
+    return base.map_batches(gate, batch_format="pyarrow", batch_size=None)

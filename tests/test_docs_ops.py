@@ -653,3 +653,14 @@ def test_doc_source_cap_bound_and_determinism():
     # a source with more than cap docs is actually trimmed
     if (full.groupby("source").size() > cap).any():
         assert len(a) < len(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_blocklist_filter_matches_python_re():
+    import re
+    got = D.doc_blocklist_filter(SF_SMOKE).to_pandas()
+    full = D.docs_aug_ds(SF_SMOKE).to_pandas()
+    rx = re.compile(D.BLOCKLIST_RE)
+    exp = full[~full["text"].map(lambda t: bool(rx.search(t)))]
+    assert set(got["doc_id"]) == set(exp["doc_id"])
+    assert 0 < len(got) < len(full)          # the gate genuinely splits
