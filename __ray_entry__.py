@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
+        "doc_chunk_dedup_text":
+            D.doc_chunk_dedup_text,       # oracle, new r03 (sweep-checked)
         "doc_token_stats": D.doc_token_stats,        # r01+r02-passed
         "doc_quality": D.doc_quality,                # r01+r02-passed
         "doc_weighted_mix": D.doc_weighted_mix,      # r01+r02-passed
@@ -751,6 +753,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id"
         " ORDER BY score DESC, term) AS INT) AS rank"
         " FROM scored QUALIFY rank <= 3")
+    c_ = D.CHUNK_TOKENS
+    pk_ = D._CHUNK_PACK_W
+    out["doc_chunk_dedup_text"] = docs_pre + (
+        "tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM docs_aug),\n"
+        f"b AS (SELECT doc_id, t, len(t) AS n, len(t) // {c_} AS wins"
+        " FROM tok),\n"
+        "wn AS (SELECT doc_id, t,"
+        " unnest(generate_series(0, CAST(wins AS INT) - 1)) AS w FROM b),\n"
+        f"chk AS (SELECT doc_id, w, array_to_string("
+        f"t[w*{c_}+1 : w*{c_}+{c_}], ' ') AS piece FROM wn),\n"
+        f"first AS (SELECT piece, min(doc_id * {pk_} + w) AS fk FROM chk"
+        " GROUP BY piece),\n"
+        f"keep AS (SELECT fk // {pk_} AS doc_id, fk % {pk_} AS w, piece"
+        " FROM first),\n"
+        f"rem AS (SELECT doc_id, CAST({D._REM_W} AS BIGINT) AS w,"
+        f" array_to_string(t[wins*{c_}+1 : n], ' ') AS piece FROM b),\n"
+        "allp AS (SELECT * FROM keep UNION ALL SELECT * FROM rem),\n"
+        "body AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY w) AS text"
+        " FROM allp WHERE piece <> '' GROUP BY doc_id)\n"
+        "SELECT d.doc_id, COALESCE(body.text, '') AS text"
+        " FROM docs_aug d LEFT JOIN body USING (doc_id)")
     out["doc_blocklist_filter"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug"
         f" WHERE NOT regexp_matches(text, '{D.BLOCKLIST_RE}')")

@@ -2727,3 +2727,130 @@ def doc_blocklist_filter(sf_dir: str) -> rd.Dataset:
         return b.filter(pc.invert(m)).select(["doc_id", "text"])
 
     return base.map_batches(gate, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicate-passage REMOVAL (CCNet-style keep-first): not
+# just measuring chunk duplication (doc_chunk_dup_stats) but producing
+# the CLEANED text — every repeated fixed-window passage keeps exactly
+# its first occurrence in (doc_id, window) order, corpus-wide
+# ---------------------------------------------------------------------------
+
+_CHUNK_PACK_W = 1 << 20         # windows per doc bound for the packed key
+_REM_W = _CHUNK_PACK_W - 1      # remainder piece sorts after every window
+
+
+def _doc_pieces_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, w, piece): every full CHUNK_TOKENS-token window (w = its
+    index) PLUS the trailing remainder as w=_REM_W (may be empty — kept so
+    every doc stays addressable).  Same flat-token window-gather kernel as
+    the chunk ops."""
+    c = CHUNK_TOKENS
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets)
+    n = np.diff(offs)
+    wins = n // c
+    starts = np.repeat(offs[:-1], wins) + c * _concat_aranges(wins)
+    cols = [flat.take(pa.array(starts + j)) for j in range(c)]
+    ch = pc.binary_join_element_wise(*cols, " ") if len(starts) else \
+        pa.array([], pa.string())
+    doc_ids = b["doc_id"].to_numpy()
+    # remainder: the trailing n - wins*c tokens of each doc, joined
+    rem_lens = n - wins * c
+    rem_idx = np.repeat(offs[:-1] + wins * c, rem_lens) \
+        + _concat_aranges(rem_lens)
+    rem_flat = flat.take(pa.array(rem_idx))
+    rem_offs = np.concatenate([[0], np.cumsum(rem_lens)])
+    rem = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(rem_offs, pa.int32()), rem_flat),
+        " ")
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(
+            [np.repeat(doc_ids, wins), doc_ids])),
+        "w": pa.array(np.concatenate(
+            [_concat_aranges(wins),
+             np.full(len(doc_ids), _REM_W)]).astype(np.int64)),
+        "piece": pa.concat_arrays([ch.combine_chunks()
+                                   if isinstance(ch, pa.ChunkedArray)
+                                   else ch,
+                                   rem.combine_chunks()
+                                   if isinstance(rem, pa.ChunkedArray)
+                                   else rem]),
+    })
+
+
+def doc_chunk_dedup_text(sf_dir: str) -> rd.Dataset:
+    """The cleaned corpus after corpus-wide passage dedup: each distinct
+    CHUNK_TOKENS-token window survives only at its FIRST occurrence in
+    (doc_id, window-index) order; docs are reassembled from their
+    surviving windows plus the (always kept) trailing remainder.  Output:
+    (doc_id, text) — an exact-duplicate doc collapses to just its
+    remainder, a partially-copied doc loses the copied passages.
+
+    Plan: the keep-first winner per distinct window is ONE ``grouped_min``
+    over a packed ``doc_id * 2^20 + w`` key (in-batch partial min, one row
+    per (window, block) to the exchange) whose RESULT — decoded, no join
+    back — IS the survivor set; survivors union the remainder pieces, one
+    hash exchange on doc_id co-locates each doc, and a single vectorized
+    pandas kernel per block reassembles every doc in it (the
+    ``conversation_sft_text`` shape).  Docs whose pieces are all empty
+    still emit (doc_id, '')."""
+    from ..pipelines.streaming import _by_key_blocks
+
+    base = docs_aug_ds(sf_dir)
+    pieces = base.map_batches(_doc_pieces_batch, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def pack(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["w"], _REM_W))
+        return pa.table({
+            "piece": t["piece"],
+            "packed": pc.add(pc.multiply(t["doc_id"], _CHUNK_PACK_W),
+                             t["w"]),
+        })
+
+    chunks = pieces.map_batches(pack, batch_format="pyarrow",
+                                batch_size=None)
+    winners = agg.grouped_min(chunks, ["piece"], "packed", alias="fk",
+                              high_cardinality=True)
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "piece": pa.array([], pa.string())})
+        fk = t["fk"].to_numpy()
+        return pa.table({"doc_id": pa.array(fk // _CHUNK_PACK_W),
+                         "w": pa.array(fk % _CHUNK_PACK_W),
+                         "piece": t["piece"]})
+
+    survivors = winners.map_batches(decode, batch_format="pyarrow",
+                                    batch_size=None)
+    rem = pieces.map_batches(
+        lambda t: t.filter(pc.equal(t["w"], _REM_W)),
+        batch_format="pyarrow", batch_size=None)
+    allp = survivors.union(rem)
+
+    out_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                            pa.field("text", pa.string())])
+
+    def assemble(df) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        df = df.sort_values(["doc_id", "w"], kind="stable")
+        keep = df[df["piece"] != ""]
+        joined = keep.groupby("doc_id", sort=False)["piece"] \
+                     .agg(" ".join)
+        # every doc has a remainder row, so reindexing over the block's
+        # full doc set restores all-empty docs as ''
+        all_ids = df["doc_id"].unique()
+        joined = joined.reindex(all_ids, fill_value="").reset_index()
+        joined.columns = ["doc_id", "text"]
+        return pa.Table.from_pandas(joined, schema=out_schema,
+                                    preserve_index=False)
+
+    return _by_key_blocks(allp, ["doc_id"]).map_batches(
+        assemble, batch_format="pandas", batch_size=None)

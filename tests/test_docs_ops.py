@@ -664,3 +664,29 @@ def test_doc_blocklist_filter_matches_python_re():
     exp = full[~full["text"].map(lambda t: bool(rx.search(t)))]
     assert set(got["doc_id"]) == set(exp["doc_id"])
     assert 0 < len(got) < len(full)          # the gate genuinely splits
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_chunk_dedup_text_keep_first():
+    """Exact-dup docs collapse to their remainder; the first occurrence
+    keeps its text; the trailing partial window always survives."""
+    out = D.doc_chunk_dedup_text(SF_SMOKE).to_pandas()
+    full = D.docs_aug_ds(SF_SMOKE).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert set(got) == set(full["doc_id"])   # every doc present
+    c = D.CHUNK_TOKENS
+    orig = dict(zip(full["doc_id"], full["text"]))
+    # the +1e6 exact copies: every full window already occurred in the
+    # source doc, so only the remainder survives
+    shrunk = 0
+    for d, t in orig.items():
+        if d >= 1_000_000 and d < 2_000_000 and (d - 1_000_000) in orig:
+            toks = t.split(" ")
+            rem = " ".join(toks[(len(toks) // c) * c:])
+            assert got[d] == rem, d
+            shrunk += 1
+    assert shrunk > 0
+    # within each doc, surviving text is a subsequence of whole windows:
+    # a doc whose chunks are all first-seen keeps its text verbatim
+    kept_verbatim = sum(got[d] == t for d, t in orig.items())
+    assert kept_verbatim > 0
