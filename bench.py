@@ -164,6 +164,10 @@ def run_bench() -> dict:
           lambda: docs_pipe.doc_repetition_stats(docs_dir).count())
     timed("chunk_dup_stats",
           lambda: docs_pipe.doc_chunk_dup_stats(docs_dir).count())
+    # passage REMOVAL (cleaned text out): grouped_min keep-first winner
+    # set + one doc_id exchange + per-block vectorized reassembly
+    timed("chunk_dedup_text",
+          lambda: docs_pipe.doc_chunk_dedup_text(docs_dir).count())
     # unigram-LM quality score: tf explode (materialized once), one term
     # hash aggregate, size-aware tf|x|cnt join, per-doc fold
     timed("lm_score", lambda: docs_pipe.doc_lm_score(docs_dir).count())
