@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_curated_corpus":
             R.conversation_curated_corpus,                 # oracle, new r03
         # training-data document ops
-        "doc_exact_dedup": D.doc_exact_dedup,
         "doc_blocklist_filter": D.doc_blocklist_filter,  # oracle, new r03
         "doc_source_cap": D.doc_source_cap,           # oracle, new r03
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
@@ -103,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_semi_join_purchasers": REL.events_semi_join_purchasers,
         "distinct_host_count": REL.distinct_host_count,
         "hot_hosts": REL.hot_hosts,
+        "host_daily_anomalies":
+            R.host_daily_anomalies,       # oracle, new r03
         "doc_incremental_dedup": D.doc_incremental_dedup,  # oracle, new r03
         "doc_length_quantiles": D.doc_length_quantiles,    # oracle, new r03
         "doc_oov_rate": D.doc_oov_rate,                    # oracle, new r03
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
         "doc_chunk_dedup_text":
             D.doc_chunk_dedup_text,       # oracle, new r03 (sweep-checked)
+        "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
         "doc_token_stats": D.doc_token_stats,        # r01+r02-passed
         "doc_quality": D.doc_quality,                # r01+r02-passed
         "doc_weighted_mix": D.doc_weighted_mix,      # r01+r02-passed
@@ -1056,6 +1058,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT host, count(*) AS cnt FROM parsed GROUP BY host"
         f" HAVING count(*) > (SELECT count(*) FROM parsed) / {REL.HH_K + 1}.0"
         " ORDER BY cnt DESC, host")
+    z_ = R.ANOMALY_Z
+    out["host_daily_anomalies"] = oracle_query(
+        ", d AS (SELECT host, date_trunc('day', datetime) AS day,"
+        " count(*) AS cnt FROM parsed GROUP BY 1, 2),\n"
+        "st AS (SELECT host, count(*) AS n, sum(cnt) AS s,"
+        " sum(cnt*cnt) AS ss FROM d GROUP BY 1)\n"
+        "SELECT d.host, d.day, d.cnt FROM d JOIN st USING (host)"
+        " WHERE d.cnt * st.n - st.s > 0"
+        " AND (d.cnt*st.n - st.s)*(d.cnt*st.n - st.s)"
+        f" > {z_ * z_} * (st.ss*st.n - st.s*st.s)")
     out["user_running_totals"] = (
         "SELECT user_id, event_id,"
         " round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"

@@ -333,3 +333,59 @@ def conversation_curated_corpus(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
     return out.map_batches(
         lambda b: b.select(["conv_id", "sft_text", "n_turns"]),
         batch_format="pyarrow", batch_size=None)
+
+
+ANOMALY_Z = 3
+
+
+def host_daily_anomalies(sf_dir: str, z: int = ANOMALY_Z) -> rd.Dataset:
+    """Anomalous (host, day) message rates — the intrusion-detection
+    rollup the reference's per-host counts point toward: a day is flagged
+    when its count exceeds the host's own mean + ``z``·stddev_pop across
+    the host's active days.  The flag is evaluated in EXACT integer
+    arithmetic — ``cnt·n − s > 0  AND  (cnt·n − s)² > z²·(ss·n − s²)`` for
+    per-host (n, s=Σcnt, ss=Σcnt²) — so the engine and the SQL oracle
+    agree bit-for-bit with no float threshold ambiguity (int64 bound: the
+    squared term needs cnt·n ≲ 3·10⁹; past that, widen to object/HUGEINT —
+    documented cap).
+
+    Plan: day-truncate in the parse map (only host leaves), grouped_count
+    on (host, day) (in-batch combiner), ONE host hash exchange, then a
+    single vectorized pandas kernel per block flags every host in it.
+    Output: anomalous (host, day, cnt)."""
+    import numpy as np
+
+    from ..pipelines.streaming import _by_key_blocks
+
+    def to_day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": b["host"],
+            "day": pc.floor_temporal(b["datetime"], unit="day"),
+        })
+
+    d = parsed(sf_dir).map_batches(to_day, batch_format="pyarrow",
+                                   batch_size=None)
+    counts = agg.grouped_count(d, ["host", "day"], alias="cnt",
+                               high_cardinality=True)
+
+    out_schema = pa.schema([pa.field("host", pa.string()),
+                            pa.field("day", pa.timestamp("us")),
+                            pa.field("cnt", pa.int64())])
+
+    def flag(df) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        cnt = df["cnt"].to_numpy().astype(np.int64)
+        df = df.assign(_sq=cnt * cnt)
+        g = df.groupby("host", sort=False)
+        n = g["cnt"].transform("size").to_numpy().astype(np.int64)
+        s = g["cnt"].transform("sum").to_numpy().astype(np.int64)
+        ss = g["_sq"].transform("sum").to_numpy().astype(np.int64)
+        lhs = cnt * n - s
+        keep = (lhs > 0) & (lhs * lhs > z * z * (ss * n - s * s))
+        out = df.loc[keep, ["host", "day", "cnt"]]
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return _by_key_blocks(counts, ["host"]).map_batches(
+        flag, batch_format="pandas", batch_size=None)
