@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
         "ann_pq_topk": ANN.ann_pq_topk,              # rows-only (PQ approx)
+        "host_pagerank":
+            R.host_pagerank,             # rows-only (iterative), new r03
         "embedding_kmeans": ANN.embedding_kmeans,    # rows-only (iterative)
         "embedding_pca_project":
             ANN.embedding_pca_project,  # rows-only (eigh), new r03

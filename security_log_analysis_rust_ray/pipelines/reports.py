@@ -389,3 +389,64 @@ def host_daily_anomalies(sf_dir: str, z: int = ANOMALY_Z) -> rd.Dataset:
 
     return _by_key_blocks(counts, ["host"]).map_batches(
         flag, batch_format="pandas", batch_size=None)
+
+
+PAGERANK_ITERS = 20
+
+
+def host_transition_edges(sf_dir: str) -> rd.Dataset:
+    """Weighted host-transition graph: an edge (src, dst, w) counts how
+    often host ``dst`` follows host ``src`` on consecutive turns of the
+    same conversation (self-transitions dropped).  One conv_id exchange,
+    one vectorized shift per block, then the (src, dst) grouped_count
+    combiner."""
+    import numpy as np
+
+    from ..pipelines.streaming import _by_key_blocks
+
+    def keep(b: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"], "host": b["host"]})
+
+    rows = parsed(sf_dir).map_batches(keep, batch_format="pyarrow",
+                                      batch_size=None)
+
+    edge_schema = pa.schema([pa.field("src", pa.string()),
+                             pa.field("dst", pa.string())])
+
+    def shift(df) -> pa.Table:
+        if not len(df):
+            return edge_schema.empty_table()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        host = df["host"].to_numpy()
+        same = conv[:-1] == conv[1:]
+        src, dst = host[:-1][same], host[1:][same]
+        m = src != dst
+        return pa.table({"src": pa.array(src[m], pa.string()),
+                         "dst": pa.array(dst[m], pa.string())})
+
+    pairs = _by_key_blocks(rows, ["conv_id"]).map_batches(
+        shift, batch_format="pandas", batch_size=None)
+    return agg.grouped_count(pairs, ["src", "dst"], alias="w",
+                             high_cardinality=True)
+
+
+def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> rd.Dataset:
+    """PageRank centrality of hosts in the conversation transition graph
+    — "which hosts sit in the middle of attack flows", the graph-analytic
+    sibling of hot_hosts' frequency view.  Rows-only (iterative float);
+    pytest matches a dense numpy reference and the mass invariant.
+    Output: (host, rank rounded to 6)."""
+    from ..functions.util import round_half_up
+    from ..stages.graph import pagerank
+
+    edges = host_transition_edges(sf_dir)
+    ranks = pagerank(edges, src="src", dst="dst", weight="w", iters=iters)
+    return ranks.map_batches(
+        lambda t: pa.table({
+            "host": t["node"],
+            "rank": pa.array(round_half_up(
+                t["rank"].to_numpy(zero_copy_only=False))),
+        }),
+        batch_format="pyarrow", batch_size=None).sort("host")

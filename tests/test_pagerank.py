@@ -1,0 +1,45 @@
+"""Distributed PageRank: iterative float accumulation -> no SQL oracle;
+the contract is a dense numpy reference match plus the mass invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from security_log_analysis_rust_ray.pipelines import reports as R
+from .conftest import SF_SMOKE
+
+ITERS = 5
+
+
+def _reference_pagerank(edges_df, iters, damping=0.85):
+    nodes = sorted(set(edges_df["src"]) | set(edges_df["dst"]))
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, c in edges_df[["src", "dst", "w"]].itertuples(index=False):
+        w[idx[s], idx[d]] += c
+    out = w.sum(axis=1)
+    dangling = out == 0
+    nw = np.divide(w, out[:, None], out=np.zeros_like(w),
+                   where=out[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        d_mass = r[dangling].sum()
+        r = (1 - damping) / n + damping * (nw.T @ r) + damping * d_mass / n
+    return dict(zip(nodes, r))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_matches_dense_reference():
+    edges = R.host_transition_edges(SF_SMOKE).to_pandas()
+    assert len(edges) > 0
+    ref = _reference_pagerank(edges, ITERS)
+    got = R.host_pagerank(SF_SMOKE, iters=ITERS).to_pandas()
+    assert len(got) == len(ref)
+    assert abs(got["rank"].sum() - 1.0) < 1e-3     # mass invariant (rounded)
+    for h, r in zip(got["host"], got["rank"]):
+        assert abs(r - ref[h]) < 2e-6, h
+    # determinism
+    again = R.host_pagerank(SF_SMOKE, iters=ITERS).to_pandas()
+    assert (got["rank"] == again["rank"]).all()
