@@ -56,12 +56,22 @@ def oracle_correct():
 
 
 def to_pandas(result) -> pd.DataFrame:
-    """Normalize a Dataset / pyarrow Table / DataFrame to pandas."""
+    """Normalize a Dataset / pyarrow Table / DataFrame to pandas.
+
+    An ALL-EMPTY Ray Dataset keeps its Arrow schema (ds.schema() is
+    correct) but Dataset.to_pandas() drops the columns; rebuild the empty
+    frame from the schema so empty-result queries still schema-compare."""
     if isinstance(result, pd.DataFrame):
         return result
     if isinstance(result, pa.Table):
         return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
+    df = result.to_pandas()  # ray Dataset
+    if len(df) == 0 and len(df.columns) == 0:
+        sch = result.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base.empty_table().to_pandas()
+    return df
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -27,6 +27,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def to_df(res):
+    """Dataset/Table/DataFrame -> pandas; an ALL-EMPTY Ray Dataset keeps
+    its Arrow schema but to_pandas() drops the columns — rebuild from the
+    schema so empty results still schema-compare."""
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    df = res.to_pandas()
+    if len(df) == 0 and len(df.columns) == 0:
+        base = getattr(res.schema(), "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base.empty_table().to_pandas()
+    return df
+
+
 def canon(df):
     import pandas as pd
     df = df[sorted(df.columns)].copy()
@@ -72,7 +90,7 @@ def main() -> int:
         row = {"oracle": name in osql}
         try:
             res = fn(args.sf_dir)
-            got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            got = to_df(res)
             row["rows"] = len(got)
             if name in osql:
                 exp = con.execute(osql[name]).df()
