@@ -89,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alert_batches": STR.alert_batches,           # recursive-CTE oracle
         "ses_email_stats": STR.ses_email_stats,       # A6 fold, new r03
         # relational coverage
-        "lineitem_pricing_summary": REL.lineitem_pricing_summary,
         "orders_by_nation": REL.orders_by_nation,
         "top_parts_by_revenue": REL.top_parts_by_revenue,
         "shipping_priority": REL.shipping_priority,
@@ -104,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_hosts": REL.hot_hosts,
         "host_daily_anomalies":
             R.host_daily_anomalies,       # oracle, new r03
+        "user_funnel_counts":
+            REL.user_funnel_counts,       # oracle, new r03
         "doc_incremental_dedup": D.doc_incremental_dedup,  # oracle, new r03
         "doc_length_quantiles": D.doc_length_quantiles,    # oracle, new r03
         "doc_oov_rate": D.doc_oov_rate,                    # oracle, new r03
@@ -149,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
         "doc_chunk_dedup_text":
             D.doc_chunk_dedup_text,       # oracle, new r03 (sweep-checked)
+        "lineitem_pricing_summary":
+            REL.lineitem_pricing_summary,            # r01+r02-passed
         "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
         "doc_token_stats": D.doc_token_stats,        # r01+r02-passed
         "doc_quality": D.doc_quality,                # r01+r02-passed
@@ -1060,6 +1063,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT host, count(*) AS cnt FROM parsed GROUP BY host"
         f" HAVING count(*) > (SELECT count(*) FROM parsed) / {REL.HH_K + 1}.0"
         " ORDER BY cnt DESC, host")
+    st_ = REL.FUNNEL_STAGES
+    out["user_funnel_counts"] = (
+        f"WITH s1 AS (SELECT user_id, min(ts) AS t FROM events"
+        f" WHERE event_type = '{st_[0]}' GROUP BY 1),\n"
+        + "\n".join(
+            f"s{i+1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+            f" JOIN s{i} USING (user_id)"
+            f" WHERE e.event_type = '{st_[i]}' AND e.ts > s{i}.t"
+            " GROUP BY 1),"
+            for i in range(1, len(st_))).rstrip(",") + "\n"
+        + " UNION ALL ".join(
+            f"SELECT CAST({i+1} AS BIGINT) AS stage,"
+            f" count(*) AS n_users FROM s{i+1}"
+            for i in range(len(st_))))
     z_ = R.ANOMALY_Z
     out["host_daily_anomalies"] = oracle_query(
         ", d AS (SELECT host, date_trunc('day', datetime) AS day,"

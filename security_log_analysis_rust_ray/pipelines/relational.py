@@ -636,3 +636,54 @@ def host_counts_cms(sf_dir: str) -> rd.Dataset:
 
     return distinct_rows(hosts, ["host"]).map_batches(
         probe, batch_format="pyarrow", batch_size=None)
+
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def user_funnel_counts(sf_dir: str) -> rd.Dataset:
+    """Ordered-funnel conversion counts: a user completes stage k when the
+    FIRST qualifying occurrence of stage k's event type is STRICTLY after
+    their stage-(k-1) completion time (stage 1 = first signup).  Output:
+    (stage, n_users) — one row per funnel stage, n_users monotonically
+    non-increasing.
+
+    Plan: ONE user_id hash exchange co-locates each user's events, a
+    single vectorized pandas kernel per block walks the 4 stages with
+    per-user groupby-min transforms (no per-user Python), and the
+    per-block (stage, n) partials fold through the tiny grouped_sum —
+    exactly 4 rows ever reach the driver.  The stage rule is pure
+    timestamp comparison, so the SQL oracle states it identically."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages.aggregate import grouped_sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    part_schema = pa.schema([pa.field("stage", pa.int64()),
+                             pa.field("n", pa.int64())])
+
+    def stages(df) -> pa.Table:
+        if not len(df):
+            return part_schema.empty_table()
+        counts = []
+        prev = None                      # per-user completion time so far
+        for k, ev in enumerate(FUNNEL_STAGES, start=1):
+            sub = df[df["event_type"] == ev]
+            if prev is not None:
+                t_prev = sub["user_id"].map(prev)
+                sub = sub[t_prev.notna() & (sub["ts"] > t_prev)]
+            cur = sub.groupby("user_id")["ts"].min()
+            counts.append((k, len(cur)))
+            prev = cur
+            if not len(cur):
+                break
+        return pa.table({
+            "stage": pa.array([k for k, _ in counts], pa.int64()),
+            "n": pa.array([n for _, n in counts], pa.int64()),
+        })
+
+    partials = _by_key_blocks(ds, ["user_id"]).map_batches(
+        stages, batch_format="pandas", batch_size=None)
+    out = grouped_sum(partials, ["stage"], "n", alias="n_users",
+                      small_keyspace=True)
+    return out.sort("stage")
