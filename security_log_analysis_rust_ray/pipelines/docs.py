@@ -2522,17 +2522,11 @@ def _bpe_pair_counts(b: pa.Table) -> pa.Table:
 
 
 def _bpe_top_pair(counts: rd.Dataset) -> tuple[str, str, int] | None:
-    """Global argmax pair with (c DESC, left ASC, right ASC) tie-break:
-    per-block partial top-1, then a driver fold over one row per block."""
-    def top1(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        df = t.to_pandas().sort_values(
-            ["c", "left", "right"], ascending=[False, True, True])
-        return pa.Table.from_pandas(df.head(1), preserve_index=False)
-
-    rows = counts.map_batches(top1, batch_format="pyarrow",
-                              batch_size=None).take_all()
+    """Global argmax pair with (c DESC, left ASC, right ASC) tie-break.
+    The PAIR SPACE is alphabet-bounded — at most (chars + merges)²
+    distinct symbols pairs regardless of corpus size — so the folded
+    count table is tiny and the argmax is a driver min() over it."""
+    rows = counts.take_all()
     if not rows:
         return None
     best = min(rows, key=lambda r: (-r["c"], r["left"], r["right"]))
@@ -2591,10 +2585,14 @@ def bpe_learn(sf_dir: str,
     state = _bpe_init_state(sf_dir)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
+        # the per-block partial already reduces to distinct pairs, and the
+        # pair keyspace is alphabet-bounded, so the final fold is the
+        # guarded driver combine (ONE streaming pass, no exchange) rather
+        # than a distributed shuffle per merge round
         counts = agg.grouped_sum(
             state.map_batches(_bpe_pair_counts, batch_format="pyarrow",
                               batch_size=None),
-            ["left", "right"], "c", alias="c", high_cardinality=True)
+            ["left", "right"], "c", alias="c", small_keyspace=True)
         top = _bpe_top_pair(counts)
         if top is None or top[2] < 2:   # nothing left worth merging
             break
