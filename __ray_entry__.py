@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.cluster_top_terms,        # oracle, new r03 (sweep-checked)
         "crawl_overlap_report":
             D.crawl_overlap_report,       # oracle, new r03 (sweep-checked)
+        "doc_gopher_filter":
+            D.doc_gopher_filter,          # oracle, new r03 (sweep-checked)
         "doc_chunk_dedup_text":
             D.doc_chunk_dedup_text,       # oracle, new r03 (sweep-checked)
         "lineitem_pricing_summary":
@@ -781,6 +783,35 @@ def oracle_sql() -> dict[str, str]:
         " FROM allp WHERE piece <> '' GROUP BY doc_id)\n"
         "SELECT d.doc_id, COALESCE(body.text, '') AS text"
         " FROM docs_aug d LEFT JOIN body USING (doc_id)")
+    out["doc_gopher_filter"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk,"
+        " strlen(text) AS chars FROM docs_aug),\n"
+        "nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,"
+        " chars FROM toks),\n"
+        "p2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM toks,"
+        " unnest(generate_series(1, len(tk) - 1)) u(i)),\n"
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM p2 GROUP BY 1, 2),\n"
+        "s2 AS (SELECT doc_id, max(c) AS max2, sum(c) AS n2 FROM c2"
+        " GROUP BY 1),\n"
+        "p5 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+        " || ' ' || tk[i+3] || ' ' || tk[i+4] AS g FROM toks,"
+        " unnest(generate_series(1, len(tk) - 4)) u(i)),\n"
+        "c5 AS (SELECT doc_id, g, count(*) AS c FROM p5 GROUP BY 1, 2),\n"
+        "s5 AS (SELECT doc_id,"
+        " sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5,"
+        " sum(c) AS n5 FROM c5 GROUP BY 1)\n"
+        "SELECT nt.doc_id, nt.n_tokens FROM nt"
+        " LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)"
+        f" WHERE nt.n_tokens >= {D.GOPHER_MIN_TOKENS}"
+        f" AND nt.n_tokens <= {D.GOPHER_MAX_TOKENS}"
+        " AND nt.chars - (nt.n_tokens - 1)"
+        f" >= {D.GOPHER_MIN_MWL} * nt.n_tokens"
+        " AND nt.chars - (nt.n_tokens - 1)"
+        f" <= {D.GOPHER_MAX_MWL} * nt.n_tokens"
+        " AND NOT (COALESCE(CAST(max2 AS DOUBLE) / n2, 0)"
+        f" > {D.REP_TOP2_THRESHOLD}"
+        " OR COALESCE(CAST(dup5 AS DOUBLE) / n5, 0)"
+        f" > {D.REP_DUP5_THRESHOLD})")
     out["doc_blocklist_filter"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug"
         f" WHERE NOT regexp_matches(text, '{D.BLOCKLIST_RE}')")

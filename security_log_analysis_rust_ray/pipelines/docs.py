@@ -2852,3 +2852,46 @@ def doc_chunk_dedup_text(sf_dir: str) -> rd.Dataset:
 
     return _by_key_blocks(allp, ["doc_id"]).map_batches(
         assemble, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule gate (Rae et al. §A1.1) — the named composite FILTER over
+# the repetition + length signals, emitting the surviving corpus slice
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 25
+GOPHER_MAX_TOKENS = 90
+GOPHER_MIN_MWL = 3        # mean word length bounds, evaluated as exact
+GOPHER_MAX_MWL = 10       # integer inequalities (no float division)
+
+
+def doc_gopher_filter(sf_dir: str) -> rd.Dataset:
+    """Survivors of the Gopher quality rules: token count within
+    [GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS], mean word length within
+    [3, 10], and NOT repetitive (the ``doc_repetition_stats`` flag).  The
+    mean-word-length rule is evaluated as integer inequalities
+    (3·n ≤ chars−(n−1) ≤ 10·n for single-space-separated text), and the
+    repetition flag compares unrounded IEEE ratios — so every rule is
+    bit-exact against the SQL oracle.  One fused stateless map over the
+    pruned read (same zero-shuffle shape as the signal ops it composes).
+    Output: surviving (doc_id, n_tokens)."""
+    def gate(b: pa.Table) -> pa.Table:
+        m2, _, n2 = _gram_stats_batch(b, 2)
+        _, dup5, n5 = _gram_stats_batch(b, 5)
+        n = pc.add(pc.count_substring(b["text"], " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(b["text"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nsp = chars - (n - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            top2 = np.where(n2 > 0, m2 / np.maximum(n2, 1), 0.0)
+            dup5f = np.where(n5 > 0, dup5 / np.maximum(n5, 1), 0.0)
+        ok = ((n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS)
+              & (nsp >= GOPHER_MIN_MWL * n) & (nsp <= GOPHER_MAX_MWL * n)
+              & ~((top2 > REP_TOP2_THRESHOLD)
+                  | (dup5f > REP_DUP5_THRESHOLD)))
+        t = pa.table({"doc_id": b["doc_id"],
+                      "n_tokens": pa.array(n)})
+        return t.filter(pa.array(ok))
+
+    return docs_aug_ds(sf_dir).map_batches(gate, batch_format="pyarrow")
