@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": D.doc_fingerprints,      # rows-only (hash fn)
         "doc_winnow_fingerprints": D.doc_winnow_fingerprints,  # rows-only
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
+        "ann_index_topk":
+            ANN.ann_index_topk,  # rows-only (persisted index), new r03
         "ann_pq_topk": ANN.ann_pq_topk,              # rows-only (PQ approx)
         "host_pagerank":
             R.host_pagerank,             # rows-only (iterative), new r03

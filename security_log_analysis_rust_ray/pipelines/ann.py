@@ -982,3 +982,160 @@ def embedding_pca_project(sf_dir: str, k: int = PCA_K) -> rd.Dataset:
 
     return base.map_batches(project, batch_format="pyarrow",
                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once to partitioned Parquet, query with
+# bucket-PRUNED reads — the operational ANN lifecycle at corpus scale
+# (re-bucketing the base per query batch is the thing you cannot afford
+# at 100 TB; the index directory is the reusable artifact)
+# ---------------------------------------------------------------------------
+
+
+def ann_build_index(sf_dir: str, index_dir: str) -> dict:
+    """Build and persist the IVF index: ``centroids.parquet`` (tiny) and
+    the normalized base vectors hive-partitioned by coarse bucket
+    (``vectors/bucket=K/``) — each bucket is its own directory so a query
+    touches ONLY its probed buckets' files.  The bucket id is also kept
+    as a regular column (``b``) because explicit-path pruned reads don't
+    see hive keys.  Atomic: written to a tmp dir and renamed, so a killed
+    build leaves no half index; rebuilding is a no-op if the manifest
+    exists.  Returns the manifest."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            return json.load(fh)
+    tmp = index_dir + ".tmp"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    cents = _centroids(sf_dir)
+    pq.write_table(
+        pa.table({"cluster": pa.array(range(len(cents)), pa.int64()),
+                  "embedding": _emb_list(cents)}),
+        os.path.join(tmp, "centroids.parquet"))
+
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _normalize(_mat(t["embedding"]))
+            bucket = np.argmax(v @ self.cents.T, axis=1).astype(np.int32)
+            return pa.table({"vec_id": t["vec_id"],
+                             "b": pa.array(bucket),
+                             "bucket": pa.array(bucket),
+                             "embedding": _emb_list(v)})
+
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = base.count()
+    base.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8),
+                     batch_size=8192) \
+        .write_parquet(os.path.join(tmp, "vectors"),
+                       partition_cols=["bucket"])
+    man = {"n_vectors": int(n), "nlist": int(len(cents)), "dim": DIM}
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    os.rename(tmp, index_dir)
+    return man
+
+
+def ann_query_index(index_dir: str, sf_dir: str, k: int = TOP_K,
+                    nprobe: int = IVF_NPROBE) -> rd.Dataset:
+    """Query the persisted IVF index: centroids load driver-side (tiny),
+    the probe set is the union of every query's ``nprobe`` nearest
+    buckets, and the base read lists ONLY those ``bucket=K`` directories
+    — non-probed buckets never leave storage (the pruning that matters at
+    corpus scale).  The per-block partial top-k + per-query final are the
+    same kernels as ``ann_ivf_topk``, so the results are bit-identical to
+    the rebucket-per-run pipeline (asserted in pytest)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cents_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = _mat(cents_t["embedding"])
+
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_rows = base.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], N_QUERIES)),
+        batch_format="pyarrow", batch_size=None).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = _normalize(np.array([r["embedding"] for r in q_rows],
+                             dtype=np.float64))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, qm, probe))
+
+    probed = sorted(set(probe.reshape(-1).tolist()))
+    import glob as _glob
+    paths = [f for b in probed
+             for f in sorted(_glob.glob(os.path.join(
+                 index_dir, "vectors", f"bucket={b}", "*.parquet")))]
+
+    class BucketTopK:
+        def __init__(self):
+            self.q_ids, self.qm, self.probe = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_q, out_n, out_s = [], [], []
+            if t.num_rows:
+                ids = t["vec_id"].to_numpy()
+                buckets = t["b"].to_numpy()
+                v = _mat(t["embedding"])      # normalized at build time
+                for qi in range(len(self.q_ids)):
+                    cand = np.isin(buckets, self.probe[qi])
+                    if not cand.any():
+                        continue
+                    sims = v[cand] @ self.qm[qi]
+                    cids = ids[cand]
+                    kk = min(k, len(sims))
+                    idx = _topk_tie_idx(sims, kk)
+                    out_q.append(np.full(len(idx), self.q_ids[qi]))
+                    out_n.append(cids[idx])
+                    out_s.append(sims[idx])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cos_sim": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
+            })
+
+    partial = rd.read_parquet(paths,
+                              columns=["vec_id", "b", "embedding"]) \
+        .map_batches(BucketTopK, batch_format="pyarrow",
+                     batch_size=None, concurrency=(1, 8))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g["cos_sim"] = round_half_up(g["cos_sim"].to_numpy())
+        return g
+
+    return partial.groupby("query_id").map_groups(final,
+                                                  batch_format="pandas")
+
+
+def ann_index_topk(sf_dir: str, k: int = TOP_K,
+                   nprobe: int = IVF_NPROBE) -> rd.Dataset:
+    """Build-once (cached under the corpus cache dir) + bucket-pruned
+    query — the persisted-index twin of ``ann_ivf_topk`` (rows-only;
+    pytest asserts equality with the rebucket-per-run pipeline)."""
+    import os
+
+    from ..synth import CACHE_ROOT
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    index_dir = os.path.join(CACHE_ROOT, tag, "ivf_index")
+    ann_build_index(sf_dir, index_dir)
+    return ann_query_index(index_dir, sf_dir, k=k, nprobe=nprobe)

@@ -144,3 +144,25 @@ def test_kmeans_checkpoint_resume_is_exact(tmp_path):
     cm_n, hist_n = A.kmeans_fit(SF_SMOKE, checkpoint_dir=ck)
     np.testing.assert_array_equal(cm_n, full_cm)
     assert hist_n == full_hist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_persisted_index_matches_ivf(tmp_path):
+    """Build-once index + bucket-pruned query == the rebucket-per-run
+    IVF pipeline, bit-for-bit; rebuild is a no-op; non-probed bucket
+    directories are never read."""
+    import os
+    idx = str(tmp_path / "ivf_index")
+    man = A.ann_build_index(SF_SMOKE, idx)
+    assert man["n_vectors"] == 500 and man["nlist"] == A.IVF_NLIST
+    assert os.path.exists(os.path.join(idx, "manifest.json"))
+    # rebuild = manifest read, no tmp dir left behind
+    man2 = A.ann_build_index(SF_SMOKE, idx)
+    assert man2 == man and not os.path.exists(idx + ".tmp")
+
+    got = A.ann_query_index(idx, SF_SMOKE).to_pandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    ref = A.ann_ivf_topk(SF_SMOKE).to_pandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
