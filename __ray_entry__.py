@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_gopher_filter,          # oracle, new r03 (sweep-checked)
         "doc_chunk_dedup_text":
             D.doc_chunk_dedup_text,       # oracle, new r03 (sweep-checked)
+        "ann_hard_negatives":
+            ANN.ann_hard_negatives,       # oracle, new r03 (sweep-checked)
         "lineitem_pricing_summary":
             REL.lineitem_pricing_summary,            # r01+r02-passed
         "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
@@ -862,6 +864,20 @@ def oracle_sql() -> dict[str, str]:
         " ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC,"
         f" b.vec_id) <= {ANN.TOP_K}")
 
+    out["ann_hard_negatives"] = (
+        "WITH emb64 AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+        " FROM embeddings)\n"
+        "SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        " round(list_cosine_similarity(q.embedding, b.embedding), 6)"
+        " AS cos_sim"
+        " FROM emb64 q JOIN emb64 b ON true"
+        f" WHERE q.vec_id < {ANN.N_QUERIES}"
+        " AND list_cosine_similarity(q.embedding, b.embedding)"
+        f" < {ANN.HARD_NEG_MAX}"
+        " QUALIFY row_number() OVER (PARTITION BY q.vec_id"
+        " ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC,"
+        f" b.vec_id) <= {ANN.TOP_K}")
     # spherical k-means assignment against the deterministic seed
     # centroids (vec_id < KM_K, normalized — cosine is norm-invariant so
     # the oracle skips the normalize); argmax ties break to the lowest

@@ -1139,3 +1139,64 @@ def ann_index_topk(sf_dir: str, k: int = TOP_K,
     index_dir = os.path.join(CACHE_ROOT, tag, "ivf_index")
     ann_build_index(sf_dir, index_dir)
     return ann_query_index(index_dir, sf_dir, k=k, nprobe=nprobe)
+
+
+HARD_NEG_MAX = 0.98     # candidates at/above this cosine are positives/dups
+
+
+def ann_hard_negatives(sf_dir: str, k: int = TOP_K,
+                       max_cos: float = HARD_NEG_MAX) -> rd.Dataset:
+    """Hard-negative mining for contrastive training: per query the top-k
+    MOST similar vectors strictly BELOW ``max_cos`` — the near-misses a
+    retriever must learn to separate, with self-matches and near-exact
+    duplicates (cos >= max_cos) excluded.  Same partial/final brute-force
+    plan as ``ann_topk`` with the eligibility mask applied inside the
+    per-batch kernel (the compare runs on unrounded IEEE cosines, stated
+    identically in the oracle).  Output: (query_id, neighbor_id,
+    cos_sim)."""
+    qt = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(lambda b: b.filter(pc.less(b["vec_id"], N_QUERIES)),
+                     batch_format="pyarrow", batch_size=None) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q_ids = qt["vec_id"].to_numpy()
+    qm = _normalize(np.stack(qt["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((q_ids, qm))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.qm = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy()
+            m = _normalize(_mat(b["embedding"]))
+            sims = self.qm @ m.T
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                s = sims[qi]
+                elig = np.flatnonzero(s < max_cos)
+                if not len(elig):
+                    continue
+                kk = min(k, len(elig))
+                idx = elig[_topk_tie_idx(s[elig], kk)]
+                out_q.extend([self.q_ids[qi]] * len(idx))
+                out_n.extend(ids[idx])
+                out_s.extend(s[idx])
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos_sim": pa.array(np.asarray(out_s, dtype=np.float64)),
+            })
+
+    partial = read_table(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(PartialTopK, batch_format="pyarrow",
+                     concurrency=(1, 8), batch_size=8192)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g["cos_sim"] = round_half_up(g["cos_sim"].to_numpy())
+        return g
+
+    return partial.groupby("query_id").map_groups(final,
+                                                  batch_format="pandas")
