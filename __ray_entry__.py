@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_chunk_dedup_text,       # oracle, new r03 (sweep-checked)
         "ann_hard_negatives":
             ANN.ann_hard_negatives,       # oracle, new r03 (sweep-checked)
+        "doc_quality_percentile":
+            D.doc_quality_percentile,     # oracle, new r03 (sweep-checked)
         "lineitem_pricing_summary":
             REL.lineitem_pricing_summary,            # r01+r02-passed
         "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
@@ -383,6 +385,18 @@ def oracle_sql() -> dict[str, str]:
         " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6) > 0.5"
         "   AS is_quality "
         "FROM stats2")
+    out["doc_quality_percentile"] = docs_pre + token_cte.rstrip() + (
+        ",\nq AS (SELECT doc_id,"
+        " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6)"
+        " AS quality_score FROM stats2),\n"
+        "n AS (SELECT count(*) AS n FROM q),\n"
+        "r AS (SELECT doc_id, quality_score,"
+        " row_number() OVER (ORDER BY quality_score DESC, doc_id) AS rnk"
+        " FROM q)\n"
+        "SELECT r.doc_id, r.quality_score,"
+        " CAST(r.rnk AS BIGINT) AS rank,"
+        " round(CAST(r.rnk AS DOUBLE) / n.n, 6) AS pct"
+        " FROM r CROSS JOIN n")
     out["doc_ngram_jaccard_pairs"] = docs_pre + (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs_aug),\n"
         "pos AS (SELECT doc_id, tk,"

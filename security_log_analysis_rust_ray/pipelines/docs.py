@@ -2895,3 +2895,64 @@ def doc_gopher_filter(sf_dir: str) -> rd.Dataset:
         return t.filter(pa.array(ok))
 
     return docs_aug_ds(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+def doc_quality_percentile(sf_dir: str) -> rd.Dataset:
+    """GLOBAL rank + percentile of every doc by quality (desc, doc_id
+    tie-break) — the order statistic behind curriculum ordering and
+    top-p% selection.  Same distributed plan as ``doc_budget_select``:
+    one global sort, a (first-key, row-count) summary row per block, the
+    driver folds block counts into exclusive rank offsets keyed by each
+    block's first row, and a final vectorized pass adds the in-block
+    arange — driver state is one row per BLOCK, never per doc.  Output:
+    (doc_id, quality_score, rank, pct = rank/N rounded 6)."""
+    def score(b: pa.Table) -> pa.Table:
+        s = _token_stats_batch(b)
+        nt = s["n_tokens"].to_numpy().astype(np.float64)
+        q = round_half_up(np.minimum(nt / 200.0, 1.0)
+                          * (1.0 - s["stop_ratio"].to_numpy()))
+        return pa.table({"doc_id": b["doc_id"],
+                         "quality_score": pa.array(q, pa.float64())})
+
+    ds = docs_aug_ds(sf_dir).map_batches(score, batch_format="pyarrow") \
+        .sort(["quality_score", "doc_id"], descending=[True, False]) \
+        .materialize()
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"q0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"q0": b["quality_score"].slice(0, 1),
+                         "id0": b["doc_id"].slice(0, 1),
+                         "cnt": pa.array([b.num_rows], pa.int64())})
+
+    summ = ds.map_batches(block_summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if not len(summ):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "quality_score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+            "pct": pa.array([], pa.float64())}))
+    summ = summ.sort_values(["q0", "id0"],
+                            ascending=[False, True]).reset_index(drop=True)
+    offs = summ["cnt"].cumsum().shift(fill_value=0)
+    n = int(summ["cnt"].sum())
+    ref = ray.put({(float(q), int(i)): int(o)
+                   for q, i, o in zip(summ["q0"], summ["id0"], offs)})
+
+    def attach(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        off = ray.get(ref)[(float(b["quality_score"][0].as_py()),
+                            int(b["doc_id"][0].as_py()))]
+        rank = off + np.arange(1, b.num_rows + 1, dtype=np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "quality_score": b["quality_score"],
+            "rank": pa.array(rank),
+            "pct": pa.array(round_half_up(rank.astype(np.float64) / n)),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
