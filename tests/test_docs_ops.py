@@ -690,3 +690,21 @@ def test_doc_chunk_dedup_text_keep_first():
     # a doc whose chunks are all first-seen keeps its text verbatim
     kept_verbatim = sum(got[d] == t for d, t in orig.items())
     assert kept_verbatim > 0
+
+
+def test_doc_pieces_batch_edges():
+    """Short docs (< window) are remainder-only; exact-multiple docs get
+    an EMPTY remainder row (kept so the doc stays addressable)."""
+    import pyarrow as pa
+    c = D.CHUNK_TOKENS
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c", " ".join(str(i) for i in range(c))]),
+    })
+    t = D._doc_pieces_batch(b).to_pandas()
+    d1 = t[t["doc_id"] == 1]
+    assert list(d1["w"]) == [D._REM_W] and list(d1["piece"]) == ["a b c"]
+    d2 = t[t["doc_id"] == 2].sort_values("w")
+    assert list(d2["w"]) == [0, D._REM_W]
+    assert d2["piece"].iloc[0] == " ".join(str(i) for i in range(c))
+    assert d2["piece"].iloc[1] == ""

@@ -43,3 +43,24 @@ def test_host_pagerank_matches_dense_reference():
     # determinism
     again = R.host_pagerank(SF_SMOKE, iters=ITERS).to_pandas()
     assert (got["rank"] == again["rank"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_empty_and_dangling():
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.graph import pagerank
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    assert pagerank(empty).count() == 0
+
+    # b and c are dangling (no out-edges): their mass must recycle, so
+    # ranks still sum to 1
+    e = rd.from_arrow(pa.table({"src": ["a", "a"], "dst": ["b", "c"]}))
+    out = pagerank(e, iters=10).to_pandas()
+    assert set(out["node"]) == {"a", "b", "c"}
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
+    # symmetric targets of the only source tie exactly
+    r = dict(zip(out["node"], out["rank"]))
+    assert r["b"] == r["c"]
