@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.ann_hard_negatives,       # oracle, new r03 (sweep-checked)
         "doc_quality_percentile":
             D.doc_quality_percentile,     # oracle, new r03 (sweep-checked)
+        "events_retention_cohorts":
+            REL.events_retention_cohorts,  # oracle, new r03 (sweep-checked)
         "lineitem_pricing_summary":
             REL.lineitem_pricing_summary,            # r01+r02-passed
         "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
@@ -1140,6 +1142,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({i+1} AS BIGINT) AS stage,"
             f" count(*) AS n_users FROM s{i+1}"
             for i in range(len(st_))))
+    out["events_retention_cohorts"] = (
+        "WITH su AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort"
+        " FROM events WHERE event_type = 'signup' GROUP BY 1),\n"
+        "a AS (SELECT DISTINCT su.cohort, date_trunc('week', e.ts) AS wk,"
+        " e.user_id FROM events e JOIN su USING (user_id))\n"
+        "SELECT cohort AS cohort_week, wk AS activity_week,"
+        " count(*) AS n_users FROM a GROUP BY 1, 2")
     z_ = R.ANOMALY_Z
     out["host_daily_anomalies"] = oracle_query(
         ", d AS (SELECT host, date_trunc('day', datetime) AS day,"

@@ -687,3 +687,44 @@ def user_funnel_counts(sf_dir: str) -> rd.Dataset:
     out = grouped_sum(partials, ["stage"], "n", alias="n_users",
                       small_keyspace=True)
     return out.sort("stage")
+
+
+def events_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Retention cohort matrix: distinct active users per (signup-week
+    cohort, activity week).  Composition of the engine's primitives —
+    per-user signup time via the ``grouped_min`` combiner, cohort
+    attached to the event stream with the size-aware ``lookup_join``
+    (user table broadcasts while it fits the byte budget), week
+    truncation in the map (Arrow and DuckDB both start ISO weeks on
+    Monday), distinct (cohort, week, user) with the per-block combiner,
+    then a grouped count.  Output: (cohort_week, activity_week,
+    n_users)."""
+    from ..stages.aggregate import grouped_count, grouped_min
+    from ..stages.dedup import _num_partitions, distinct_rows
+    from ..stages.joins import lookup_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def signups(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "signup"))
+        return t.select(["user_id", "ts"])
+
+    su = grouped_min(ev.map_batches(signups, batch_format="pyarrow",
+                                    batch_size=None),
+                     ["user_id"], "ts", alias="signup_ts",
+                     high_cardinality=True).materialize()
+    nparts = _num_partitions(ev)
+    joined = lookup_join(ev, su, "user_id", "user_id", nparts=nparts)
+
+    def weeks(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": pc.floor_temporal(b["signup_ts"], unit="week"),
+            "activity_week": pc.floor_temporal(b["ts"], unit="week"),
+            "user_id": b["user_id"],
+        })
+
+    triples = distinct_rows(
+        joined.map_batches(weeks, batch_format="pyarrow", batch_size=None),
+        ["cohort_week", "activity_week", "user_id"])
+    return grouped_count(triples, ["cohort_week", "activity_week"],
+                         alias="n_users")
