@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_quality_percentile,     # oracle, new r03 (sweep-checked)
         "events_retention_cohorts":
             REL.events_retention_cohorts,  # oracle, new r03 (sweep-checked)
+        "vocab_coverage_curve":
+            D.vocab_coverage_curve,       # oracle, new r03 (sweep-checked)
         "lineitem_pricing_summary":
             REL.lineitem_pricing_summary,            # r01+r02-passed
         "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
@@ -387,6 +389,19 @@ def oracle_sql() -> dict[str, str]:
         " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6) > 0.5"
         "   AS is_quality "
         "FROM stats2")
+    ns_vals = ", ".join(f"({n})" for n in D.COVERAGE_NS)
+    out["vocab_coverage_curve"] = docs_pre + (
+        "toks AS (SELECT unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug),\n"
+        "tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),\n"
+        "tot AS (SELECT sum(cnt) AS t FROM tc),\n"
+        "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term)"
+        " AS rnk FROM tc),\n"
+        f"ns(top_n) AS (VALUES {ns_vals})\n"
+        "SELECT CAST(ns.top_n AS BIGINT) AS top_n,"
+        " round((SELECT CAST(sum(cnt) AS DOUBLE) FROM r"
+        " WHERE rnk <= ns.top_n) / tot.t, 6) AS coverage"
+        " FROM ns CROSS JOIN tot")
     out["doc_quality_percentile"] = docs_pre + token_cte.rstrip() + (
         ",\nq AS (SELECT doc_id,"
         " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6)"

@@ -2956,3 +2956,32 @@ def doc_quality_percentile(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+COVERAGE_NS = (10, 100, 1000)
+
+
+def vocab_coverage_curve(sf_dir: str,
+                         ns: tuple[int, ...] = COVERAGE_NS) -> rd.Dataset:
+    """Vocabulary coverage curve: what fraction of all token occurrences
+    the top-N most frequent terms cover, for each N — the analysis behind
+    vocab-size / OOV-budget decisions.  Distributed term counts (the
+    grouped_count combiner), a distributed ``top_k`` for max(ns) rows
+    ((cnt DESC, term) ties), the corpus total via ``Dataset.sum`` — only
+    the max(ns)-row head ever reaches the driver, where the cumulative
+    fractions for every N fall out of one cumsum.  Output:
+    (top_n, coverage rounded 6)."""
+    terms = docs_aug_ds(sf_dir).map_batches(
+        _terms_batch, batch_format="pyarrow", batch_size=None)
+    counts = agg.grouped_count(terms, ["term"], alias="cnt",
+                               high_cardinality=True).materialize()
+    total = int(counts.sum("cnt") or 0)
+    head = agg.top_k(counts, "cnt", ["term"], max(ns)).to_pandas()
+    cum = head["cnt"].cumsum()
+    cov = [float(round_half_up(np.array(
+        [cum.iloc[min(n, len(cum)) - 1] / total if total and len(cum)
+         else 0.0]))[0]) for n in ns]
+    return rd.from_arrow(pa.table({
+        "top_n": pa.array(list(ns), pa.int64()),
+        "coverage": pa.array(cov, pa.float64()),
+    }))
