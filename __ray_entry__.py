@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_retention_cohorts,  # oracle, new r03 (sweep-checked)
         "vocab_coverage_curve":
             D.vocab_coverage_curve,       # oracle, new r03 (sweep-checked)
+        "trending_terms":
+            R.trending_terms,             # oracle, new r03 (sweep-checked)
         "lineitem_pricing_summary":
             REL.lineitem_pricing_summary,            # r01+r02-passed
         "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
@@ -1157,6 +1159,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({i+1} AS BIGINT) AS stage,"
             f" count(*) AS n_users FROM s{i+1}"
             for i in range(len(st_))))
+    out["trending_terms"] = oracle_query(
+        ", tt_t AS (SELECT date_trunc('day', ts) AS day,"
+        " unnest(str_split(text, ' ')) AS term FROM transcripts),\n"
+        "tt_dc AS (SELECT day, term, count(*) AS cnt FROM tt_t"
+        " GROUP BY 1, 2),\n"
+        "tt_tot AS (SELECT term, sum(cnt) AS tot FROM tt_dc GROUP BY 1),\n"
+        "tt_dd AS (SELECT count(DISTINCT day) AS d FROM tt_dc)\n"
+        "SELECT dc.day, dc.term, dc.cnt FROM tt_dc dc"
+        " JOIN tt_tot USING (term) CROSS JOIN tt_dd"
+        f" WHERE dc.cnt >= {R.TREND_MIN_CNT}"
+        f" AND dc.cnt * tt_dd.d > {R.TREND_LIFT} * tt_tot.tot")
     out["events_retention_cohorts"] = (
         "WITH su AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort"
         " FROM events WHERE event_type = 'signup' GROUP BY 1),\n"

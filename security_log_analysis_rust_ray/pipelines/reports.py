@@ -450,3 +450,52 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> rd.Dataset:
                 t["rank"].to_numpy(zero_copy_only=False))),
         }),
         batch_format="pyarrow", batch_size=None).sort("host")
+
+
+TREND_MIN_CNT = 5
+TREND_LIFT = 2
+
+
+def trending_terms(sf_dir: str) -> rd.Dataset:
+    """Day-over-day trending terms: (day, term) pairs whose daily count
+    is at least TREND_MIN_CNT and more than TREND_LIFT× the term's
+    all-days average — i.e. ``cnt·D > LIFT·total`` with D = number of
+    active days, an EXACT integer rule shared with the oracle (no float
+    lift ratio).  Plan: one term explode with the day attached, the
+    (day, term) grouped_count combiner, term totals folded FROM the daily
+    counts (never a second corpus pass), a size-aware lookup_join to
+    attach totals, and a vectorized integer flag.  Output:
+    (day, term, cnt)."""
+    import numpy as np
+
+    from ..stages.dedup import _num_partitions, distinct_rows
+    from ..stages.joins import lookup_join
+
+    tr = read_transcripts(sf_dir, columns=["ts", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        n = np.diff(tk.offsets.to_numpy())
+        day = pc.floor_temporal(b["ts"], unit="day")
+        idx = pa.array(np.repeat(np.arange(b.num_rows), n))
+        return pa.table({"day": day.take(idx), "term": tk.values})
+
+    pairs = tr.map_batches(explode, batch_format="pyarrow",
+                           batch_size=None)
+    dc = agg.grouped_count(pairs, ["day", "term"], alias="cnt",
+                           high_cardinality=True).materialize()
+    tot = agg.grouped_sum(dc, ["term"], "cnt", alias="tot",
+                          high_cardinality=True).materialize()
+    d_days = distinct_rows(dc, ["day"]).count()
+    j = lookup_join(dc, tot, "term", "term",
+                    nparts=_num_partitions(dc))
+
+    def flag(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy()
+        tot_ = b["tot"].to_numpy()
+        keep = (cnt >= TREND_MIN_CNT) & (cnt * d_days > TREND_LIFT * tot_)
+        return b.filter(pa.array(keep)).select(["day", "term", "cnt"])
+
+    return j.map_batches(flag, batch_format="pyarrow", batch_size=None)
