@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.vocab_coverage_curve,       # oracle, new r03 (sweep-checked)
         "trending_terms":
             R.trending_terms,             # oracle, new r03 (sweep-checked)
+        "corpus_ngram_diversity":
+            D.corpus_ngram_diversity,     # oracle, new r03 (sweep-checked)
         "lineitem_pricing_summary":
             REL.lineitem_pricing_summary,            # r01+r02-passed
         "doc_exact_dedup": D.doc_exact_dedup,        # r01+r02-passed
@@ -391,6 +393,15 @@ def oracle_sql() -> dict[str, str]:
         " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6) > 0.5"
         "   AS is_quality "
         "FROM stats2")
+    out["corpus_ngram_diversity"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
+        " FROM docs_aug),\n"
+        "p2 AS (SELECT tk[i] || ' ' || tk[i+1] AS g FROM toks,"
+        " unnest(generate_series(1, len(tk) - 1)) u(i))\n"
+        "SELECT count(*) AS n_grams,"
+        " count(DISTINCT g) AS distinct_ngrams,"
+        " round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)"
+        " AS diversity FROM p2")
     ns_vals = ", ".join(f"({n})" for n in D.COVERAGE_NS)
     out["vocab_coverage_curve"] = docs_pre + (
         "toks AS (SELECT unnest(str_split(text, ' ')) AS term"

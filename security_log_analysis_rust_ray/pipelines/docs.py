@@ -2985,3 +2985,38 @@ def vocab_coverage_curve(sf_dir: str,
         "top_n": pa.array(list(ns), pa.int64()),
         "coverage": pa.array(cov, pa.float64()),
     }))
+
+
+def corpus_ngram_diversity(sf_dir: str, n: int = 2) -> rd.Dataset:
+    """Corpus diversity one-rower: distinct word ``n``-grams over total
+    n-gram occurrences (the distinct-n diversity statistic; templated or
+    over-deduplicated corpora collapse it).  The gram stream explodes
+    once with the shared flat-token window gather; the distinct side is
+    the hash-partitioned ``distinct_rows`` combiner, the total is a
+    streaming count — two small folds, ONE corpus read each, ratio in
+    exact integers + one rounded IEEE division.  Output:
+    (n_grams, distinct_ngrams, diversity)."""
+    from ..stages.dedup import distinct_rows
+
+    def grams(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        offs = np.asarray(tk.offsets)
+        wins = np.maximum(np.diff(offs) - (n - 1), 0)
+        starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
+        cols = [flat.take(pa.array(starts + j)) for j in range(n)]
+        return pa.table({"g": pc.binary_join_element_wise(*cols, " ")})
+
+    gs = docs_aug_ds(sf_dir).map_batches(grams, batch_format="pyarrow",
+                                         batch_size=None).materialize()
+    total = gs.count()
+    distinct = distinct_rows(gs, ["g"]).count()
+    ratio = float(round_half_up(np.array(
+        [distinct / total if total else 0.0]))[0])
+    return rd.from_arrow(pa.table({
+        "n_grams": pa.array([total], pa.int64()),
+        "distinct_ngrams": pa.array([distinct], pa.int64()),
+        "diversity": pa.array([ratio], pa.float64()),
+    }))
