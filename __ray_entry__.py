@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_length_bucketed_pack,  # rows-only (greedy bins), new r03
         "minhash_pairs": D.minhash_pairs,            # rows-only (LSH approx)
         "doc_incremental_near_dedup": D.doc_incremental_near_dedup,  # rows-only (LSH)
+        "doc_incremental_near_dedup_indexed":
+            D.doc_incremental_near_dedup_indexed,  # rows-only, new r03
         "simhash64": D.simhash64,                    # rows-only (hash fn)
         "simhash_near_dup_pairs": D.simhash_near_dup_pairs,  # rows-only
 

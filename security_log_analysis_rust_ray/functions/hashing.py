@@ -66,6 +66,17 @@ def hash64(col, seed: int = HASH_SEED) -> np.ndarray:
     return _fnv1a64(col)
 
 
+def hash_impl_tag() -> str:
+    """Identity of the ``hash64`` fast path for persisted artifacts that
+    embed its values (e.g. the LSH band index): polars' hash is stable
+    within one polars version but not across upgrades (ADVICE r02), so
+    an index manifest records this tag and a reader under a different
+    implementation must rebuild instead of silently missing matches."""
+    if _HAVE_PL:
+        return f"polars-{pl.__version__}"
+    return "fnv1a64"
+
+
 _FMIX_1 = np.uint64(0xFF51AFD7ED558CCD)
 _FMIX_2 = np.uint64(0xC4CEB9FE1A85EC53)
 

@@ -3020,3 +3020,116 @@ def corpus_ngram_diversity(sf_dir: str, n: int = 2) -> rd.Dataset:
         "distinct_ngrams": pa.array([distinct], pa.int64()),
         "diversity": pa.array([ratio], pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# persisted LSH index: the prior corpus's band rows as an on-disk artifact
+# (the docstring contract of _incremental_near_matches made real — a
+# nightly crawl loads the index instead of re-signing the whole prior
+# corpus)
+# ---------------------------------------------------------------------------
+
+
+def lsh_build_index(sf_dir: str, index_dir: str) -> dict:
+    """Persist the PRIOR corpus's LSH band rows ((band, band_hash,
+    doc_id), band-partitioned parquet) plus a manifest pinning the
+    signature parameters AND the hash implementation — band hashes come
+    from the fast intra-run ``hash64`` (polars xxhash family), which is
+    stable across processes for one polars version but NOT across
+    upgrades, so querying refuses an index built under a different
+    implementation rather than silently missing candidates.  Atomic
+    tmp+rename; rebuild with a manifest present is a no-op."""
+    import json
+    import os
+    import shutil
+
+    from ..functions.hashing import hash_impl_tag
+
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            return json.load(fh)
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    prior = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = prior.count()
+    bands = prior.map_batches(MinHashActor, batch_format="pyarrow",
+                              concurrency=(1, 16))
+    bands.map_batches(
+        lambda t: t.append_column("band_part", t["band"]),
+        batch_format="pyarrow", batch_size=None) \
+        .write_parquet(os.path.join(tmp, "bands"),
+                       partition_cols=["band_part"])
+    man = {"n_docs": int(n), "perms": MINHASH_PERMS, "bands": LSH_BANDS,
+           "hash_impl": hash_impl_tag()}
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    os.rename(tmp, index_dir)
+    return man
+
+
+def doc_incremental_near_dedup_indexed(sf_dir: str,
+                                       index_dir: str | None = None,
+                                       threshold: float = JACCARD_THRESHOLD,
+                                       ) -> rd.Dataset:
+    """``doc_incremental_near_dedup`` against the PERSISTED index: only
+    the NEW docs (doc_id >= 1e6) are signed tonight; the prior side's
+    band rows load from ``index_dir`` (built once, cached under the
+    corpus cache dir by default).  Candidates = new bands ⋈ index on
+    (band, band_hash) via the size-aware ``hash_join`` (the new-night
+    side is the natural broadcast side); verification and the survivor
+    anti-join are the shared exact-Jaccard path.  Per-doc signatures are
+    batch-independent, so the result is IDENTICAL to the recompute-
+    everything pipeline (asserted in pytest)."""
+    import glob as _glob
+    import json
+    import os
+
+    from ..functions.hashing import hash_impl_tag
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import anti_join, hash_join
+
+    if index_dir is None:
+        from ..synth import CACHE_ROOT
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        index_dir = os.path.join(CACHE_ROOT, tag, "lsh_index")
+    man = lsh_build_index(sf_dir, index_dir)
+    if man.get("hash_impl") != hash_impl_tag():
+        raise RuntimeError(
+            f"LSH index at {index_dir} was built with hash_impl="
+            f"{man.get('hash_impl')!r}; this process runs "
+            f"{hash_impl_tag()!r} — rebuild the index (band hashes would "
+            "silently disagree)")
+
+    nparts = _join_parts(sf_dir)
+    new_docs = docs_aug_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"],
+                                            pa.scalar(_AUG_BASE))),
+        batch_format="pyarrow", batch_size=None)
+    new_bands = new_docs.map_batches(MinHashActor, batch_format="pyarrow",
+                                     concurrency=(1, 16)).map_batches(
+        lambda t: pa.table({"band": t["band"], "band_hash": t["band_hash"],
+                            "a": t["doc_id"]}),
+        batch_format="pyarrow", batch_size=None)
+    files = sorted(_glob.glob(os.path.join(index_dir, "bands", "*",
+                                           "*.parquet")))
+    prior_bands = rd.read_parquet(files,
+                                  columns=["band", "band_hash", "doc_id"]) \
+        .map_batches(
+            lambda t: pa.table({"band": t["band"],
+                                "band_hash": t["band_hash"],
+                                "b": t["doc_id"]}),
+            batch_format="pyarrow", batch_size=None)
+    cands = hash_join(new_bands, prior_bands, on=("band", "band_hash"),
+                      nparts=nparts).map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"]}),
+        batch_format="pyarrow", batch_size=None)
+    cands = distinct_rows(cands, ["a", "b"]).materialize()
+    matches = _verify_candidate_pairs(cands, sf_dir, threshold, nparts)
+    matched_new = matches.map_batches(
+        lambda t: pa.table({"doc_id": t["a"]}),
+        batch_format="pyarrow", batch_size=None)
+    return anti_join(new_docs, matched_new, "doc_id", "doc_id",
+                     nparts=nparts)

@@ -708,3 +708,28 @@ def test_doc_pieces_batch_edges():
     assert list(d2["w"]) == [0, D._REM_W]
     assert d2["piece"].iloc[0] == " ".join(str(i) for i in range(c))
     assert d2["piece"].iloc[1] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_persisted_index_matches_recompute(tmp_path):
+    """Index-backed incremental near-dedup == the recompute-everything
+    pipeline (signatures are batch-independent); a hash-impl mismatch in
+    the manifest REFUSES to query instead of silently missing matches."""
+    import json
+    import os
+    import pandas as pd
+    idx = str(tmp_path / "lsh")
+    a = D.doc_incremental_near_dedup_indexed(SF_SMOKE, index_dir=idx) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = D.doc_incremental_near_dedup(SF_SMOKE) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # rebuild is a manifest no-op
+    man = D.lsh_build_index(SF_SMOKE, idx)
+    assert man["n_docs"] == 500 and not os.path.exists(idx + ".tmp")
+    # a different hash implementation must refuse
+    man["hash_impl"] = "polars-0.0.1"
+    with open(os.path.join(idx, "manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    with pytest.raises(RuntimeError, match="hash_impl"):
+        D.doc_incremental_near_dedup_indexed(SF_SMOKE, index_dir=idx)
