@@ -46,6 +46,29 @@ def test_host_pagerank_matches_dense_reference():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pagerank_distributed_path_matches_one_task():
+    # local_max_edges=0 forces the join-loop path; it must agree with the
+    # one-task numpy path (the default at this size) to float tolerance
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.graph import pagerank
+
+    e = rd.from_arrow(pa.table({
+        "src": ["a", "a", "b", "c", "c", "d"],
+        "dst": ["b", "c", "c", "a", "d", "a"],
+        "w":   [2.0, 1.0, 1.0, 3.0, 1.0, 1.0],
+    }))
+    fast = pagerank(e, weight="w", iters=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    dist = pagerank(e, weight="w", iters=8, local_max_edges=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert list(fast["node"]) == list(dist["node"])
+    assert abs(fast["rank"].sum() - 1.0) < 1e-9
+    for f, d in zip(fast["rank"], dist["rank"]):
+        assert abs(f - d) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pagerank_empty_and_dangling():
     import pyarrow as pa
     import ray.data as rd
