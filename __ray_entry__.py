@@ -105,9 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": REL.top_parts_by_revenue,
         "shipping_priority": REL.shipping_priority,
         "local_supplier_volume": REL.local_supplier_volume,  # new r03
-        "events_daily_counts": REL.events_daily_counts,
-        "events_sliding_3d_counts": REL.events_sliding_3d_counts,
-        "user_running_totals": REL.user_running_totals,
+        "route_rollup": R.route_rollup,           # oracle, new r03
+        "unit_level_pivot": R.unit_level_pivot,   # oracle, new r03
+        "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "events_asof_signup": REL.events_asof_signup,
         "events_in_session": REL.events_in_session,  # range join, new r03
         "events_semi_join_purchasers": REL.events_semi_join_purchasers,
@@ -142,6 +142,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": D.dup_clusters,              # r01+r02-passed
         "ann_topk": ANN.ann_topk,                    # r01+r02-passed
         "sessionize": STR.sessionize,                # r01+r02-passed
+        "events_daily_counts":
+            REL.events_daily_counts,              # r01-passed
+        "events_sliding_3d_counts":
+            REL.events_sliding_3d_counts,         # r01-passed
+        "user_running_totals":
+            REL.user_running_totals,              # r01-passed
         "doc_repetition_stats":
             D.doc_repetition_stats,       # oracle, new r03 (sweep-checked)
         "doc_chunk_dup_stats":
@@ -245,6 +251,17 @@ def oracle_sql() -> dict[str, str]:
         "messages": "SELECT * FROM messages",
         "route_counts":
             "SELECT service, count(*) AS cnt FROM parsed GROUP BY service",
+        "route_rollup":
+            "SELECT service, server,"
+            " CAST(GROUPING(service, server) AS BIGINT) AS grp_id,"
+            " count(*) AS cnt FROM parsed GROUP BY ROLLUP(service, server)",
+        "unit_level_pivot":
+            "SELECT log_unit,"
+            " count(*) FILTER (WHERE log_level = 'debug') AS debug,"
+            " count(*) FILTER (WHERE log_level = 'info') AS info,"
+            " count(*) FILTER (WHERE log_level = 'warn') AS warn,"
+            " count(*) FILTER (WHERE log_level = 'error') AS error"
+            " FROM messages GROUP BY log_unit",
         "stream_dedup_natural_keys":
             "SELECT DISTINCT service, server, datetime, host, username "
             "FROM parsed",
@@ -1221,4 +1238,13 @@ def oracle_sql() -> dict[str, str]:
     out["events_daily_counts"] = (
         "SELECT user_id, event_type, date_trunc('day', ts) AS day,"
         " count(*) AS cnt FROM events GROUP BY 1, 2, 3")
+    out["events_user_bands"] = (
+        "WITH bands AS (SELECT n_name AS band,"
+        " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"
+        " CAST((n_nationkey+1)*(n_nationkey+1)*4 - 1 AS BIGINT) AS hi"
+        " FROM nation)\n"
+        "SELECT b.band AS band, count(*) AS cnt,"
+        " CAST(sum(e.user_id) AS BIGINT) AS sum_user"
+        " FROM events e JOIN bands b ON e.user_id BETWEEN b.lo AND b.hi"
+        " GROUP BY b.band ORDER BY band")
     return out

@@ -728,3 +728,48 @@ def events_retention_cohorts(sf_dir: str) -> rd.Dataset:
         ["cohort_week", "activity_week", "user_id"])
     return grouped_count(triples, ["cohort_week", "activity_week"],
                          alias="n_users")
+
+
+def events_user_bands(sf_dir: str) -> rd.Dataset:
+    """GeoIP-shaped interval lookup: bucket every event into the quadratic
+    user-id band [k^2*4, (k+1)^2*4) derived from the nation dim (irregular
+    widths, so the lookup is a genuine non-equi range probe, not a
+    disguised modulo), then count and sum per band.  Exercises
+    ``stages.joins.range_lookup_join`` — the broadcast searchsorted plan a
+    host->country IP-range dim runs at log scale (the reference's
+    whois-metadata resolution, src/host_country_metadata.rs:95-175, is the
+    point-lookup special case)."""
+    from ..stages.joins import range_lookup_join
+
+    bands = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    def mk_bands(b: pa.Table) -> pa.Table:
+        k = b["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "band": b["n_name"],
+            "lo": pa.array(k * k * 4, pa.int64()),
+            "hi": pa.array((k + 1) * (k + 1) * 4 - 1, pa.int64()),
+        })
+
+    bands = bands.map_batches(mk_bands, batch_format="pyarrow").materialize()
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    joined = range_lookup_join(ev, bands, "user_id", "lo", "hi")
+
+    def one(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array(np.ones(b.num_rows)))
+
+    partial = joined.map_batches(one, batch_format="pyarrow").map_batches(
+        _partial_sums(["band"], {"one": "sum", "user_id": "sum"}),
+        batch_format="pyarrow")
+    out = partial.groupby("band").aggregate(
+        Sum("one_sum", alias_name="cnt_f"),
+        Sum("user_id_sum", alias_name="sum_user_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": b["band"],
+            "cnt": pc.cast(b["cnt_f"], pa.int64()),
+            "sum_user": pc.cast(b["sum_user_f"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("band")

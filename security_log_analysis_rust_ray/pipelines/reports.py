@@ -499,3 +499,24 @@ def trending_terms(sf_dir: str) -> rd.Dataset:
         return b.filter(pa.array(keep)).select(["day", "term", "cnt"])
 
     return j.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def route_rollup(sf_dir: str) -> rd.Dataset:
+    """(service, server) counts at EVERY rollup level — per pair, per
+    service, grand total — in one scan/one exchange via
+    ``agg.grouped_count_rollup`` (the reference runs these as separate
+    count queries per dashboard panel, src/security_log_http.rs handlers;
+    one ROLLUP pass replaces three scans)."""
+    return agg.grouped_count_rollup(parsed(sf_dir), ["service", "server"],
+                                    small_keyspace=True)
+
+
+MESSAGE_LEVELS = ["debug", "info", "warn", "error"]
+
+
+def unit_level_pivot(sf_dir: str) -> rd.Dataset:
+    """Crosstab of the messages sink: one row per log_unit with a count
+    column per log level (the dashboard's wide table; SQL = one
+    count FILTER per level).  Exercises ``agg.pivot_counts``."""
+    return agg.pivot_counts(messages(sf_dir), "log_unit", "log_level",
+                            MESSAGE_LEVELS)

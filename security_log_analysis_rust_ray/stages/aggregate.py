@@ -237,3 +237,97 @@ def add_year_month(batch: pa.Table) -> pa.Table:
     return (batch
             .append_column("year", pc.cast(pc.year(batch["datetime"]), pa.int32()))
             .append_column("month", pc.cast(pc.month(batch["datetime"]), pa.int32())))
+
+
+def grouped_count_rollup(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
+                         grp_col: str = "grp_id",
+                         high_cardinality: bool = False,
+                         small_keyspace: bool = False) -> rd.Dataset:
+    """GROUP BY ROLLUP(keys) counts — every trailing-prefix grouping level
+    in ONE pass / one exchange (the reference reports per-(service,server)
+    AND per-service totals as separate queries; a 100-TB corpus can't
+    afford a scan per level).  Per batch: one in-batch full-key count,
+    then each coarser level folds from that already-tiny partial (never
+    re-touching the batch rows); all levels union into the same exchange,
+    keyed by (keys..., ``grp_col``).  ``grp_col`` follows SQL
+    ``GROUPING(keys...)`` bit semantics (trailing-roll levels: 0, 1, 3,
+    ...), so rolled cells (emitted NULL) can never collide with genuine
+    null key values at a different level.  String keys only (the sentinel
+    trick needs a string domain).  Empty input -> 0 rows (note: SQL ROLLUP
+    emits a grand-total row even for empty input; callers on possibly
+    empty corpora must add it — the queries here run on never-empty
+    sinks)."""
+    for k in keys:
+        f = ds.schema().base_schema.field(k)
+        assert f.type in (pa.string(), pa.large_string()), (k, f.type)
+    full = keys + [grp_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        base = _fill(b.select(keys), keys)
+        g = base.group_by(keys).aggregate([([], "count_all")]) \
+            .rename_columns(keys + ["n"])
+        outs = []
+        for level in range(len(keys) + 1):
+            kept = keys[:len(keys) - level]
+            if kept:
+                gl = g.group_by(kept).aggregate([("n", "sum")]) \
+                    .rename_columns(kept + ["n"])
+            elif g.num_rows:
+                gl = pa.table({"n": pa.array(
+                    [pc.sum(g["n"]).as_py()], pa.int64())})
+            else:
+                continue
+            cols = {k: gl[k] for k in kept}
+            for k in keys[len(kept):]:
+                cols[k] = pa.array([_NULL_SENTINEL] * gl.num_rows,
+                                   pa.string())
+            cols[grp_col] = pa.array([(1 << level) - 1] * gl.num_rows,
+                                     pa.int64())
+            cols["_partial"] = pc.cast(gl["n"], pa.int64())
+            outs.append(pa.table(cols))
+        live = [t for t in outs if t.num_rows]
+        if not live:
+            return pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys},
+                 grp_col: pa.array([], pa.int64()),
+                 "_partial": pa.array([], pa.int64())})
+        return pa.concat_tables(live)
+
+    return _grouped_fold(ds, full, partial, alias,
+                         high_cardinality, small_keyspace)
+
+
+def pivot_counts(ds: rd.Dataset, key: str, col: str,
+                 values: list[str], alias_fmt: str = "{v}") -> rd.Dataset:
+    """Crosstab: one row per ``key``, one int64 count column per value of
+    ``col`` (``values`` must enumerate them — a pivot's output schema is
+    fixed up front; unseen values produce all-zero columns, values outside
+    the list are NOT counted).  Same combiner discipline as
+    ``grouped_count``: the per-batch hash count collapses the batch to one
+    row per (key, col) BEFORE the local pivot, so the exchange moves at
+    most len(values) ints per (key, block).  SQL equivalent:
+    ``count(*) FILTER (WHERE col = v) AS v`` per value."""
+    names = [alias_fmt.format(v=v) for v in values]
+
+    def partial(b: pa.Table) -> pa.Table:
+        base = _fill(b.select([key, col]), [key])
+        g = base.group_by([key, col]).aggregate([([], "count_all")]) \
+            .rename_columns([key, col, "n"])
+        n = pc.cast(g["n"], pa.int64())
+        wide = pa.table(
+            {key: g[key],
+             **{name: pc.if_else(pc.equal(g[col], v), n, pa.scalar(0))
+                for name, v in zip(names, values)}})
+        out = wide.group_by([key]).aggregate([(nm, "sum") for nm in names])
+        return out.rename_columns([key] + names)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    out = pre.groupby(key).aggregate(
+        *[Sum(nm, alias_name=nm) for nm in names])
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {key: b[key]}
+        for nm in names:
+            cols[nm] = pc.cast(pc.fill_null(b[nm], 0), pa.int64())
+        return _restore(pa.table(cols), [key])
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

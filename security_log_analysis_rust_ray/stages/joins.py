@@ -578,3 +578,73 @@ def anti_join(fact: rd.Dataset, keys_ds: rd.Dataset, fact_key: str,
     probed = _shuffled_membership(to_probe, keys, fact_key, nparts,
                                   keep_members=False)
     return probed.union(definite) if definite is not None else probed
+
+
+def range_lookup_join(fact: rd.Dataset, ranges: rd.Dataset, fact_col: str,
+                      lo_col: str, hi_col: str, how: str = "inner",
+                      rename: dict[str, str] | None = None) -> rd.Dataset:
+    """Interval-dim lookup: attach the payload of the UNIQUE range row with
+    ``lo <= fact[fact_col] <= hi`` to each fact row — the GeoIP/CIDR shape
+    (the reference resolves host -> country through a metadata dim,
+    src/host_country_metadata.rs:95-175; at log scale the canonical form
+    of that dim is an IP-range table).  A non-equi join has no hash key to
+    shuffle on, so the plan is broadcast-only by design: the range dim is
+    collected once (it must fit the driver — a full public GeoIP table is
+    tens of MB, and the collect raises past ``broadcast_max_bytes``-scale
+    inputs rather than silently building a giant probe), validated
+    DISJOINT, sorted by ``lo``, shipped once with ``ray.put``, and every
+    fact batch resolves with two numpy ``searchsorted`` gathers — zero
+    Python per row, no exchange at all.  Overlapping ranges raise: "which
+    payload?" is ambiguous and a silent first-match would diverge from a
+    SQL BETWEEN join's duplicating semantics.  Null / out-of-band fact
+    values never match (``how='inner'`` drops them, ``'left'`` attaches
+    null payload), matching SQL.  ``how`` in {"inner", "left"}."""
+    import numpy as np
+
+    assert how in ("inner", "left"), how
+    rename = rename or {}
+    tbl = _collect_table(ranges).combine_chunks()
+    tbl = tbl.filter(pc.and_(pc.is_valid(tbl[lo_col]),
+                             pc.is_valid(tbl[hi_col])))
+    lo = tbl[lo_col].to_numpy(zero_copy_only=False)
+    hi = tbl[hi_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    if np.any(hi < lo):
+        raise ValueError("range dim has hi < lo rows")
+    if len(lo) > 1 and np.any(lo[1:] <= hi[:-1]):
+        raise ValueError(
+            "range dim intervals overlap; range_lookup_join requires "
+            "disjoint ranges (split overlapping dims upstream)")
+    payload = tbl.drop_columns([lo_col, hi_col]).take(pa.array(order))
+    if rename:
+        payload = payload.rename_columns(
+            [rename.get(c, c) for c in payload.column_names])
+    ref = ray.put((lo, hi, payload))
+    inner = how == "inner"
+
+    def attach(b: pa.Table) -> pa.Table:   # task pool (see lookup_join)
+        lo, hi, payload = ray.get(ref)
+        v = b[fact_col].to_numpy(zero_copy_only=False)
+        if len(lo):
+            pos = np.searchsorted(lo, v, side="right") - 1
+            ok = pos >= 0
+            # NaN compares false everywhere -> null fact values miss
+            with np.errstate(invalid="ignore"):
+                ok[ok] &= v[ok] <= hi[pos[ok]]
+        else:
+            pos = np.full(len(v), -1)
+            ok = np.zeros(len(v), dtype=bool)
+        if inner:
+            b = b.filter(pa.array(ok))
+            idx = pa.array(pos[ok], pa.int64())
+        else:
+            idx = pa.array(np.where(ok, pos, -1), pa.int64())
+            idx = pc.if_else(pc.equal(idx, -1), pa.nulls(len(idx),
+                                                         pa.int64()), idx)
+        taken = payload.take(idx)
+        for name in taken.column_names:
+            b = b.append_column(name, taken[name])
+        return b
+
+    return fact.map_batches(attach, batch_format="pyarrow")
