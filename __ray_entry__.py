@@ -20,6 +20,7 @@ from security_log_analysis_rust_ray.pipelines import docs as D
 from security_log_analysis_rust_ray.pipelines import media as M
 from security_log_analysis_rust_ray.pipelines import relational as REL
 from security_log_analysis_rust_ray.pipelines import reports as R
+from security_log_analysis_rust_ray.pipelines import search as SRCH
 from security_log_analysis_rust_ray.pipelines import streaming as STR
 
 
@@ -108,7 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_rollup": R.route_rollup,           # oracle, new r03
         "unit_level_pivot": R.unit_level_pivot,   # oracle, new r03
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
-        "events_asof_signup": REL.events_asof_signup,
+        "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
         "events_semi_join_purchasers": REL.events_semi_join_purchasers,
         "distinct_host_count": REL.distinct_host_count,
@@ -142,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": D.dup_clusters,              # r01+r02-passed
         "ann_topk": ANN.ann_topk,                    # r01+r02-passed
         "sessionize": STR.sessionize,                # r01+r02-passed
+        "events_asof_signup":
+            REL.events_asof_signup,               # r01-passed
         "events_daily_counts":
             REL.events_daily_counts,              # r01-passed
         "events_sliding_3d_counts":
@@ -531,6 +534,11 @@ def oracle_sql() -> dict[str, str]:
         " AS shuffle_key FROM docs_aug)\n"
         "SELECT doc_id, shuffle_key,"
         f" (shuffle_key * 8) // {D.EPOCH_MOD} AS shard FROM keyed")
+    out["doc_search_and"] = docs_pre + (
+        "t AS (SELECT DISTINCT doc_id,"
+        " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
+        "SELECT doc_id FROM t WHERE term IN ('batch', 'join')"
+        " GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id")
     out["vocab_counts"] = docs_pre + (
         "terms AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
         "SELECT term, count(*) AS cnt FROM terms GROUP BY term"

@@ -1,0 +1,136 @@
+"""Persisted inverted text index: term -> posting lists, bucket-partitioned
+Parquet, with bucket-pruned boolean-AND retrieval.
+
+The reference exposes log search only as SQL LIKE filters pushed to
+Postgres (src/security_log_http.rs query handlers); at 100-TB corpus scale
+the equivalent primitive is an inverted index built ONCE as a dataset job
+and queried by reading only the term's hash bucket — the same
+build-once/prune-at-read discipline as the IVF (`ann.ann_build_index`) and
+LSH (`docs.lsh_build_index`) indexes.  Buckets use the PINNED
+``hash64_stable`` (never the polars fast path) so a persisted index stays
+valid across library upgrades — the manifest records the tag and a
+mismatched reader refuses rather than silently missing postings.
+
+Scale notes: postings are (term, doc_id) distinct rows, hive-partitioned
+by ``bucket = hash64_stable(term) % SEARCH_BUCKETS``; a query touches
+len(terms) buckets ≈ 1/SEARCH_BUCKETS of the index each, regardless of
+corpus size.  The AND is a grouped count over the pruned postings (all
+postings distinct by construction, so count == n_terms ⇔ every term hit).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import hash64_stable
+from ..stages import aggregate as agg
+from .docs import docs_aug_ds
+
+SEARCH_BUCKETS = 64
+SEARCH_TERMS = ["batch", "join"]   # default demo query (common corpus terms)
+_HASH_IMPL = "fnv-fmix-pinned"     # hash64_stable is self-contained
+
+
+def _posting_rows(b: pa.Table) -> pa.Table:
+    """(term, doc_id, bucket) DISTINCT rows for one doc batch — one Arrow
+    split + offsets-repeat explode; a doc lives entirely in one row, so the
+    in-batch distinct is globally exact."""
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets, dtype=np.int64)
+    doc = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False),
+                    np.diff(offs))
+    t = pa.table({"term": flat, "doc_id": pa.array(doc, pa.int64())})
+    t = t.group_by(["term", "doc_id"]).aggregate([]).combine_chunks()
+    bucket = hash64_stable(t["term"].combine_chunks()) % SEARCH_BUCKETS
+    return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+
+def search_build_index(sf_dir: str, index_dir: str) -> dict:
+    """Build the inverted index once (atomic tmp+rename; a present manifest
+    makes the rebuild a no-op, so nightly jobs are idempotent)."""
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            return json.load(fh)
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    docs = docs_aug_ds(sf_dir)
+    n = docs.count()
+    docs.map_batches(_posting_rows, batch_format="pyarrow",
+                     batch_size=None) \
+        .write_parquet(os.path.join(tmp, "postings"),
+                       partition_cols=["bucket"])
+    man = {"n_docs": int(n), "buckets": SEARCH_BUCKETS,
+           "hash_impl": _HASH_IMPL}
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    os.rename(tmp, index_dir)
+    return man
+
+
+def _probed_postings(index_dir: str, terms: list[str]) -> rd.Dataset | None:
+    """Read ONLY the buckets the query terms hash to (path-pruned; at 64
+    buckets a 2-term query scans ~3% of the index).  ``read_parquet``
+    rejects a list of directories, so expand to file globs."""
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        man = json.load(fh)
+    if man["hash_impl"] != _HASH_IMPL:
+        raise ValueError(
+            f"index built under hash_impl={man['hash_impl']!r}, reader is "
+            f"{_HASH_IMPL!r}; rebuild the index")
+    tarr = pa.array(terms, pa.string())
+    buckets = sorted(set(
+        (hash64_stable(tarr) % man["buckets"]).astype(int).tolist()))
+    files: list[str] = []
+    for k in buckets:
+        files.extend(sorted(_glob.glob(
+            os.path.join(index_dir, "postings", f"bucket={k}", "*.parquet"))))
+    if not files:
+        return None
+    return rd.read_parquet(files, columns=["term", "doc_id"])
+
+
+def search_docs_and(sf_dir: str, terms: list[str] | None = None,
+                    index_dir: str | None = None) -> rd.Dataset:
+    """doc_ids containing EVERY query term (boolean AND), via the persisted
+    index: prune to the terms' buckets, keep probe-term rows, grouped count
+    per doc — count == n_terms ⇔ all terms present (postings are distinct).
+    Returns (doc_id) sorted ascending."""
+    terms = sorted(set(terms if terms is not None else SEARCH_TERMS))
+    if index_dir is None:
+        from ..synth import CACHE_ROOT
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        index_dir = os.path.join(CACHE_ROOT, tag, "search_index")
+    search_build_index(sf_dir, index_dir)
+    post = _probed_postings(index_dir, terms)
+    empty = pa.schema([pa.field("doc_id", pa.int64())]).empty_table()
+    if post is None or not terms:
+        return rd.from_arrow(empty)
+    tset = pa.array(terms, pa.string())
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["term"], value_set=tset))
+
+    hits = post.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    counts = agg.grouped_count(hits, ["doc_id"])
+    n = len(terms)
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.schema.names:
+            return empty
+        return b.filter(pc.equal(b["cnt"], n)).select(["doc_id"])
+
+    return counts.map_batches(final, batch_format="pyarrow",
+                              batch_size=None).sort("doc_id")
