@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
-        "events_semi_join_purchasers": REL.events_semi_join_purchasers,
+        "events_value_stats": REL.events_value_stats,  # oracle, new r03
         "distinct_host_count": REL.distinct_host_count,
         "hot_hosts": REL.hot_hosts,
         "host_daily_anomalies":
@@ -143,8 +143,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": D.dup_clusters,              # r01+r02-passed
         "ann_topk": ANN.ann_topk,                    # r01+r02-passed
         "sessionize": STR.sessionize,                # r01+r02-passed
+        "nation_balance_full_join":
+            REL.nation_balance_full_join,  # oracle, new r03 (sweep-checked)
         "events_asof_signup":
             REL.events_asof_signup,               # r01-passed
+        "events_semi_join_purchasers":
+            REL.events_semi_join_purchasers,      # r01-passed
         "events_daily_counts":
             REL.events_daily_counts,              # r01-passed
         "events_sliding_3d_counts":
@@ -1246,6 +1250,23 @@ def oracle_sql() -> dict[str, str]:
     out["events_daily_counts"] = (
         "SELECT user_id, event_type, date_trunc('day', ts) AS day,"
         " count(*) AS cnt FROM events GROUP BY 1, 2, 3")
+    out["nation_balance_full_join"] = (
+        "WITH c AS (SELECT c_nationkey AS nk,"
+        " round(sum(c_acctbal), 2) AS cust_total FROM customer"
+        " WHERE c_acctbal > 4000 GROUP BY 1),\n"
+        "s AS (SELECT s_nationkey AS nk,"
+        " round(sum(s_acctbal), 2) AS supp_total FROM supplier"
+        " WHERE s_acctbal > 4000 GROUP BY 1)\n"
+        "SELECT COALESCE(c.nk, s.nk) AS nk, cust_total, supp_total"
+        " FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk")
+    out["events_value_stats"] = (
+        "SELECT event_type, count(value) AS n,"
+        " round(sum(value)/count(value), 6) AS mean,"
+        " round(sqrt(greatest((sum(value*value)"
+        "   - sum(value)*sum(value)/count(value))"
+        "   / (count(value)-1), 0.0)), 6) AS std,"
+        " min(value) AS min_v, max(value) AS max_v"
+        " FROM events GROUP BY event_type ORDER BY event_type")
     out["events_user_bands"] = (
         "WITH bands AS (SELECT n_name AS band,"
         " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"

@@ -773,3 +773,47 @@ def events_user_bands(sf_dir: str) -> rd.Dataset:
         })
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort("band")
+
+
+def events_value_stats(sf_dir: str) -> rd.Dataset:
+    """Per-event-type value statistics (n, mean, sample std, min, max) via
+    the one-pass mergeable-moments fold in ``agg.grouped_stats`` — the
+    grouped generalization of the reference's SES stats fold
+    (src/ses_client.rs:68-109)."""
+    from ..stages import aggregate as agg
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return agg.grouped_stats(ev, ["event_type"], "value") \
+        .sort("event_type")
+
+
+def nation_balance_full_join(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER reconciliation of per-nation customer vs supplier balance
+    totals (high-balance rows only, so each side covers a DIFFERENT nation
+    subset and both unmatched directions genuinely occur).  Exercises
+    ``hash_join(how="full")`` — per-key-partition Acero full outer with
+    coalesced keys IS the global full outer."""
+    from ..stages.joins import hash_join
+
+    def side(table: str, key: str, bal: str, alias: str) -> rd.Dataset:
+        ds = read_table(sf_dir, table, columns=[key, bal])
+
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater(b[bal], 4000.0))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+        ds = ds.map_batches(
+            _partial_sums([key], {bal: "sum"}), batch_format="pyarrow")
+        out = ds.groupby(key).aggregate(Sum(f"{bal}_sum", alias_name="t"))
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "nk": pc.cast(b[key], pa.int32()),
+                alias: pa.array(round_half_up(
+                    b["t"].to_numpy(zero_copy_only=False), 2)),
+            })
+        return out.map_batches(finish, batch_format="pyarrow",
+                               batch_size=None)
+
+    cust = side("customer", "c_nationkey", "c_acctbal", "cust_total")
+    supp = side("supplier", "s_nationkey", "s_acctbal", "supp_total")
+    return hash_join(cust, supp, on=("nk",), how="full").sort("nk")

@@ -331,3 +331,59 @@ def pivot_counts(ds: rd.Dataset, key: str, col: str,
             cols[nm] = pc.cast(pc.fill_null(b[nm], 0), pa.int64())
         return _restore(pa.table(cols), [key])
     return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_stats(ds: rd.Dataset, keys: list[str], value_col: str,
+                  round_to: int = 6) -> rd.Dataset:
+    """Per-group (n, mean, std, min, max) in ONE pass via the classic
+    mergeable-moments fold: each batch emits (n, Σv, Σv², min, max) per
+    key, the final exchange sums/extremizes them, and mean/sample-std
+    derive at the end (std = sqrt((Σv² − (Σv)²/n)/(n−1)), null for n<2 —
+    SQL stddev_samp semantics).  Exactly the reference's A6 EmailStats
+    fold generalized to grouped form (src/ses_client.rs:68-109 folds one
+    global row).  mean/std round half-away-from-zero to ``round_to`` (the
+    oracle restates std from the same Σ/Σ² formula, so both sides round
+    the same quantity); min/max are exact."""
+    import numpy as np
+    from ..functions.util import round_half_up
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = _fill(b.select(keys + [value_col]), keys)
+        v2 = pc.multiply(b[value_col], b[value_col])
+        b = b.append_column("_v2", v2)
+        g = b.group_by(keys).aggregate([
+            (value_col, "count"), (value_col, "sum"), ("_v2", "sum"),
+            (value_col, "min"), (value_col, "max")])
+        return g.rename_columns(keys + ["_n", "_s", "_ss", "_min", "_max"])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    from ray.data.aggregate import Max, Min
+    out = pre.groupby(keys).aggregate(
+        Sum("_n", alias_name="n_f"), Sum("_s", alias_name="s"),
+        Sum("_ss", alias_name="ss"), Min("_min", alias_name="min_v"),
+        Max("_max", alias_name="max_v"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_f"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        ss = b["ss"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        with np.errstate(invalid="ignore"):
+            var = np.where(n > 1, (ss - s * s / n) / (n - 1), np.nan)
+            std = np.sqrt(np.maximum(var, 0.0))
+        t = pa.table({
+            **{k: b[k] for k in keys},
+            "n": pa.array(n.astype(np.int64)),
+            "mean": pa.array(round_half_up(mean, round_to)),
+            "std": pa.array(np.where(np.isnan(std), np.nan,
+                                     round_half_up(std, round_to))),
+            "min_v": b["min_v"], "max_v": b["max_v"],
+        })
+        if t.num_rows:
+            mask = pa.array(~np.isnan(std))
+            i = t.schema.get_field_index("std")
+            t = t.set_column(i, "std", pc.if_else(
+                mask, t["std"], pa.nulls(t.num_rows, pa.float64())))
+        return _restore(t, keys)
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

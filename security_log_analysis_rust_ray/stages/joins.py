@@ -240,17 +240,26 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
     ``on`` / ``right_on`` are column-name tuples (composite keys fine).
     Output = left columns + right's non-key columns (``rename`` maps right
     payload names); right key columns are dropped.  ``how`` in
-    {"inner", "left"}.  Null keys never match (SQL semantics); with
-    ``how="left"`` null-key left rows survive with null payload."""
+    {"inner", "left", "full"}.  Null keys never match (SQL semantics);
+    with ``how="left"`` null-key left rows survive with null payload.
+
+    ``how="full"`` always takes the hash path (a per-left-batch broadcast
+    probe cannot know which right rows stayed GLOBALLY unmatched): right
+    rows land in exactly one key partition, so per-partition FULL OUTER
+    (Acero, coalesce_keys) IS the global full outer; null-key right rows
+    can match nothing, so they bypass the exchange entirely and are
+    stamped straight to output shape (their valid key components survive
+    in the coalesced key columns, per SQL)."""
     import numpy as np
     from .dedup import _use_hash_shuffle
 
     on = tuple(on)
     right_on = tuple(right_on) if right_on is not None else on
-    assert how in ("inner", "left"), how
+    assert how in ("inner", "left", "full"), how
     assert len(on) == len(right_on)
     rename = rename or {}
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
     limit = get_config().broadcast_max_bytes if broadcast_max_bytes is None \
         else broadcast_max_bytes
 
@@ -261,9 +270,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
     # their types are unknowable).  Returning the left stream keeps this
     # total rather than crashing schema resolution.
     if left.schema() is None:
+        if how == "full":
+            raise ValueError(
+                "full outer join with a schema-less empty left side: the "
+                "output's left columns are unknowable; guard the call site")
         return left
     if right.schema() is None:
-        return left if how == "left" else left.limit(0)
+        return left if how in ("left", "full") else left.limit(0)
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
     key_types = {k: left_schema.field(k).type for k in on}
@@ -293,7 +306,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
         return out.select(out_schema.names).cast(out_schema)
 
     est = _estimate_bytes(right)
-    if est is not None and est <= limit:
+    if how != "full" and est is not None and est <= limit:
         rt = _collect_table(right).combine_chunks()
         rt = _cast_keys(rt.rename_columns(_right_names(rt.column_names)))
         ref = ray.put(rt)
@@ -302,6 +315,29 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
             return _local_join(b, ray.get(ref))
 
         return left.map_batches(attach, batch_format="pyarrow")
+
+    rnull_out = None
+    if how == "full":
+        # null-key right rows match nothing; stamp them straight to output
+        # shape (valid composite-key components survive, SQL-style) and
+        # union them around the exchange
+        def right_nulls(t: pa.Table) -> pa.Table:
+            t = _cast_keys(t.rename_columns(_right_names(t.column_names)))
+            mask = None
+            for k in on:
+                m = pc.is_null(t[k])
+                mask = m if mask is None else pc.or_(mask, m)
+            t = t.filter(mask)
+            cols = []
+            for f in out_schema:
+                if f.name in t.schema.names:
+                    cols.append(t[f.name].cast(f.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, f.type))
+            return pa.Table.from_arrays(cols, schema=out_schema)
+
+        rnull_out = right.map_batches(right_nulls, batch_format="pyarrow",
+                                      batch_size=None)
 
     # runtime filter (inner only — a left join keeps non-matching rows):
     # a Bloom filter over the right side's keys prunes the left stream
@@ -361,12 +397,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
             return out_schema.empty_table()
         is_right = pc.fill_null(pc.equal(t[_MARKER], 1), False)
         left_rows = t.filter(pc.invert(is_right))
-        if left_rows.num_rows == 0:
+        if left_rows.num_rows == 0 and how != "full":
             return out_schema.empty_table()
         lt = pa.table(
             {f.name: left_rows[f.name].cast(f.type) for f in left_schema})
         right_rows = t.filter(is_right)
-        rcols = {k: right_rows[k] for k in on}
+        rcols = {k: right_rows[k].cast(key_types[k]) for k in on}
         for f in payload_fields:
             pref = _DIM_PREFIX + f.name
             rcols[f.name] = right_rows[pref].cast(f.type) \
@@ -374,7 +410,9 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on, right_on=None,
                 else pa.nulls(right_rows.num_rows, f.type)
         return _local_join(lt, pa.table(rcols))
 
-    return parts.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    joined = parts.map_batches(probe, batch_format="pyarrow",
+                               batch_size=None)
+    return joined.union(rnull_out) if rnull_out is not None else joined
 
 
 def _distinct_probe_keys(keys_ds: rd.Dataset, key_col: str, fact_key: str,

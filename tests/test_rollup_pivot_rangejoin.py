@@ -120,3 +120,43 @@ def test_range_lookup_join_empty_ranges():
     left = range_lookup_join(fact, ranges, "v", "lo", "hi", how="left")
     df = left.to_pandas()
     assert len(df) == 2 and df["band"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_full_outer_matches_duckdb():
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import hash_join
+
+    ltab = pa.table({
+        "k": pa.array([1, 2, 2, 3, None], pa.int64()),
+        "lv": ["a", "b", "c", "d", "e"],
+    })
+    rtab = pa.table({
+        "rk": pa.array([2, 2, 4, None], pa.int64()),
+        "rv": ["x", "y", "z", "w"],
+    })
+    got = hash_join(rd.from_arrow(ltab).repartition(2),
+                    rd.from_arrow(rtab).repartition(2),
+                    on=("k",), right_on=("rk",), how="full").to_pandas()
+    want = duckdb.sql(
+        "SELECT COALESCE(l.k, r.rk) AS k, lv, rv FROM ltab l"
+        " FULL OUTER JOIN rtab r ON l.k = r.rk").df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
+    # both unmatched directions present
+    assert got["rv"].isna().sum() >= 2   # k=1,3 and the null-key left row
+    assert got["lv"].isna().sum() >= 2   # rk=4 and the null-key right row
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_full_outer_empty_sides():
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.joins import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "lv": ["a"]}))
+    right_empty = rd.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()), "rv": pa.array([], pa.string())}))
+    out = hash_join(left, right_empty, on=("k",), right_on=("rk",),
+                    how="full").to_pandas()
+    assert list(out["k"]) == [1] and out["rv"].isna().all()
