@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": STR.sessionize,                # r01+r02-passed
         "nation_balance_full_join":
             REL.nation_balance_full_join,  # oracle, new r03 (sweep-checked)
+        "doc_search_or":
+            SRCH.search_docs_or,           # oracle, new r03 (sweep-checked)
+        "doc_search_and_not":
+            SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
             REL.events_asof_signup,               # r01-passed
         "events_semi_join_purchasers":
@@ -542,6 +546,17 @@ def oracle_sql() -> dict[str, str]:
         "t AS (SELECT DISTINCT doc_id,"
         " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
         "SELECT doc_id FROM t WHERE term IN ('batch', 'join')"
+        " GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id")
+    out["doc_search_or"] = docs_pre + (
+        "t AS (SELECT DISTINCT doc_id,"
+        " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
+        "SELECT DISTINCT doc_id FROM t WHERE term IN ('batch', 'join')"
+        " ORDER BY doc_id")
+    out["doc_search_and_not"] = docs_pre + (
+        "t AS (SELECT DISTINCT doc_id,"
+        " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
+        "SELECT doc_id FROM t WHERE term IN ('batch', 'join')"
+        " AND doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'slow')"
         " GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id")
     out["vocab_counts"] = docs_pre + (
         "terms AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"

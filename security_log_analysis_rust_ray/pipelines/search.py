@@ -134,3 +134,46 @@ def search_docs_and(sf_dir: str, terms: list[str] | None = None,
 
     return counts.map_batches(final, batch_format="pyarrow",
                               batch_size=None).sort("doc_id")
+
+
+def search_docs_or(sf_dir: str, terms: list[str] | None = None,
+                   index_dir: str | None = None) -> rd.Dataset:
+    """doc_ids containing ANY query term (boolean OR): pruned postings,
+    keep probe terms, distinct doc_id.  Returns (doc_id) sorted."""
+    from ..stages.dedup import distinct_rows
+    terms = sorted(set(terms if terms is not None else SEARCH_TERMS))
+    if index_dir is None:
+        from ..synth import CACHE_ROOT
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        index_dir = os.path.join(CACHE_ROOT, tag, "search_index")
+    search_build_index(sf_dir, index_dir)
+    post = _probed_postings(index_dir, terms)
+    empty = pa.schema([pa.field("doc_id", pa.int64())]).empty_table()
+    if post is None or not terms:
+        return rd.from_arrow(empty)
+    tset = pa.array(terms, pa.string())
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["term"], value_set=tset)) \
+            .select(["doc_id"])
+
+    hits = post.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    out = distinct_rows(hits, ["doc_id"])
+    return out.map_batches(
+        lambda t: t if t.num_columns else empty,
+        batch_format="pyarrow", batch_size=None).sort("doc_id")
+
+
+def search_docs_and_not(sf_dir: str, terms: list[str] | None = None,
+                        exclude: list[str] | None = None,
+                        index_dir: str | None = None) -> rd.Dataset:
+    """AND retrieval minus any doc containing an excluded term — the AND
+    result anti-joined against the excluded terms' OR postings (both sides
+    bucket-pruned; the blocklist filter shape, at index speed)."""
+    from ..stages.joins import anti_join
+    exclude = sorted(set(exclude if exclude is not None else ["slow"]))
+    keep = search_docs_and(sf_dir, terms, index_dir=index_dir)
+    if not exclude:
+        return keep
+    drop = search_docs_or(sf_dir, exclude, index_dir=index_dir)
+    return anti_join(keep, drop, "doc_id", "doc_id").sort("doc_id")
