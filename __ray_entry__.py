@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.nation_balance_full_join,  # oracle, new r03 (sweep-checked)
         "doc_search_or":
             SRCH.search_docs_or,           # oracle, new r03 (sweep-checked)
+        "doc_prefix_dups":
+            D.doc_prefix_dups,             # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -547,6 +549,11 @@ def oracle_sql() -> dict[str, str]:
         " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
         "SELECT doc_id FROM t WHERE term IN ('batch', 'join')"
         " GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id")
+    out["doc_prefix_dups"] = docs_pre + (
+        "s AS (SELECT doc_id, text,"
+        " lead(text) OVER (ORDER BY text, doc_id) AS nxt FROM docs_aug)\n"
+        "SELECT doc_id FROM s WHERE nxt IS NOT NULL"
+        " AND starts_with(nxt, text) ORDER BY doc_id")
     out["doc_search_or"] = docs_pre + (
         "t AS (SELECT DISTINCT doc_id,"
         " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"

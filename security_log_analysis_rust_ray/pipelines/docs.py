@@ -3133,3 +3133,53 @@ def doc_incremental_near_dedup_indexed(sf_dir: str,
         batch_format="pyarrow", batch_size=None)
     return anti_join(new_docs, matched_new, "doc_id", "doc_id",
                      nparts=nparts)
+
+
+def doc_prefix_dups(sf_dir: str) -> rd.Dataset:
+    """Docs whose FULL text is a prefix of some other doc (exact dups of a
+    longer doc included) — the truncated-crawl/prefix-dup removal rule:
+    keep the longest variant, drop its prefixes.
+
+    A doc is a prefix of ANY other iff it is a prefix of its IMMEDIATE
+    successor under the total order (text, doc_id) — every string between
+    p and p+tail must itself start with p — so the all-pairs LIKE-join
+    collapses to ONE global sort + an adjacent elementwise startswith per
+    block, with the budget_select block-summary trick handing each block
+    its successor block's first text (driver state = one row per block).
+    The in-block kernel is polars' elementwise expr startswith (vectorized
+    over the Arrow buffer; polars is a hard dep of this repo's Ray build).
+    Output (doc_id) sorted.  Oracle = the identical lead() window rule."""
+    ds = docs_aug_ds(sf_dir).sort(["text", "doc_id"]).materialize()
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"t0": pa.array([], pa.string()),
+                             "id0": pa.array([], pa.int64())})
+        return pa.table({"t0": b["text"].slice(0, 1),
+                         "id0": b["doc_id"].slice(0, 1)})
+
+    summ = ds.map_batches(block_summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.schema([pa.field("doc_id", pa.int64())]).empty_table()
+    if not len(summ):
+        return rd.from_arrow(empty)
+    summ = summ.sort_values(["t0", "id0"]).reset_index(drop=True)
+    nxt_first = {(t, int(i)): n for t, i, n in zip(
+        summ["t0"], summ["id0"], list(summ["t0"][1:]) + [None])}
+    ref = ray.put(nxt_first)
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        import polars as pl
+        txt = b["text"].combine_chunks()
+        df = pl.DataFrame({"c": pl.from_arrow(txt)})
+        f = df.select(pl.col("c").shift(-1).str.starts_with(pl.col("c"))
+                      .fill_null(False))["c"].to_numpy().copy()
+        nt = ray.get(ref)[(txt[0].as_py(), int(b["doc_id"][0].as_py()))]
+        last = txt[b.num_rows - 1].as_py()
+        f[-1] = nt is not None and nt.startswith(last)
+        return b.select(["doc_id"]).filter(pa.array(f))
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")

@@ -733,3 +733,23 @@ def test_lsh_persisted_index_matches_recompute(tmp_path):
         json.dump(man, fh)
     with pytest.raises(RuntimeError, match="hash_impl"):
         D.doc_incremental_near_dedup_indexed(SF_SMOKE, index_dir=idx)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prefix_dup_rule_across_block_boundaries(monkeypatch, tmp_path):
+    # crafted corpus: prefix chains + exact dups + unrelated docs, forced
+    # through MANY blocks so the successor handoff crosses boundaries
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.pipelines import docs as D
+
+    texts = ["a", "a b", "a b c", "a b", "zz", "q r", "q r s", "m"]
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    monkeypatch.setattr(D, "docs_aug_ds",
+                        lambda sf: rd.from_arrow(tbl).repartition(6))
+    got = D.doc_prefix_dups("unused").to_pandas()["doc_id"].tolist()
+    # prefix-of-another: "a"(0), "a b"(1 and its dup 3 — one flags the
+    # other, both are prefixes of "a b c"), "q r"(5); NOT "a b c", "zz",
+    # "q r s", "m"
+    assert got == [0, 1, 3, 5]
