@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.host_counts_cms,  # rows-only (count-min sketch), new r03
         "doc_length_quantiles_approx":
             D.doc_length_quantiles_approx,  # rows-only (quantile sketch)
+        "events_value_quantiles_by_type":
+            REL.events_value_quantiles_by_type,  # rows-only (keyed sketch)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
         "doc_length_bucketed_pack":
             D.doc_length_bucketed_pack,  # rows-only (greedy bins), new r03

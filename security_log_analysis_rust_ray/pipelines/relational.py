@@ -817,3 +817,15 @@ def nation_balance_full_join(sf_dir: str) -> rd.Dataset:
     cust = side("customer", "c_nationkey", "c_acctbal", "cust_total")
     supp = side("supplier", "s_nationkey", "s_acctbal", "supp_total")
     return hash_join(cust, supp, on=("nk",), how="full").sort("nk")
+
+
+def events_value_quantiles_by_type(sf_dir: str) -> rd.Dataset:
+    """Per-event-type approximate value quantiles (p50/p90/p99) via the
+    keyed mergeable quantile-grid fold (stages/sketch.py) — approximate,
+    so rows-only; the rank-error bound is pytest-asserted against the
+    exact per-group quantiles."""
+    from ..stages.sketch import grouped_approx_quantiles
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_approx_quantiles(ev, ["event_type"], "value",
+                                    [0.5, 0.9, 0.99]) \
+        .sort(["event_type", "q"])

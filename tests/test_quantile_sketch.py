@@ -99,3 +99,30 @@ def test_count_min_one_sided_and_bounded():
     assert (full == half).all()
     probe = pa.array([f"k{i}" for i in range(17)])
     assert (cms_query(full, probe) == cms_query(half, probe)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_approx_quantiles_rank_error_bounded():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.sketch import \
+        grouped_approx_quantiles
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    grp = np.where(rng.rand(n) < 0.7, "a", "b")
+    # different shapes per group: lognormal vs uniform
+    vals = np.where(grp == "a", rng.lognormal(0, 1, n), rng.rand(n) * 50)
+    ds = rd.from_arrow(pa.table({"g": grp, "v": vals})).repartition(16)
+    qs = [0.5, 0.9, 0.99]
+    got = grouped_approx_quantiles(ds, ["g"], "v", qs).to_pandas()
+    assert len(got) == 6
+    for g in ("a", "b"):
+        sub = np.sort(vals[grp == g])
+        for q in qs:
+            est = float(got[(got["g"] == g) & (got["q"] == q)]
+                        ["value_approx"].iloc[0])
+            # rank of the estimate within the true distribution
+            rank = np.searchsorted(sub, est) / len(sub)
+            assert abs(rank - q) < 0.02, (g, q, rank)
