@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_length_quantiles_approx,  # rows-only (quantile sketch)
         "events_value_quantiles_by_type":
             REL.events_value_quantiles_by_type,  # rows-only (keyed sketch)
+        "daily_active_users_approx":
+            REL.daily_active_users_approx,       # rows-only (keyed HLL)
         "doc_pack": D.doc_pack,                      # rows-only (greedy bins)
         "doc_length_bucketed_pack":
             D.doc_length_bucketed_pack,  # rows-only (greedy bins), new r03

@@ -829,3 +829,21 @@ def events_value_quantiles_by_type(sf_dir: str) -> rd.Dataset:
     return grouped_approx_quantiles(ev, ["event_type"], "value",
                                     [0.5, 0.9, 0.99]) \
         .sort(["event_type", "q"])
+
+
+def daily_active_users_approx(sf_dir: str) -> rd.Dataset:
+    """Approximate daily active users (distinct user_id per day) via the
+    keyed HLL fold — the canonical DAU metric at 100-TB event volume.
+    Day is emitted as an ISO string key (stable across both sketch and
+    exact paths).  Approximate -> rows-only; error bound pytest-asserted
+    against the exact per-day distinct."""
+    from ..stages.sketch import grouped_approx_distinct
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        d = pc.strftime(pc.floor_temporal(b["ts"], unit="day"), "%Y-%m-%d")
+        return pa.table({"day": d, "user_id": b["user_id"]})
+
+    dsd = ev.map_batches(day, batch_format="pyarrow", batch_size=None)
+    return grouped_approx_distinct(dsd, ["day"], "user_id",
+                                   alias="dau_approx").sort("day")

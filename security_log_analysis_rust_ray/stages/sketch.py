@@ -410,3 +410,53 @@ def grouped_approx_quantiles(ds: rd.Dataset, keys: list[str], col: str,
                          "value_approx": pa.array(vcol, pa.float64())})
 
     return parts.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], col: str,
+                            alias: str = "approx_distinct") -> rd.Dataset:
+    """PER-GROUP approximate COUNT(DISTINCT col) — the keyed HLL fold (the
+    daily-active-users shape): one 4 KB register row per (group, block),
+    one hash exchange, per-partition register max-merge + estimate.
+    Exchange volume = groups x blocks x 4 KB, independent of row count —
+    exact per-group distinct is an all-to-all of every (group, value)
+    pair.  Per-batch loop is over GROUPS; the register build per group is
+    the vectorized ``hll_partial``.  Approximate -> rows-only oracle with
+    the ±1.6%-typical error pytest-bounded against exact."""
+    from .dedup import _num_partitions, _use_hash_shuffle
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(keys + [col]).to_pandas()
+        out = {kc: [] for kc in keys}
+        regs = []
+        for kv, g in df.groupby(keys, dropna=False, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            c = pa.array(g[col].astype(str))
+            for kc, v in zip(keys, kv):
+                out[kc].append(v)
+            regs.append(hll_partial(c).tobytes())
+        return pa.table({**{kc: pa.array(out[kc]) for kc in keys},
+                         "reg": pa.array(regs, pa.binary())})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    parts = _use_hash_shuffle(pre).repartition(
+        num_blocks=max(_num_partitions(ds) // 4, 2), keys=keys)
+    empty_fields = {kc: pa.array([], pa.string()) for kc in keys}
+    empty = pa.table({**empty_fields, alias: pa.array([], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "reg" not in b.schema.names:
+            return empty
+        df = b.to_pandas()
+        cols = {kc: [] for kc in keys}
+        ests = []
+        for kv, g in df.groupby(keys, dropna=False, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                             for r in g["reg"]])
+            for kc, v in zip(keys, kv):
+                cols[kc].append(v)
+            ests.append(int(round(hll_estimate(np.maximum.reduce(regs)))))
+        return pa.table({**{kc: pa.array(cols[kc]) for kc in keys},
+                         alias: pa.array(ests, pa.int64())})
+
+    return parts.map_batches(final, batch_format="pyarrow", batch_size=None)

@@ -126,3 +126,26 @@ def test_grouped_approx_quantiles_rank_error_bounded():
             # rank of the estimate within the true distribution
             rank = np.searchsorted(sub, est) / len(sub)
             assert abs(rank - q) < 0.02, (g, q, rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_approx_distinct_error_bounded():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.sketch import \
+        grouped_approx_distinct
+
+    rng = np.random.RandomState(11)
+    n = 30000
+    grp = np.where(rng.rand(n) < 0.5, "d1", "d2")
+    # d1 ~5k distinct of 15k rows, d2 ~500 distinct
+    vals = np.where(grp == "d1", rng.randint(0, 5000, n),
+                    rng.randint(0, 500, n))
+    ds = rd.from_arrow(pa.table({"g": grp, "v": vals.astype("int64")})) \
+        .repartition(12)
+    got = grouped_approx_distinct(ds, ["g"], "v").to_pandas() \
+        .set_index("g")["approx_distinct"]
+    for g in ("d1", "d2"):
+        exact = len(np.unique(vals[grp == g]))
+        assert abs(got[g] - exact) / exact < 0.05, (g, got[g], exact)
