@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SRCH.search_docs_or,           # oracle, new r03 (sweep-checked)
         "doc_prefix_dups":
             D.doc_prefix_dups,             # oracle, new r03 (sweep-checked)
+        "events_tumbling_window_late":
+            STR.events_tumbling_window_late,  # oracle, new r03 (sweep-chk)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -1276,6 +1278,21 @@ def oracle_sql() -> dict[str, str]:
     out["events_daily_counts"] = (
         "SELECT user_id, event_type, date_trunc('day', ts) AS day,"
         " count(*) AS cnt FROM events GROUP BY 1, 2, 3")
+    from security_log_analysis_rust_ray.pipelines.streaming import (
+        LATE_EVERY as _LE)
+    out["events_tumbling_window_late"] = (
+        "WITH e AS (SELECT event_id,"
+        f" ts - CASE WHEN event_id % {_LE} = 0 THEN INTERVAL 2 HOUR"
+        " ELSE INTERVAL 0 SECOND END AS et FROM events),\n"
+        "w AS (SELECT event_id, et, max(et) OVER (ORDER BY event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM e)\n"
+        "SELECT date_trunc('hour', et) AS w_start,"
+        " count(*) FILTER (WHERE wm IS NULL OR date_trunc('hour', et)"
+        "  + INTERVAL 1 HOUR > wm - INTERVAL 30 MINUTE) AS cnt_on_time,"
+        " count(*) FILTER (WHERE wm IS NOT NULL AND date_trunc('hour', et)"
+        "  + INTERVAL 1 HOUR <= wm - INTERVAL 30 MINUTE)"
+        " AS cnt_late_dropped"
+        " FROM w GROUP BY 1 ORDER BY 1")
     out["nation_balance_full_join"] = (
         "WITH c AS (SELECT c_nationkey AS nk,"
         " round(sum(c_acctbal), 2) AS cust_total FROM customer"

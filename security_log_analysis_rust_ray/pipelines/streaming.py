@@ -341,3 +341,99 @@ def watermark_filter(ds: rd.Dataset, watermark: str) -> rd.Dataset:
     return ds.map_batches(
         lambda b: b.filter(pc.greater(b["datetime"], cutoff)),
         batch_format="pyarrow", batch_size=None)
+
+
+WINDOW_US = 3_600_000_000          # 1 h tumbling window
+LATENESS_US = 1_800_000_000        # 30 min allowed lateness
+LATE_EVERY = 13                    # event_id % 13 == 0 arrives 2 h late
+LATE_DELAY_US = 7_200_000_000
+
+
+def events_tumbling_window_late(sf_dir: str) -> rd.Dataset:
+    """Event-time TUMBLING windows with a WATERMARK and allowed lateness —
+    the missing streaming semantics next to sessionize/alert_batches: a
+    row whose window closed before (watermark − lateness) at its ARRIVAL
+    is dropped late, everything else counts on-time.  Every event_id % 13
+    row carries a 2 h-delayed event time (deterministic; the synthetic
+    stream itself arrives in order), so late data genuinely occurs.
+
+    Watermark = running max event-time over ARRIVAL order (event_id) —
+    a distributed EXCLUSIVE PREFIX MAX: one global sort by arrival, one
+    (first_id, block_max) summary row per block, driver folds block maxes
+    into exclusive prefixes (one row per BLOCK), broadcast, then a
+    vectorized per-block shifted-cummax + window compare.  Same plan
+    family as doc_budget_select's prefix sum.  Output
+    (w_start, cnt_on_time, cnt_late_dropped); exact -> the oracle
+    restates the watermark as a SQL running-max window."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    ds = ev.sort("event_id").materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id0": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        et = _event_time_us(b)
+        return pa.table({"id0": b["event_id"].slice(0, 1).cast(pa.int64()),
+                         "mx": pa.array([int(et.max())], pa.int64())})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if not len(summ):
+        return rd.from_arrow(pa.table({
+            "w_start": pa.array([], pa.timestamp("us")),
+            "cnt_on_time": pa.array([], pa.int64()),
+            "cnt_late_dropped": pa.array([], pa.int64())}))
+    summ = summ.sort_values("id0").reset_index(drop=True)
+    prefix = summ["mx"].cummax().shift(1)  # EXCLUSIVE: before this block
+    pref_map = {int(i): (None if pd.isna(p) else int(p))
+                for i, p in zip(summ["id0"], prefix)}
+    ref = ray.put(pref_map)
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"w_start": pa.array([], pa.int64()),
+                             "on": pa.array([], pa.int64()),
+                             "late": pa.array([], pa.int64())})
+        et = _event_time_us(b)
+        pre = ray.get(ref)[int(b["event_id"][0].as_py())]
+        run = np.maximum.accumulate(et)
+        wm = np.empty_like(run)              # exclusive shifted cummax
+        wm[1:] = run[:-1]
+        # -2^62, not iinfo.min: the later `wm - LATENESS_US` must not
+        # underflow-wrap positive for the global first arrival
+        wm[0] = -(1 << 62) if pre is None else pre
+        if pre is not None:
+            wm = np.maximum(wm, pre)
+        w_start = et - (et % WINDOW_US)
+        late = (w_start + WINDOW_US) <= (wm - LATENESS_US)
+        t = pa.table({"w_start": pa.array(w_start, pa.int64()),
+                      "on": pa.array((~late).astype(np.int64)),
+                      "late": pa.array(late.astype(np.int64))})
+        g = t.group_by(["w_start"]).aggregate([("on", "sum"),
+                                               ("late", "sum")])
+        return g.rename_columns(["w_start", "on", "late"])
+
+    partial = ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    out = partial.groupby("w_start").aggregate(
+        Sum("on", alias_name="cnt_on_time"),
+        Sum("late", alias_name="cnt_late_dropped"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "w_start": b["w_start"].cast(pa.timestamp("us")),
+            "cnt_on_time": pc.cast(b["cnt_on_time"], pa.int64()),
+            "cnt_late_dropped": pc.cast(b["cnt_late_dropped"], pa.int64()),
+        })
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None).sort("w_start")
+
+
+def _event_time_us(b: pa.Table) -> np.ndarray:
+    """Deterministic event time (µs): ts minus a 2 h delay on every
+    LATE_EVERY-th event_id (the synthetic late-arrival population)."""
+    ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = b["event_id"].to_numpy(zero_copy_only=False)
+    return ts - np.where(eid % LATE_EVERY == 0, LATE_DELAY_US, 0)

@@ -386,3 +386,46 @@ def test_cli_shuffle(tmp_path):
     a = pq.read_table(out_dir).sort_by("doc_id")
     b = pq.read_table(out_dir2).sort_by("doc_id")
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tumbling_window_late_multiblock_vs_reference(monkeypatch):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray.pipelines import streaming as S
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    base = 1_700_000_000_000_000  # us epoch
+    ts = base + np.sort(rng.randint(0, 3 * 24, n).astype(np.int64)) \
+        * 3_600_000_000 // 2      # half-hour-ish steps over 3 days
+    eid = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"event_id": eid,
+                    "ts": pa.array(ts, pa.timestamp("us"))})
+    monkeypatch.setattr(
+        S, "read_table",
+        lambda sf, name, columns=None: rd.from_arrow(tbl).repartition(9))
+    got = S.events_tumbling_window_late("unused").to_pandas()
+
+    # sequential reference
+    et = ts - np.where(eid % S.LATE_EVERY == 0, S.LATE_DELAY_US, 0)
+    wm = -(1 << 62)
+    ref = {}
+    for t in et:
+        w = t - t % S.WINDOW_US
+        late = (w + S.WINDOW_US) <= (wm - S.LATENESS_US)
+        on, lt = ref.get(w, (0, 0))
+        ref[w] = (on + (not late), lt + late)
+        wm = max(wm, t)
+    assert len(got) == len(ref)
+    total_late = 0
+    for _, row in got.iterrows():
+        w = int(row["w_start"].value // 1000) * 1000 \
+            if hasattr(row["w_start"], "value") else int(row["w_start"])
+        w_us = int(pd.Timestamp(row["w_start"]).value // 1000)
+        on, lt = ref[w_us]
+        assert (row["cnt_on_time"], row["cnt_late_dropped"]) == (on, lt)
+        total_late += row["cnt_late_dropped"]
+    assert total_late > 0                      # late data genuinely occurs
+    assert got["cnt_on_time"].sum() + total_late == n
