@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_prefix_dups,             # oracle, new r03 (sweep-checked)
         "events_tumbling_window_late":
             STR.events_tumbling_window_late,  # oracle, new r03 (sweep-chk)
+        "doc_suffix_dups":
+            D.doc_suffix_dups,             # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -560,6 +562,12 @@ def oracle_sql() -> dict[str, str]:
         " lead(text) OVER (ORDER BY text, doc_id) AS nxt FROM docs_aug)\n"
         "SELECT doc_id FROM s WHERE nxt IS NOT NULL"
         " AND starts_with(nxt, text) ORDER BY doc_id")
+    out["doc_suffix_dups"] = docs_pre + (
+        "s AS (SELECT doc_id, reverse(text) AS rtext FROM docs_aug),\n"
+        "w AS (SELECT doc_id, rtext,"
+        " lead(rtext) OVER (ORDER BY rtext, doc_id) AS nxt FROM s)\n"
+        "SELECT doc_id FROM w WHERE nxt IS NOT NULL"
+        " AND starts_with(nxt, rtext) ORDER BY doc_id")
     out["doc_search_or"] = docs_pre + (
         "t AS (SELECT DISTINCT doc_id,"
         " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"

@@ -3135,7 +3135,7 @@ def doc_incremental_near_dedup_indexed(sf_dir: str,
                      nparts=nparts)
 
 
-def doc_prefix_dups(sf_dir: str) -> rd.Dataset:
+def _prefix_dup_ids(docs: rd.Dataset) -> rd.Dataset:
     """Docs whose FULL text is a prefix of some other doc (exact dups of a
     longer doc included) — the truncated-crawl/prefix-dup removal rule:
     keep the longest variant, drop its prefixes.
@@ -3149,7 +3149,7 @@ def doc_prefix_dups(sf_dir: str) -> rd.Dataset:
     The in-block kernel is polars' elementwise expr startswith (vectorized
     over the Arrow buffer; polars is a hard dep of this repo's Ray build).
     Output (doc_id) sorted.  Oracle = the identical lead() window rule."""
-    ds = docs_aug_ds(sf_dir).sort(["text", "doc_id"]).materialize()
+    ds = docs.sort(["text", "doc_id"]).materialize()
 
     def block_summary(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -3183,3 +3183,22 @@ def doc_prefix_dups(sf_dir: str) -> rd.Dataset:
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           batch_size=None).sort("doc_id")
+
+
+def doc_prefix_dups(sf_dir: str) -> rd.Dataset:
+    """Public entry over the augmented corpus (see ``_prefix_dup_ids``)."""
+    return _prefix_dup_ids(docs_aug_ds(sf_dir))
+
+
+def doc_suffix_dups(sf_dir: str) -> rd.Dataset:
+    """Docs whose full text is a SUFFIX of some other doc (truncated-head
+    crawls, quoted-reply tails): exactly the prefix rule over the
+    codepoint-REVERSED text — one extra vectorized ``utf8_reverse`` map,
+    same sort/adjacent/boundary plan.  Oracle reverses both sides with
+    SQL reverse() (byte==codepoint on this ASCII corpus)."""
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pc.utf8_reverse(b["text"])})
+
+    return _prefix_dup_ids(docs_aug_ds(sf_dir).map_batches(
+        rev, batch_format="pyarrow", batch_size=None))
