@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             STR.events_tumbling_window_late,  # oracle, new r03 (sweep-chk)
         "doc_suffix_dups":
             D.doc_suffix_dups,             # oracle, new r03 (sweep-checked)
+        "service_host_overlap":
+            R.service_host_overlap,        # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -272,6 +274,10 @@ def oracle_sql() -> dict[str, str]:
         "messages": "SELECT * FROM messages",
         "route_counts":
             "SELECT service, count(*) AS cnt FROM parsed GROUP BY service",
+        "service_host_overlap":
+            "SELECT host FROM parsed WHERE day(datetime) % 2 = 0"
+            " INTERSECT SELECT host FROM parsed WHERE day(datetime) % 2 = 1"
+            " ORDER BY host",
         "route_rollup":
             "SELECT service, server,"
             " CAST(GROUPING(service, server) AS BIGINT) AS grp_id,"

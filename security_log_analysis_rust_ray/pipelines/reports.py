@@ -520,3 +520,29 @@ def unit_level_pivot(sf_dir: str) -> rd.Dataset:
     count FILTER per level).  Exercises ``agg.pivot_counts``."""
     return agg.pivot_counts(messages(sf_dir), "log_unit", "log_level",
                             MESSAGE_LEVELS)
+
+
+def service_host_overlap(sf_dir: str) -> rd.Dataset:
+    """Persistent hosts: seen on BOTH even and odd calendar days (SQL
+    INTERSECT; the recurring-attacker slice of the intrusion log) — two
+    distinct-host combiners over day-parity slices of ONE parsed stream,
+    then the size-aware semi_join; EXCEPT is the same composition with
+    anti_join (`dangling_hosts` is that shape).  Output (host) sorted."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import semi_join
+
+    base = parsed(sf_dir)
+
+    def parity(rem):
+        def f(b: pa.Table) -> pa.Table:
+            d = pc.day(b["datetime"])
+            return b.filter(pc.equal(pc.bit_wise_and(d, 1), rem))                 .select(["host"])
+        return f
+
+    even = distinct_rows(base.map_batches(parity(0),
+                                          batch_format="pyarrow",
+                                          batch_size=None), ["host"])
+    odd = distinct_rows(base.map_batches(parity(1),
+                                         batch_format="pyarrow",
+                                         batch_size=None), ["host"])
+    return semi_join(even, odd, "host", "host").sort("host")
