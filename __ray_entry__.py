@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_suffix_dups,             # oracle, new r03 (sweep-checked)
         "service_host_overlap":
             R.service_host_overlap,        # oracle, new r03 (sweep-checked)
+        "host_counts_maintained":
+            R.host_counts_maintained,      # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -278,6 +280,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host FROM parsed WHERE day(datetime) % 2 = 0"
             " INTERSECT SELECT host FROM parsed WHERE day(datetime) % 2 = 1"
             " ORDER BY host",
+        "host_counts_maintained":
+            "SELECT host, count(*) AS cnt FROM parsed"
+            " GROUP BY host ORDER BY host",
         "route_rollup":
             "SELECT service, server,"
             " CAST(GROUPING(service, server) AS BIGINT) AS grp_id,"
