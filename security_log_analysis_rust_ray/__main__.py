@@ -128,6 +128,18 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--epoch", type=int, default=0)
     sh.add_argument("--shards", type=int, default=8)
 
+    sq = sub.add_parser("search", help="bucket-pruned boolean retrieval "
+                                       "over the persisted inverted index "
+                                       "(builds it on first use)")
+    sq.add_argument("--sf-dir", required=True)
+    sq.add_argument("--terms", required=True,
+                    help="space-separated query terms")
+    sq.add_argument("--mode", choices=["and", "or"], default="and")
+    sq.add_argument("--exclude", default=None,
+                    help="space-separated terms none of which may appear")
+    sq.add_argument("--index-dir", default=None)
+    sq.add_argument("--limit", type=int, default=20)
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -253,6 +265,23 @@ def main(argv: list[str] | None = None) -> int:
                               zip(per["shard"], per["count()"])},
                 "out": a.out,
             }))
+        elif a.cmd == "search":
+            from .pipelines.search import (search_docs_and,
+                                           search_docs_and_not,
+                                           search_docs_or)
+            terms = a.terms.split()
+            if a.exclude:
+                ds = search_docs_and_not(a.sf_dir, terms,
+                                         exclude=a.exclude.split(),
+                                         index_dir=a.index_dir)
+            elif a.mode == "or":
+                ds = search_docs_or(a.sf_dir, terms, index_dir=a.index_dir)
+            else:
+                ds = search_docs_and(a.sf_dir, terms, index_dir=a.index_dir)
+            ids = ds.limit(a.limit).to_pandas()["doc_id"].tolist()
+            print(json.dumps({"terms": terms, "mode": a.mode,
+                              "exclude": (a.exclude or "").split(),
+                              "n_shown": len(ids), "doc_ids": ids}))
         elif a.cmd == "ses-stats":
             from .pipelines.streaming import ses_email_stats
             row = ses_email_stats(a.sf_dir, threshold=a.threshold).iloc[0]
