@@ -16,6 +16,7 @@ from typing import Any
 
 from security_log_analysis_rust_ray.synth import oracle_query
 from security_log_analysis_rust_ray.pipelines import ann as ANN
+from security_log_analysis_rust_ray.pipelines import clustered as CL
 from security_log_analysis_rust_ray.pipelines import docs as D
 from security_log_analysis_rust_ray.pipelines import media as M
 from security_log_analysis_rust_ray.pipelines import relational as REL
@@ -157,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.service_host_overlap,        # oracle, new r03 (sweep-checked)
         "host_counts_maintained":
             R.host_counts_maintained,      # oracle, new r03 (sweep-checked)
+        "clustered_host_lookup":
+            CL.clustered_host_lookup,      # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -283,6 +286,9 @@ def oracle_sql() -> dict[str, str]:
         "host_counts_maintained":
             "SELECT host, count(*) AS cnt FROM parsed"
             " GROUP BY host ORDER BY host",
+        "clustered_host_lookup":
+            "SELECT * FROM parsed WHERE host = 'h7.example.com'"
+            " ORDER BY ts, conv_id, turn_idx",
         "route_rollup":
             "SELECT service, server,"
             " CAST(GROUPING(service, server) AS BIGINT) AS grp_id,"
