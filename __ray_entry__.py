@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             R.host_counts_maintained,      # oracle, new r03 (sweep-checked)
         "clustered_host_lookup":
             CL.clustered_host_lookup,      # oracle, new r03 (sweep-checked)
+        "events_next_purchase":
+            REL.events_next_purchase,      # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -1290,6 +1292,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_id,"
         " round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS UNBOUNDED PRECEDING), 2) AS running_value FROM events")
+    out["events_next_purchase"] = (
+        "SELECT user_id, event_id, CASE WHEN np <= ts + INTERVAL 7 DAY"
+        " THEN np END AS next_purchase_ts FROM ("
+        "SELECT user_id, event_id, ts,"
+        " min(CASE WHEN event_type = 'purchase' THEN ts END) OVER ("
+        "PARTITION BY user_id ORDER BY ts"
+        " RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np"
+        " FROM events)")
     out["events_asof_signup"] = (
         "SELECT user_id, event_id,"
         " max(CASE WHEN event_type = 'signup' THEN ts END) OVER ("

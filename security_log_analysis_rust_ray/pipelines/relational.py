@@ -847,3 +847,35 @@ def daily_active_users_approx(sf_dir: str) -> rd.Dataset:
     dsd = ev.map_batches(day, batch_format="pyarrow", batch_size=None)
     return grouped_approx_distinct(dsd, ["day"], "user_id",
                                    alias="dau_approx").sort("day")
+
+
+def events_next_purchase(sf_dir: str) -> rd.Dataset:
+    """FORWARD as-of join with a tolerance window: for every event, the
+    timestamp of the user's NEXT 'purchase' within 7 days (conversion
+    attribution).  Same one-exchange plan as ``events_asof_signup`` —
+    user_id co-location, ONE ts-sorted ``merge_asof`` per block — with
+    direction='forward' + tolerance.  Tie semantics: a same-timestamp
+    purchase matches regardless of event_id order (merge_asof matches by
+    ts only), which the oracle mirrors with a RANGE window frame."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def block_asof(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "next_purchase_ts": pd.Series([], dtype="datetime64[us]")})
+        df = df.sort_values(["ts", "event_id"], kind="stable") \
+            .reset_index(drop=True)
+        buys = df[df["event_type"] == "purchase"][["user_id", "ts"]] \
+            .rename(columns={"ts": "next_purchase_ts"})
+        out = pd.merge_asof(df, buys, by="user_id", left_on="ts",
+                            right_on="next_purchase_ts",
+                            direction="forward",
+                            tolerance=pd.Timedelta(days=7))
+        return out[["user_id", "event_id", "next_purchase_ts"]]
+
+    return _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_asof, batch_format="pandas", batch_size=None)
