@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             CL.clustered_host_lookup,      # oracle, new r03 (sweep-checked)
         "events_next_purchase":
             REL.events_next_purchase,      # oracle, new r03 (sweep-checked)
+        "signup_to_purchase_stats":
+            REL.signup_to_purchase_stats,  # oracle, new r03 (sweep-checked)
+        "enriched_scd_counts":
+            R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
             SRCH.search_docs_and_not,      # oracle, new r03 (sweep-checked)
         "events_asof_signup":
@@ -291,6 +295,16 @@ def oracle_sql() -> dict[str, str]:
         "clustered_host_lookup":
             "SELECT * FROM parsed WHERE host = 'h7.example.com'"
             " ORDER BY ts, conv_id, turn_idx",
+        "enriched_scd_counts":
+            "SELECT d.code AS code, count(*) AS cnt FROM parsed p JOIN ("
+            "SELECT host, code, TIMESTAMP '2000-01-01' AS lo,"
+            f" TIMESTAMP '{R.SCD_CUTOFF}' - INTERVAL 1 MICROSECOND AS hi"
+            " FROM host_country UNION ALL"
+            " SELECT host, code || '2',"
+            f" TIMESTAMP '{R.SCD_CUTOFF}', TIMESTAMP '2100-01-01'"
+            " FROM host_country) d"
+            " ON p.host = d.host AND p.datetime BETWEEN d.lo AND d.hi"
+            " GROUP BY 1 ORDER BY 1",
         "route_rollup":
             "SELECT service, server,"
             " CAST(GROUPING(service, server) AS BIGINT) AS grp_id,"
@@ -1292,6 +1306,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_id,"
         " round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS UNBOUNDED PRECEDING), 2) AS running_value FROM events")
+    out["signup_to_purchase_stats"] = (
+        "WITH su AS (SELECT user_id, min(ts) AS su FROM events"
+        " WHERE event_type = 'signup' GROUP BY 1),\n"
+        "pu AS (SELECT user_id, min(ts) AS pu FROM events"
+        " WHERE event_type = 'purchase' GROUP BY 1),\n"
+        "d AS (SELECT epoch_us(pu.pu) - epoch_us(su.su) AS dus"
+        " FROM su JOIN pu USING (user_id) WHERE pu.pu > su.su)\n"
+        "SELECT 'all' AS k, count(*) AS n,"
+        " round(sum(dus/1000000.0)/count(*), 6) AS mean,"
+        " CASE WHEN count(*) > 1 THEN"
+        " round(sqrt(greatest((sum((dus/1000000.0)*(dus/1000000.0))"
+        "  - sum(dus/1000000.0)*sum(dus/1000000.0)/count(*))"
+        "  / (count(*)-1), 0.0)), 6) END AS std,"
+        " min(dus/1000000.0) AS min_v, max(dus/1000000.0) AS max_v"
+        " FROM d GROUP BY 1")
     out["events_next_purchase"] = (
         "SELECT user_id, event_id, CASE WHEN np <= ts + INTERVAL 7 DAY"
         " THEN np END AS next_purchase_ts FROM ("

@@ -879,3 +879,45 @@ def events_next_purchase(sf_dir: str) -> rd.Dataset:
 
     return _by_key_blocks(ds, ["user_id"]).map_batches(
         block_asof, batch_format="pandas", batch_size=None)
+
+
+def signup_to_purchase_stats(sf_dir: str) -> rd.Dataset:
+    """Conversion-delay distribution: per converting user the seconds from
+    FIRST signup to FIRST strictly-later purchase, folded to ONE stats row
+    (n/mean/std/min/max) via ``grouped_stats`` with a constant key — the
+    funnel's "how fast" companion to user_funnel_counts' "how many".
+    Plan: two filtered grouped_min combiners (one row per (user, block)
+    moves), size-aware join of the two tiny per-user tables, vectorized
+    delay + one stats fold.  Exact: the delay is an integer microsecond
+    difference divided by 1e6 (both sides IEEE-divide identical
+    operands)."""
+    from ..stages import aggregate as agg
+    from ..stages.joins import lookup_join
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def first_of(kind, alias):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind))
+            return t.select(["user_id", "ts"])
+        return agg.grouped_min(
+            ev.map_batches(f, batch_format="pyarrow", batch_size=None),
+            ["user_id"], "ts", alias=alias)
+
+    su = first_of("signup", "su").materialize()
+    pu = first_of("purchase", "pu").materialize()
+    both = lookup_join(su, pu, "user_id", "user_id", how="left")
+
+    def delay(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["pu"]),
+                       pc.greater(b["pu"], b["su"]))
+        b = b.filter(keep)
+        d = pc.divide(pc.cast(pc.subtract(
+            b["pu"].cast(pa.int64()), b["su"].cast(pa.int64())),
+            pa.float64()), pa.scalar(1e6))
+        return pa.table({"k": pa.array(["all"] * b.num_rows),
+                         "delay_s": d})
+
+    delays = both.map_batches(delay, batch_format="pyarrow",
+                              batch_size=None)
+    return agg.grouped_stats(delays, ["k"], "delay_s")

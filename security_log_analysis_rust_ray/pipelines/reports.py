@@ -576,3 +576,42 @@ def host_counts_maintained(sf_dir: str) -> rd.Dataset:
                                  batch_size=None)
         view = update_counts_view(view_dir, delta, ["host"], tag=night)
     return view.sort("host")
+
+
+SCD_CUTOFF = INCREMENTAL_CUTOFF          # era boundary of the versioned dim
+
+
+def enriched_scd_counts(sf_dir: str) -> rd.Dataset:
+    """Point-in-time (SCD type-2) enrichment: the host->code dim is
+    VERSIONED — era 1 (before SCD_CUTOFF) keeps each host's original code,
+    era 2 re-codes it (code || '2') — and every parsed row joins the
+    version VALID AT ITS OWN datetime via the non-overlapping
+    ``interval_join`` (relational.py), then counts per code.  The
+    late-arriving-dimension semantics the plain broadcast enrich (J1)
+    cannot express.  Output (code, cnt) sorted."""
+    import pandas as pd
+
+    from ..pipelines.relational import interval_join
+    from ..stages import aggregate as agg
+    from ..stages.enrich import build_dims
+
+    host_to_code, _ = build_dims()
+    cutoff = pd.Timestamp(SCD_CUTOFF)
+    lo1, hi2 = pd.Timestamp("2000-01-01"), pd.Timestamp("2100-01-01")
+    hosts = sorted(host_to_code)
+    dim = pa.table({
+        "host": hosts * 2,
+        "lo": pa.array([lo1] * len(hosts) + [cutoff] * len(hosts),
+                       pa.timestamp("us")),
+        "hi": pa.array([cutoff - pd.Timedelta(microseconds=1)] * len(hosts)
+                       + [hi2] * len(hosts), pa.timestamp("us")),
+        "code": [host_to_code[h] for h in hosts]
+                + [host_to_code[h] + "2" for h in hosts],
+    })
+    left = parsed(sf_dir).map_batches(
+        lambda b: b.select(["host", "datetime"]),
+        batch_format="pyarrow", batch_size=None)
+    joined = interval_join(left, rd.from_arrow(dim), "host", "datetime",
+                           "lo", "hi", right_payload=["code"])
+    return agg.grouped_count(joined, ["code"],
+                             small_keyspace=True).sort("code")

@@ -105,10 +105,19 @@ def _grouped_fold(ds: rd.Dataset, keys: list[str], partial, alias: str,
         # multi-second cost of a distributed shuffle for a 26-row result.
         import ray
         pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        # empty blocks arrive as ZERO-COLUMN tables (parallelism-dependent);
-        # drop them before concat
-        blocks = [t for t in ray.get(list(pre.to_arrow_refs()))
-                  if t.num_rows > 0]
+        # empty blocks arrive as ZERO-COLUMN tables (parallelism-dependent)
+        # — or, downstream of a pandas-block stage, as raw zero-row pandas
+        # frames that to_arrow_refs passes through unconverted — drop both
+        # before concat
+        import pandas as _pd
+        blocks = []
+        for t in ray.get(list(pre.to_arrow_refs())):
+            if isinstance(t, _pd.DataFrame):
+                if not len(t):
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_rows > 0:
+                blocks.append(t)
         if not blocks:
             empty = pa.table(
                 {**{k: pa.array([], pa.string()) for k in keys},
