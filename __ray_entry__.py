@@ -66,7 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data document ops
         "doc_blocklist_filter": D.doc_blocklist_filter,  # oracle, new r03
         "doc_source_cap": D.doc_source_cap,           # oracle, new r03
-        "doc_near_dedup": D.doc_near_dedup,
+        "doc_normalized_dedup":
+            D.doc_normalized_dedup,       # oracle, new r03
         "doc_gopher_filter":
             D.doc_gopher_filter,          # oracle, new r03
         "doc_chunk_dedup_text":
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": REL.shipping_priority,
         "local_supplier_volume": REL.local_supplier_volume,  # new r03
         "route_rollup": R.route_rollup,           # oracle, new r03
+        "route_cube": R.route_cube,               # oracle, new r03
         "unit_level_pivot": R.unit_level_pivot,   # oracle, new r03
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
@@ -135,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only entries (no oracle_sql key; each has pytest
         # invariant/recall/determinism coverage) ----
         "parsed": R.parsed,                          # r01+r02-passed
+        "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
         "enriched": R.enriched,                      # r01+r02-passed
         "country_counts": R.country_counts,          # r01+r02-passed
@@ -309,6 +312,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT service, server,"
             " CAST(GROUPING(service, server) AS BIGINT) AS grp_id,"
             " count(*) AS cnt FROM parsed GROUP BY ROLLUP(service, server)",
+        "route_cube":
+            "SELECT service, server,"
+            " CAST(GROUPING(service, server) AS BIGINT) AS grp_id,"
+            " count(*) AS cnt FROM parsed GROUP BY CUBE(service, server)",
         "unit_level_pivot":
             "SELECT log_unit,"
             " count(*) FILTER (WHERE log_level = 'debug') AS debug,"
@@ -449,6 +456,11 @@ def oracle_sql() -> dict[str, str]:
         " FROM transcripts")
     out["doc_exact_dedup"] = docs_only + (
         "SELECT min(doc_id) AS doc_id, text FROM docs_aug GROUP BY text")
+    out["doc_normalized_dedup"] = docs_pre + D.NORM_DOCS_SQL.strip() + (
+        "\nSELECT min(doc_id) AS doc_id,"
+        " trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text"
+        " FROM norm_docs GROUP BY 2")
     out["doc_incremental_dedup"] = docs_only + (
         "SELECT d.doc_id, d.text FROM docs_aug d WHERE d.doc_id % 2 = 1"
         " AND NOT EXISTS (SELECT 1 FROM docs_aug p"

@@ -80,6 +80,66 @@ docs_aug AS (
 )"""
 
 
+# cased/punctuated variants for the NORMALIZED dedup demo: docs_aug plus a
+# slice whose text differs only by case + punctuation — invisible to exact
+# dedup, caught after normalization.  Oracle prepends this verbatim.
+NORM_DOCS_SQL = """
+norm_docs AS (
+  SELECT doc_id, text FROM docs_aug
+  UNION ALL
+  SELECT doc_id + 3000000, upper(text) || '!!' FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def docs_norm_ds(sf_dir: str) -> rd.Dataset:
+    """docs_aug + deterministic case/punctuation variants (see oracle)."""
+    def cased(b: pa.Table) -> pa.Table:
+        m = np.mod(b["doc_id"].to_numpy(), 5) == 0
+        t = b.filter(pa.array(m))
+        txt = pc.binary_join_element_wise(pc.utf8_upper(t["text"]), "!!", "")
+        return pa.table({"doc_id": pc.add(t["doc_id"], 3_000_000),
+                         "text": txt})
+
+    variants = read_table(sf_dir, "documents",
+                          columns=["doc_id", "text"]) \
+        .map_batches(cased, batch_format="pyarrow")
+    return docs_aug_ds(sf_dir).union(variants)
+
+
+def normalize_text(txt: pa.Array) -> pa.Array:
+    """CCNet/C4-style dedup-key normalization: casefold, strip
+    non-alphanumerics, collapse runs of spaces, trim.  Three vectorized
+    kernels per batch (one Unicode lower + two RE2 passes); the SAME RE2
+    pattern strings run in the DuckDB oracle, so engine and SQL agree
+    byte-for-byte."""
+    x = pc.utf8_lower(txt)
+    x = pc.replace_substring_regex(x, pattern="[^a-z0-9 ]", replacement="")
+    x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+    return pc.utf8_trim(x, characters=" ")
+
+
+def doc_normalized_dedup(sf_dir: str) -> rd.Dataset:
+    """Fuzzy-exact dedup: one surviving doc_id (the minimum) per distinct
+    NORMALIZED text — the standard crawl-cleaning step that catches
+    case/punctuation/whitespace mutants exact dedup misses (CCNet
+    normalizes before hashing; C4 dedups on cleaned sentences).  Same
+    scale plan as ``doc_exact_dedup``: normalization fuses into the
+    per-batch partial-min, one (norm_text, block) row enters the single
+    exchange."""
+    from ray.data.aggregate import Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"norm_text": normalize_text(b["text"]),
+                      "doc_id": b["doc_id"]})
+        return t.group_by(["norm_text"]).aggregate([("doc_id", "min")]) \
+                .rename_columns(["norm_text", "doc_id"])
+
+    pre = docs_norm_ds(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = pre.groupby("norm_text").aggregate(Min("doc_id",
+                                                 alias_name="doc_id"))
+    return out.select_columns(["doc_id", "norm_text"])
+
+
 def doc_exact_dedup(sf_dir: str) -> rd.Dataset:
     """Exact dedup: one surviving doc_id (the minimum) per distinct text.
     Partial min per batch, final groupby — one row per (text, block) moves."""

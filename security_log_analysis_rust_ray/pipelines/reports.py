@@ -511,6 +511,16 @@ def route_rollup(sf_dir: str) -> rd.Dataset:
                                     small_keyspace=True)
 
 
+def route_cube(sf_dir: str) -> rd.Dataset:
+    """(service, server) counts at EVERY CUBE grouping set — per pair, per
+    service, per server, grand total — one scan / one exchange via
+    ``agg.grouped_count_cube`` (ROLLUP can't produce the per-server slice
+    without a second scan; CUBE folds all 2^k sets from the same in-batch
+    partial)."""
+    return agg.grouped_count_cube(parsed(sf_dir), ["service", "server"],
+                                  small_keyspace=True)
+
+
 MESSAGE_LEVELS = ["debug", "info", "warn", "error"]
 
 

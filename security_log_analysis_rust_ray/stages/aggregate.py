@@ -306,6 +306,62 @@ def grouped_count_rollup(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
                          high_cardinality, small_keyspace)
 
 
+def grouped_count_cube(ds: rd.Dataset, keys: list[str], alias: str = "cnt",
+                       grp_col: str = "grp_id",
+                       high_cardinality: bool = False,
+                       small_keyspace: bool = False) -> rd.Dataset:
+    """GROUP BY CUBE(keys) counts — ALL 2^k grouping sets in one pass /
+    one exchange (ROLLUP's trailing-prefix levels generalized to every
+    subset; the dashboard shape "totals by service, by server, by pair,
+    and overall" without four scans).  Per batch: one in-batch full-key
+    count, then each of the 2^k subsets folds from that already-tiny
+    partial.  ``grp_col`` follows SQL ``GROUPING(keys...)`` bit semantics
+    (bit for keys[i] = 1 << (k-1-i) when keys[i] is rolled up), so rolled
+    NULL cells can't collide with genuine null key values in a different
+    grouping set.  String keys only; same empty-input caveat as
+    ``grouped_count_rollup``."""
+    for k in keys:
+        f = ds.schema().base_schema.field(k)
+        assert f.type in (pa.string(), pa.large_string()), (k, f.type)
+    nk = len(keys)
+    full = keys + [grp_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        base = _fill(b.select(keys), keys)
+        g = base.group_by(keys).aggregate([([], "count_all")]) \
+            .rename_columns(keys + ["n"])
+        outs = []
+        for mask in range(1 << nk):
+            kept = [keys[i] for i in range(nk)
+                    if not (mask & (1 << (nk - 1 - i)))]
+            if kept:
+                gl = g.group_by(kept).aggregate([("n", "sum")]) \
+                    .rename_columns(kept + ["n"])
+            elif g.num_rows:
+                gl = pa.table({"n": pa.array(
+                    [pc.sum(g["n"]).as_py()], pa.int64())})
+            else:
+                continue
+            cols = {k: gl[k] for k in kept}
+            for k in keys:
+                if k not in kept:
+                    cols[k] = pa.array([_NULL_SENTINEL] * gl.num_rows,
+                                       pa.string())
+            cols[grp_col] = pa.array([mask] * gl.num_rows, pa.int64())
+            cols["_partial"] = pc.cast(gl["n"], pa.int64())
+            outs.append(pa.table(cols).select(full + ["_partial"]))
+        live = [t for t in outs if t.num_rows]
+        if not live:
+            return pa.table(
+                {**{k: pa.array([], pa.string()) for k in keys},
+                 grp_col: pa.array([], pa.int64()),
+                 "_partial": pa.array([], pa.int64())})
+        return pa.concat_tables(live)
+
+    return _grouped_fold(ds, full, partial, alias,
+                         high_cardinality, small_keyspace)
+
+
 def pivot_counts(ds: rd.Dataset, key: str, col: str,
                  values: list[str], alias_fmt: str = "{v}") -> rd.Dataset:
     """Crosstab: one row per ``key``, one int64 count column per value of

@@ -753,3 +753,29 @@ def test_prefix_dup_rule_across_block_boundaries(monkeypatch, tmp_path):
     # other, both are prefixes of "a b c"), "q r"(5); NOT "a b c", "zz",
     # "q r s", "m"
     assert got == [0, 1, 3, 5]
+
+
+def test_normalize_text_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+
+    vals = ["Hello,  World!", "  spaced   out  ", "UPPER-case_mix 42",
+            "already clean", "", "!!!", "a  b\tc", "Ünïcode Sträy"]
+    got = D.normalize_text(pa.array(vals)).to_pylist()
+    want = [r[0] for r in duckdb.sql(
+        "SELECT trim(regexp_replace(regexp_replace(lower(v),"
+        " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) FROM"
+        " (SELECT unnest($vals) AS v)", params={"vals": vals}).fetchall()]
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_normalized_dedup_absorbs_cased_variants():
+    out = D.doc_normalized_dedup(SF_SMOKE).to_pandas()
+    # every cased/punctuated variant (doc_id >= 3M) must lose to its base
+    # doc (the normalized key collapses them onto an existing text)
+    assert (out["doc_id"] < 3_000_000).all()
+    # and the survivor set matches exact dedup's (normalization is a no-op
+    # on the already-clean base corpus, so the keyspace is identical)
+    exact = D.doc_exact_dedup(SF_SMOKE).to_pandas()
+    assert set(out["doc_id"]) == set(exact["doc_id"])

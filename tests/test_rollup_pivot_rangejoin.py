@@ -42,6 +42,46 @@ def test_rollup_small_keyspace_path_agrees():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cube_matches_duckdb():
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.aggregate import \
+        grouped_count_cube
+
+    t = pa.table({
+        "a": ["x", "x", "y", "y", "y", None, "x"],
+        "b": ["p", "q", "p", None, "p", "p", "p"],
+    })
+    got = grouped_count_cube(rd.from_arrow(t).repartition(3),
+                             ["a", "b"]).to_pandas()
+    want = duckdb.sql(
+        "SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS grp_id,"
+        " count(*) AS cnt FROM t GROUP BY CUBE(a, b)").df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_three_keys_and_small_keyspace_agree():
+    import ray.data as rd
+    from security_log_analysis_rust_ray.stages.aggregate import \
+        grouped_count_cube
+
+    t = pa.table({
+        "a": ["x", "y"] * 12,
+        "b": ["p", "p", "q", None] * 6,
+        "c": ["1", "2", "2"] * 8,
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = grouped_count_cube(ds, ["a", "b", "c"]).to_pandas()
+    want = duckdb.sql(
+        "SELECT a, b, c, CAST(GROUPING(a, b, c) AS BIGINT) AS grp_id,"
+        " count(*) AS cnt FROM t GROUP BY CUBE(a, b, c)").df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+    small = grouped_count_cube(ds, ["a", "b", "c"],
+                               small_keyspace=True).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(small))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pivot_counts_matches_duckdb():
     import ray.data as rd
     from security_log_analysis_rust_ray.stages.aggregate import pivot_counts
