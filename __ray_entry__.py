@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-repo parity sweep still checks them every run), then the
         # rows-only entries (no oracle_sql key; each has pytest
         # invariant/recall/determinism coverage) ----
+        "conversation_context_windows":
+            R.conversation_context_windows,          # oracle, new r03
         "parsed": R.parsed,                          # r01+r02-passed
         "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
@@ -379,6 +381,14 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)"
             " AS sft_text, CAST(count(*) AS BIGINT) AS n_turns"
             " FROM transcripts GROUP BY conv_id",
+        "conversation_context_windows":
+            "SELECT conv_id, turn_idx, context, response FROM ("
+            "SELECT conv_id, turn_idx, role, text AS response,"
+            " string_agg(role || ': ' || text, chr(10)) OVER ("
+            " PARTITION BY conv_id ORDER BY turn_idx"
+            f" ROWS BETWEEN {R.CTX_TURNS} PRECEDING AND 1 PRECEDING)"
+            " AS context FROM transcripts)"
+            " WHERE role = 'assistant' AND turn_idx >= 1",
         "boilerplate_turns":
             "SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT)"
             " AS n_convs FROM transcripts GROUP BY text"

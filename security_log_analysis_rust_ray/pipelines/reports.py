@@ -263,6 +263,59 @@ def conversation_sft_text(sf_dir: str) -> rd.Dataset:
         _assemble_convs, batch_format="pandas", batch_size=None)
 
 
+_CTX_SCHEMA = pa.schema([("conv_id", pa.string()),
+                         ("turn_idx", pa.int32()),
+                         ("context", pa.string()),
+                         ("response", pa.string())])
+CTX_TURNS = 4
+
+
+def conversation_context_windows(sf_dir: str,
+                                 n_ctx: int = CTX_TURNS) -> rd.Dataset:
+    """Sliding-context SFT pair assembly: one training example per
+    ASSISTANT turn — (context = the up-to-``n_ctx`` preceding turns as
+    ``role: text`` lines, response = the turn's text).  This is the
+    multi-turn chat-tuning layout (each assistant reply supervised given
+    its recent dialogue window), the windowed sibling of
+    ``conversation_sft_text``'s whole-conversation documents.
+
+    Plan: ONE conv_id hash exchange, then one vectorized pandas kernel per
+    block across ALL its conversations — the window is ``n_ctx`` grouped
+    ``shift`` columns concatenated oldest-first (turns are dense per conv,
+    so missing shifts occur only at the head; a single ``lstrip`` removes
+    the empty slots).  No per-group Python, no corpus-sized driver state;
+    output rows ≈ assistant turns.  Oracle: the identical frame as a SQL
+    window — ``string_agg OVER (ROWS BETWEEN n PRECEDING AND 1
+    PRECEDING)``."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_transcripts(sf_dir,
+                          columns=["conv_id", "turn_idx", "role", "text"])
+
+    def block(df):
+        import pandas as pd
+        if not len(df):
+            return _CTX_SCHEMA.empty_table()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        line = df["role"].str.cat(df["text"], sep=": ")
+        grp = df["conv_id"]
+        ctx = None
+        for k in range(n_ctx, 0, -1):  # oldest turn first
+            part = line.groupby(grp, sort=False).shift(k).fillna("")
+            ctx = part if ctx is None else ctx.str.cat(part, sep="\n")
+        ctx = ctx.str.lstrip("\n")
+        keep = (df["role"].to_numpy() == "assistant") \
+            & (df["turn_idx"].to_numpy() >= 1)
+        out = pd.DataFrame({"conv_id": df["conv_id"],
+                            "turn_idx": df["turn_idx"],
+                            "context": ctx,
+                            "response": df["text"]})[keep]
+        return pa.Table.from_pandas(out, schema=_CTX_SCHEMA,
+                                    preserve_index=False)
+
+    return _by_key_blocks(ds, ["conv_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None)
+
+
 def boilerplate_turns(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
     """Boilerplate detection: turn texts that recur across >= ``min_convs``
     DISTINCT conversations — templated/canned responses a training pipeline

@@ -779,3 +779,29 @@ def test_normalized_dedup_absorbs_cased_variants():
     # on the already-clean base corpus, so the keyspace is identical)
     exact = D.doc_exact_dedup(SF_SMOKE).to_pandas()
     assert set(out["doc_id"]) == set(exact["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_context_windows_invariants():
+    """Every emitted pair: context holds exactly min(turn_idx, CTX_TURNS)
+    'role: text' lines (turns are dense per conv), the response equals the
+    transcript's text at (conv_id, turn_idx), and only assistant turns
+    past turn 0 appear."""
+    from security_log_analysis_rust_ray.pipelines import reports as R
+    from security_log_analysis_rust_ray.sources.readers import \
+        read_transcripts
+    got = R.conversation_context_windows(SF_SMOKE).to_pandas()
+    assert len(got) and (got["turn_idx"] >= 1).all()
+    n_lines = got["context"].str.count("\n") + 1
+    want_lines = got["turn_idx"].clip(upper=R.CTX_TURNS)
+    assert (n_lines.to_numpy() == want_lines.to_numpy()).all()
+    raw = read_transcripts(
+        SF_SMOKE, columns=["conv_id", "turn_idx", "role", "text"]) \
+        .to_pandas().set_index(["conv_id", "turn_idx"])
+    sel = raw.loc[list(zip(got["conv_id"], got["turn_idx"]))]
+    assert (sel["role"].to_numpy() == "assistant").all()
+    assert (sel["text"].to_numpy() == got["response"].to_numpy()).all()
+    # every assistant turn past 0 is present — nothing dropped
+    n_assist = int(((raw["role"] == "assistant")
+                    & (raw.index.get_level_values(1) >= 1)).sum())
+    assert len(got) == n_assist
