@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # invariant/recall/determinism coverage) ----
         "conversation_context_windows":
             R.conversation_context_windows,          # oracle, new r03
+        "qa_pairs": R.qa_pairs,                      # oracle, new r03
+        "corpus_collocations":
+            D.corpus_collocations,                   # oracle, new r03
         "parsed": R.parsed,                          # r01+r02-passed
         "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
@@ -381,6 +384,13 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)"
             " AS sft_text, CAST(count(*) AS BIGINT) AS n_turns"
             " FROM transcripts GROUP BY conv_id",
+        "qa_pairs":
+            "SELECT conv_id, turn_idx, prompt, response FROM ("
+            "SELECT conv_id, turn_idx, role, text AS response,"
+            " lag(role) OVER w AS prev_role, lag(text) OVER w AS prompt"
+            " FROM transcripts WINDOW w AS ("
+            " PARTITION BY conv_id ORDER BY turn_idx))"
+            " WHERE role = 'assistant' AND prev_role = 'user'",
         "conversation_context_windows":
             "SELECT conv_id, turn_idx, context, response FROM ("
             "SELECT conv_id, turn_idx, role, text AS response,"
@@ -492,6 +502,23 @@ def oracle_sql() -> dict[str, str]:
         " round(least(n_tokens / 200.0, 1.0) * (1 - stop_ratio), 6) > 0.5"
         "   AS is_quality "
         "FROM stats2")
+    out["corpus_collocations"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
+        " FROM docs_aug),\n"
+        "flat AS (SELECT unnest(str_split(text, ' ')) AS t FROM docs_aug),\n"
+        "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM flat"
+        " GROUP BY t),\n"
+        "nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flat),\n"
+        "big AS (SELECT tk[i] AS w1, tk[i+1] AS w2,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM toks,"
+        " unnest(generate_series(1, len(tk) - 1)) u(i) GROUP BY 1, 2),\n"
+        "nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM big)\n"
+        "SELECT w1, w2, cnt,"
+        " round(CAST(cnt AS DOUBLE) * nu.n * nu.n / (ca.c * cb.c) / nb.n, 6)"
+        " AS lift FROM big"
+        " JOIN uni ca ON big.w1 = ca.t JOIN uni cb ON big.w2 = cb.t"
+        " CROSS JOIN nu CROSS JOIN nb"
+        f" WHERE cnt >= {D.COLLOC_MIN_CNT}")
     out["corpus_ngram_diversity"] = docs_pre + (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
         " FROM docs_aug),\n"

@@ -3047,6 +3047,77 @@ def vocab_coverage_curve(sf_dir: str,
     }))
 
 
+COLLOC_MIN_CNT = 20
+
+
+def corpus_collocations(sf_dir: str,
+                        min_cnt: int = COLLOC_MIN_CNT) -> rd.Dataset:
+    """Collocation mining: bigrams that co-occur far more often than
+    their parts predict — ``lift = p(w1 w2) / (p(w1)·p(w2))``, the
+    (log-free) PMI ratio — the standard corpus-analysis step for finding
+    multi-word expressions worth a single tokenizer entry.
+
+    Plan: ONE bigram explode (shared window-gather kernel) -> distributed
+    (w1, w2) count; the ``min_cnt`` floor prunes the candidate set BEFORE
+    any join (the long tail is the bulk, exactly what you drop at 100 TB);
+    unigram counts are a second small fold whose result is vocab-sized and
+    rides the size-aware ``lookup_join`` (broadcast under the byte budget)
+    to attach c_a, c_b; the two corpus totals are Dataset.sum scalars.
+    Lift stays a ratio (no log): multiply/divide of identical int64
+    operands is bit-stable across engine and SQL, a transcendental isn't.
+    Output (w1, w2, cnt, lift) for cnt >= min_cnt."""
+    from ..stages.joins import lookup_join
+
+    base = docs_aug_ds(sf_dir)
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        offs = np.asarray(tk.offsets)
+        wins = np.maximum(np.diff(offs) - 1, 0)
+        starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
+        return pa.table({"w1": flat.take(pa.array(starts)),
+                         "w2": flat.take(pa.array(starts + 1))})
+
+    def unigrams(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        return pa.table({"t": tk.values})
+
+    big = agg.grouped_count(
+        base.map_batches(bigrams, batch_format="pyarrow"),
+        ["w1", "w2"], alias="cnt", high_cardinality=True).materialize()
+    uni = agg.grouped_count(
+        base.map_batches(unigrams, batch_format="pyarrow"),
+        ["t"], alias="c", high_cardinality=True).materialize()
+    n_bi = big.sum("cnt")
+    n_uni = uni.sum("c")
+
+    cand = big.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], min_cnt)),
+        batch_format="pyarrow", batch_size=None)
+    nparts = _join_parts(sf_dir)
+    cand = lookup_join(cand, uni, "w1", "t", nparts=nparts,
+                       rename={"c": "c_a"})
+    cand = lookup_join(cand, uni, "w2", "t", nparts=nparts,
+                       rename={"c": "c_b"})
+
+    def lift(b: pa.Table) -> pa.Table:
+        # mirror the oracle's left-to-right IEEE order exactly:
+        # ((cnt*N_uni)*N_uni) / (c_a*c_b) / N_bi
+        cnt = b["cnt"].to_numpy().astype(np.float64)
+        den = (b["c_a"].to_numpy() * b["c_b"].to_numpy()).astype(np.float64)
+        v = cnt * float(n_uni) * float(n_uni) / den / float(n_bi)
+        return pa.table({"w1": b["w1"], "w2": b["w2"],
+                         "cnt": pc.cast(b["cnt"], pa.int64()),
+                         "lift": pa.array(round_half_up(v))})
+
+    return cand.map_batches(lift, batch_format="pyarrow", batch_size=None)
+
+
 def corpus_ngram_diversity(sf_dir: str, n: int = 2) -> rd.Dataset:
     """Corpus diversity one-rower: distinct word ``n``-grams over total
     n-gram occurrences (the distinct-n diversity statistic; templated or

@@ -316,6 +316,43 @@ def conversation_context_windows(sf_dir: str,
         block, batch_format="pandas", batch_size=None)
 
 
+_QA_SCHEMA = pa.schema([("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("prompt", pa.string()),
+                        ("response", pa.string())])
+
+
+def qa_pairs(sf_dir: str) -> rd.Dataset:
+    """Instruction-tuning pair extraction: every ADJACENT user->assistant
+    turn pair becomes one (prompt, response) example — the single-turn
+    sibling of ``conversation_context_windows`` (chat corpora are commonly
+    flattened this way for instruction tuning).  One conv_id exchange,
+    then per block: sort, ONE grouped shift for (prev_role, prev_text),
+    boolean mask — no per-group Python.  Oracle: the identical lag()
+    window rule."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_transcripts(sf_dir,
+                          columns=["conv_id", "turn_idx", "role", "text"])
+
+    def block(df):
+        if not len(df):
+            return _QA_SCHEMA.empty_table()
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        g = df.groupby("conv_id", sort=False)
+        prev_role = g["role"].shift(1)
+        prev_text = g["text"].shift(1)
+        keep = (df["role"].to_numpy() == "assistant") \
+            & (prev_role.to_numpy() == "user")
+        out = df.loc[keep, ["conv_id", "turn_idx"]].copy()
+        out["prompt"] = prev_text[keep]
+        out["response"] = df.loc[keep, "text"]
+        return pa.Table.from_pandas(out, schema=_QA_SCHEMA,
+                                    preserve_index=False)
+
+    return _by_key_blocks(ds, ["conv_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None)
+
+
 def boilerplate_turns(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
     """Boilerplate detection: turn texts that recur across >= ``min_convs``
     DISTINCT conversations — templated/canned responses a training pipeline
