@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qa_pairs": R.qa_pairs,                      # oracle, new r03
         "corpus_collocations":
             D.corpus_collocations,                   # oracle, new r03
+        "events_value_histogram":
+            REL.events_value_histogram,              # oracle, new r03
         "parsed": R.parsed,                          # r01+r02-passed
         "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
@@ -1415,6 +1417,10 @@ def oracle_sql() -> dict[str, str]:
         " WHERE s_acctbal > 4000 GROUP BY 1)\n"
         "SELECT COALESCE(c.nk, s.nk) AS nk, cust_total, supp_total"
         " FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk")
+    out["events_value_histogram"] = (
+        f"SELECT CAST(floor(value / {REL.HIST_BIN_WIDTH}) AS BIGINT)"
+        " AS bucket, count(*) AS cnt FROM events"
+        " GROUP BY 1 ORDER BY 1")
     out["events_value_stats"] = (
         "SELECT event_type, count(value) AS n,"
         " round(sum(value)/count(value), 6) AS mean,"

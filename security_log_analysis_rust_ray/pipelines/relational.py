@@ -786,6 +786,29 @@ def events_value_stats(sf_dir: str) -> rd.Dataset:
         .sort("event_type")
 
 
+HIST_BIN_WIDTH = 16.0  # power of two: v / width is IEEE-exact both sides
+
+
+def events_value_histogram(sf_dir: str) -> rd.Dataset:
+    """Fixed-width value histogram (the dashboard distribution panel and
+    the cheap precursor to the quantile sketches): bucket =
+    floor(value / width) with a power-of-two width so the division is
+    bit-exact in engine and SQL alike.  Bucketing fuses into the pruned
+    read's map; counts ride the small-keyspace grouped fold (the bucket
+    space is value-range / width, ~21 cells here)."""
+    from ..stages import aggregate as agg
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": np.floor(v / HIST_BIN_WIDTH)
+                        .astype(np.int64)})
+
+    return agg.grouped_count(ev.map_batches(bucketize,
+                                            batch_format="pyarrow"),
+                             ["bucket"], small_keyspace=True).sort("bucket")
+
+
 def nation_balance_full_join(sf_dir: str) -> rd.Dataset:
     """FULL OUTER reconciliation of per-nation customer vs supplier balance
     totals (high-balance rows only, so each side covers a DIFFERENT nation
