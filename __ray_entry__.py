@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.corpus_collocations,                   # oracle, new r03
         "events_value_histogram":
             REL.events_value_histogram,              # oracle, new r03
+        "filter_ablation_report":
+            D.filter_ablation_report,                # oracle, new r03
         "parsed": R.parsed,                          # r01+r02-passed
         "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
@@ -1015,6 +1017,52 @@ def oracle_sql() -> dict[str, str]:
         f" > {D.REP_TOP2_THRESHOLD}"
         " OR COALESCE(CAST(dup5 AS DOUBLE) / n5, 0)"
         f" > {D.REP_DUP5_THRESHOLD})")
+    out["filter_ablation_report"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk,"
+        " strlen(text) AS chars FROM docs_aug),\n"
+        "nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,"
+        " chars FROM toks),\n"
+        "p2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM toks,"
+        " unnest(generate_series(1, len(tk) - 1)) u(i)),\n"
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM p2 GROUP BY 1, 2),\n"
+        "s2 AS (SELECT doc_id, max(c) AS max2, sum(c) AS n2 FROM c2"
+        " GROUP BY 1),\n"
+        "p5 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+        " || ' ' || tk[i+3] || ' ' || tk[i+4] AS g FROM toks,"
+        " unnest(generate_series(1, len(tk) - 4)) u(i)),\n"
+        "c5 AS (SELECT doc_id, g, count(*) AS c FROM p5 GROUP BY 1, 2),\n"
+        "s5 AS (SELECT doc_id,"
+        " sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5,"
+        " sum(c) AS n5 FROM c5 GROUP BY 1),\n"
+        "qs AS (SELECT doc_id,"
+        " CAST(len(str_split(text, ' ')) AS BIGINT) AS q_tokens,"
+        " CAST(len(list_filter(str_split(text, ' '),"
+        f" x -> x IN ({stop_list}))) AS BIGINT) AS stop_cnt, text"
+        " FROM docs_aug),\n"
+        "flags AS (SELECT qs.doc_id,"
+        " CASE WHEN"
+        f" nt.n_tokens >= {D.GOPHER_MIN_TOKENS}"
+        f" AND nt.n_tokens <= {D.GOPHER_MAX_TOKENS}"
+        " AND nt.chars - (nt.n_tokens - 1)"
+        f" >= {D.GOPHER_MIN_MWL} * nt.n_tokens"
+        " AND nt.chars - (nt.n_tokens - 1)"
+        f" <= {D.GOPHER_MAX_MWL} * nt.n_tokens"
+        " AND NOT (COALESCE(CAST(max2 AS DOUBLE) / n2, 0)"
+        f" > {D.REP_TOP2_THRESHOLD}"
+        " OR COALESCE(CAST(dup5 AS DOUBLE) / n5, 0)"
+        f" > {D.REP_DUP5_THRESHOLD})"
+        " THEN '1' ELSE '0' END AS pass_gopher,"
+        " CASE WHEN NOT regexp_matches(qs.text,"
+        f" '{D.BLOCKLIST_RE}') THEN '1' ELSE '0' END AS pass_blocklist,"
+        " CASE WHEN round(least(q_tokens / 200.0, 1.0) *"
+        " (1 - round(CAST(stop_cnt AS DOUBLE) / q_tokens, 6)), 6) > 0.5"
+        " THEN '1' ELSE '0' END AS pass_quality"
+        " FROM qs JOIN nt USING (doc_id)"
+        " LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id))\n"
+        "SELECT pass_gopher, pass_blocklist, pass_quality,"
+        " CAST(GROUPING(pass_gopher, pass_blocklist, pass_quality)"
+        " AS BIGINT) AS grp_id, count(*) AS cnt FROM flags"
+        " GROUP BY CUBE(pass_gopher, pass_blocklist, pass_quality)")
     out["doc_blocklist_filter"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug"
         f" WHERE NOT regexp_matches(text, '{D.BLOCKLIST_RE}')")

@@ -2936,25 +2936,68 @@ def doc_gopher_filter(sf_dir: str) -> rd.Dataset:
     pruned read (same zero-shuffle shape as the signal ops it composes).
     Output: surviving (doc_id, n_tokens)."""
     def gate(b: pa.Table) -> pa.Table:
-        m2, _, n2 = _gram_stats_batch(b, 2)
-        _, dup5, n5 = _gram_stats_batch(b, 5)
-        n = pc.add(pc.count_substring(b["text"], " "), 1) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        chars = pc.utf8_length(b["text"]) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        nsp = chars - (n - 1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            top2 = np.where(n2 > 0, m2 / np.maximum(n2, 1), 0.0)
-            dup5f = np.where(n5 > 0, dup5 / np.maximum(n5, 1), 0.0)
-        ok = ((n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS)
-              & (nsp >= GOPHER_MIN_MWL * n) & (nsp <= GOPHER_MAX_MWL * n)
-              & ~((top2 > REP_TOP2_THRESHOLD)
-                  | (dup5f > REP_DUP5_THRESHOLD)))
+        ok, n = _gopher_ok(b)
         t = pa.table({"doc_id": b["doc_id"],
                       "n_tokens": pa.array(n)})
         return t.filter(pa.array(ok))
 
     return docs_aug_ds(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+def _gopher_ok(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Shared Gopher-rule mask (see ``doc_gopher_filter``): returns
+    (ok_mask, n_tokens) so the filter and the ablation report can't
+    drift apart."""
+    m2, _, n2 = _gram_stats_batch(b, 2)
+    _, dup5, n5 = _gram_stats_batch(b, 5)
+    n = pc.add(pc.count_substring(b["text"], " "), 1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = pc.utf8_length(b["text"]) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nsp = chars - (n - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        top2 = np.where(n2 > 0, m2 / np.maximum(n2, 1), 0.0)
+        dup5f = np.where(n5 > 0, dup5 / np.maximum(n5, 1), 0.0)
+    ok = ((n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS)
+          & (nsp >= GOPHER_MIN_MWL * n) & (nsp <= GOPHER_MAX_MWL * n)
+          & ~((top2 > REP_TOP2_THRESHOLD)
+              | (dup5f > REP_DUP5_THRESHOLD)))
+    return ok, n
+
+
+def filter_ablation_report(sf_dir: str) -> rd.Dataset:
+    """Quality-filter ABLATION table: per-doc pass/fail flags for the
+    three independent gates (Gopher rules, blocklist, quality score),
+    counted at EVERY CUBE grouping set — "how many docs does each filter
+    kill, alone and jointly" is the first table a curation run reports.
+    One fused stateless map computes all three flags (each bit-exact with
+    its standalone filter's rule), then ``grouped_count_cube`` folds all
+    2^3 aggregation levels from one in-batch partial — one scan, one tiny
+    exchange.  Output (pass_gopher, pass_blocklist, pass_quality, grp_id,
+    cnt) with '1'/'0' string flags (CUBE's rolled-NULL semantics need a
+    string domain)."""
+    keys = ["pass_gopher", "pass_blocklist", "pass_quality"]
+
+    def flags(b: pa.Table) -> pa.Table:
+        ok_g, _ = _gopher_ok(b)
+        ok_b = pc.invert(pc.match_substring_regex(b["text"], BLOCKLIST_RE)) \
+            .to_numpy(zero_copy_only=False)
+        s = _token_stats_batch(b)
+        nt = s["n_tokens"].to_numpy().astype(np.float64)
+        q = round_half_up(np.minimum(nt / 200.0, 1.0)
+                          * (1.0 - s["stop_ratio"].to_numpy()))
+        ok_q = q > 0.5
+
+        def sflag(m: np.ndarray) -> pa.Array:
+            return pa.array(np.where(m, "1", "0"), pa.string())
+
+        return pa.table({"pass_gopher": sflag(ok_g),
+                         "pass_blocklist": sflag(ok_b),
+                         "pass_quality": sflag(ok_q)})
+
+    return agg.grouped_count_cube(
+        docs_aug_ds(sf_dir).map_batches(flags, batch_format="pyarrow"),
+        keys, small_keyspace=True)
 
 
 def doc_quality_percentile(sf_dir: str) -> rd.Dataset:
