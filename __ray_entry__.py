@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_value_histogram,              # oracle, new r03
         "filter_ablation_report":
             D.filter_ablation_report,                # oracle, new r03
+        "doc_rag_chunks": D.doc_rag_chunks,          # oracle, new r03
+        "doc_mixed_corpus": D.doc_mixed_corpus,      # oracle, new r03
         "parsed": R.parsed,                          # r01+r02-passed
         "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
@@ -632,6 +634,12 @@ def oracle_sql() -> dict[str, str]:
         " LEFT JOIN clusters c ON d.doc_id = c.doc_id"
         " LEFT JOIN csizes s ON c.cluster = s.cluster"
         " JOIN mix m ON d.source = m.source")
+    out["doc_mixed_corpus"] = (
+        f"WITH man AS ({out['doc_sampling_manifest']})\n"
+        "SELECT doc_id, CAST(copy - 1 AS BIGINT) AS copy_idx FROM man,"
+        " unnest(generate_series(1,"
+        f" CAST(round(sample_weight * {D.MIX_EPOCH_SCALE}) AS BIGINT)))"
+        " u(copy)")
     out["doc_epoch_shuffle"] = docs_pre + (
         "keyed AS (SELECT doc_id,"
         f" ((doc_id % {D.EPOCH_MOD}) * {D.EPOCH_MULT}) % {D.EPOCH_MOD}"
@@ -1017,6 +1025,16 @@ def oracle_sql() -> dict[str, str]:
         f" > {D.REP_TOP2_THRESHOLD}"
         " OR COALESCE(CAST(dup5 AS DOUBLE) / n5, 0)"
         f" > {D.REP_DUP5_THRESHOLD})")
+    out["doc_rag_chunks"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
+        " FROM docs_aug)\n"
+        "SELECT doc_id,"
+        f" CAST((i - 1) // {D.RAG_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,"
+        f" array_to_string(tk[i:i+{D.RAG_CHUNK_TOKENS - 1}], ' ')"
+        " AS chunk_text,"
+        f" CAST(least({D.RAG_CHUNK_TOKENS}, len(tk) - i + 1) AS BIGINT)"
+        " AS n_chunk_tokens FROM toks,"
+        f" unnest(generate_series(1, len(tk), {D.RAG_CHUNK_STRIDE})) u(i)")
     out["filter_ablation_report"] = docs_pre + (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS tk,"
         " strlen(text) AS chars FROM docs_aug),\n"

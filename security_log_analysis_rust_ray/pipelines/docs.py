@@ -2840,6 +2840,73 @@ def _doc_pieces_batch(b: pa.Table) -> pa.Table:
     })
 
 
+MIX_EPOCH_SCALE = 50  # copies per unit sample_weight in the expanded epoch
+
+
+def doc_mixed_corpus(sf_dir: str,
+                     scale: int = MIX_EPOCH_SCALE) -> rd.Dataset:
+    """The EXPANDED epoch a weighted mix actually trains on: each doc
+    repeated round(sample_weight × scale) times (integer-repetition
+    upsampling — the materialized form of ``doc_sampling_manifest``;
+    docs rounding to 0 copies sit out the epoch).  The expansion is one
+    stateless vectorized map over the manifest stream (np.repeat +
+    per-doc arange) — rows multiply WITHOUT the text payload, so the
+    exchange-free output stays manifest-sized × mean copies, and a
+    training loader joins text back per shard.  Output (doc_id,
+    copy_idx)."""
+    def expand(b: pa.Table) -> pa.Table:
+        w = b["sample_weight"].to_numpy(zero_copy_only=False)
+        r = round_half_up(w * scale, 0).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), r)),
+            "copy_idx": pa.array(_concat_aranges(r).astype(np.int64)),
+        })
+
+    return doc_sampling_manifest(sf_dir).map_batches(
+        expand, batch_format="pyarrow", batch_size=None)
+
+
+RAG_CHUNK_TOKENS = 32
+RAG_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_rag_chunks(sf_dir: str, c: int = RAG_CHUNK_TOKENS,
+                   s: int = RAG_CHUNK_STRIDE) -> rd.Dataset:
+    """Overlapping fixed-token chunking — the retrieval/embedding prep
+    step (RAG indexing, long-doc embedding): chunk k of a doc covers
+    tokens [k·s, k·s + c), strided so consecutive chunks share c−s
+    tokens; the tail chunk keeps whatever remains.  Entirely the flat
+    token-array window-gather idiom (variable-length tails via one
+    ListArray + binary_join — no per-row Python), stateless, fuses with
+    the pruned read, zero shuffle.  Output (doc_id, chunk_idx,
+    chunk_text, n_chunk_tokens)."""
+    def chunks(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        offs = np.asarray(tk.offsets)
+        n = np.diff(offs)
+        n_chunks = (n + s - 1) // s          # starts at 0, s, 2s, ... < n
+        starts_rel = s * _concat_aranges(n_chunks)
+        lens = np.minimum(c, np.repeat(n, n_chunks) - starts_rel)
+        abs_start = np.repeat(offs[:-1], n_chunks) + starts_rel
+        tok_idx = np.repeat(abs_start, lens) + _concat_aranges(lens)
+        ch_offs = np.concatenate([[0], np.cumsum(lens)])
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(ch_offs, pa.int32()),
+                                     flat.take(pa.array(tok_idx))), " ")
+        return pa.table({
+            "doc_id": pa.array(np.repeat(b["doc_id"].to_numpy(), n_chunks)),
+            "chunk_idx": pa.array(_concat_aranges(n_chunks)
+                                  .astype(np.int64)),
+            "chunk_text": text,
+            "n_chunk_tokens": pa.array(lens.astype(np.int64)),
+        })
+
+    return docs_aug_ds(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
 def doc_chunk_dedup_text(sf_dir: str) -> rd.Dataset:
     """The cleaned corpus after corpus-wide passage dedup: each distinct
     CHUNK_TOKENS-token window survives only at its FIRST occurrence in
