@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ANN.ann_ivf_topk,            # rows-only (approx)
         "ann_index_topk":
             ANN.ann_index_topk,  # rows-only (persisted index), new r03
+        "ann_index_append_topk":
+            ANN.ann_index_append_topk,  # rows-only (incremental), new r03
         "ann_pq_topk": ANN.ann_pq_topk,              # rows-only (PQ approx)
         "host_pagerank":
             R.host_pagerank,             # rows-only (iterative), new r03

@@ -992,7 +992,8 @@ def embedding_pca_project(sf_dir: str, k: int = PCA_K) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def ann_build_index(sf_dir: str, index_dir: str) -> dict:
+def ann_build_index(sf_dir: str, index_dir: str,
+                    parity: int | None = None) -> dict:
     """Build and persist the IVF index: ``centroids.parquet`` (tiny) and
     the normalized base vectors hive-partitioned by coarse bucket
     (``vectors/bucket=K/``) — each bucket is its own directory so a query
@@ -1036,6 +1037,11 @@ def ann_build_index(sf_dir: str, index_dir: str) -> dict:
                              "embedding": _emb_list(v)})
 
     base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if parity is not None:
+        base = base.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["vec_id"], 1), p)),
+            batch_format="pyarrow", batch_size=None)
     n = base.count()
     base.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8),
                      batch_size=8192) \
@@ -1045,6 +1051,73 @@ def ann_build_index(sf_dir: str, index_dir: str) -> dict:
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(man, fh)
     os.rename(tmp, index_dir)
+    return man
+
+
+def ann_append_index(sf_dir: str, index_dir: str, tag: str,
+                     parity: int = 1) -> dict:
+    """INCREMENTAL index append — the nightly-embedding-batch story: new
+    vectors are assigned with the index's PERSISTED centroids (IVF never
+    retrains its coarse quantizer on append) and land as a per-tag delta
+    ``appends/<tag>/bucket=K/`` tree.  Exactly-once without a WAL: the
+    tag directory is written to ``.tmp`` and renamed, so it either exists
+    completely or not at all — re-running a seen ``tag`` is a no-op even
+    if the manifest update crashed, because existence of the tag dir IS
+    the applied marker.  Queries read base + every applied delta's probed
+    buckets (still directory-pruned), so results are bit-identical to an
+    index built over the union from scratch (asserted in pytest).  The
+    demo slice is ``vec_id % 2 == parity`` (night-0 evens built, night-1
+    odds appended)."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tag_dir = os.path.join(index_dir, "appends", tag)
+    man_path = os.path.join(index_dir, "manifest.json")
+    with open(man_path) as fh:
+        man = json.load(fh)
+    if os.path.exists(tag_dir):      # applied marker: the dir itself
+        return man
+    # leading dot: glob("appends/*") in the query never sees half-written
+    # deltas (glob skips dotnames)
+    tmp = os.path.join(index_dir, "appends", f".{tag}.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    cents = _mat(pq.read_table(
+        os.path.join(index_dir, "centroids.parquet"))["embedding"])
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = _normalize(_mat(t["embedding"]))
+            bucket = np.argmax(v @ self.cents.T, axis=1).astype(np.int32)
+            return pa.table({"vec_id": t["vec_id"],
+                             "b": pa.array(bucket),
+                             "bucket": pa.array(bucket),
+                             "embedding": _emb_list(v)})
+
+    new = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"]).map_batches(
+        lambda t, p=parity: t.filter(
+            pc.equal(pc.bit_wise_and(t["vec_id"], 1), p)),
+        batch_format="pyarrow", batch_size=None)
+    n_new = new.count()
+    new.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8),
+                    batch_size=8192) \
+        .write_parquet(tmp, partition_cols=["bucket"])
+    os.rename(tmp, tag_dir)
+    # metadata only — a crash here is repaired by the dir marker above
+    man["n_vectors"] = int(man["n_vectors"]) + int(n_new)
+    man.setdefault("applied", []).append(tag)
+    with open(man_path + ".tmp", "w") as fh:
+        json.dump(man, fh)
+    os.replace(man_path + ".tmp", man_path)
     return man
 
 
@@ -1078,8 +1151,12 @@ def ann_query_index(index_dir: str, sf_dir: str, k: int = TOP_K,
     probed = sorted(set(probe.reshape(-1).tolist()))
     import glob as _glob
     paths = [f for b in probed
-             for f in sorted(_glob.glob(os.path.join(
-                 index_dir, "vectors", f"bucket={b}", "*.parquet")))]
+             for f in sorted(
+                 _glob.glob(os.path.join(
+                     index_dir, "vectors", f"bucket={b}", "*.parquet"))
+                 + _glob.glob(os.path.join(
+                     index_dir, "appends", "*", f"bucket={b}",
+                     "*.parquet")))]
 
     class BucketTopK:
         def __init__(self):
@@ -1138,6 +1215,22 @@ def ann_index_topk(sf_dir: str, k: int = TOP_K,
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     index_dir = os.path.join(CACHE_ROOT, tag, "ivf_index")
     ann_build_index(sf_dir, index_dir)
+    return ann_query_index(index_dir, sf_dir, k=k, nprobe=nprobe)
+
+
+def ann_index_append_topk(sf_dir: str, k: int = TOP_K,
+                          nprobe: int = IVF_NPROBE) -> rd.Dataset:
+    """The incremental-index twin of ``ann_index_topk``: night-0 evens
+    built, night-1 odds appended via ``ann_append_index``, then the
+    bucket-pruned query over base + delta (rows-only; pytest asserts
+    bit-equality with a from-scratch full build)."""
+    import os
+
+    from ..synth import CACHE_ROOT
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    index_dir = os.path.join(CACHE_ROOT, tag, "ivf_index_inc")
+    ann_build_index(sf_dir, index_dir, parity=0)
+    ann_append_index(sf_dir, index_dir, "night1", parity=1)
     return ann_query_index(index_dir, sf_dir, k=k, nprobe=nprobe)
 
 

@@ -166,3 +166,41 @@ def test_ann_persisted_index_matches_ivf(tmp_path):
         .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_incremental_append(tmp_path):
+    """Night-0 evens built + night-1 odds appended == an index built over
+    everything, bit-for-bit at query time; re-appending the same tag is a
+    no-op (the tag dir IS the applied marker); a leftover half-written
+    tmp delta is invisible to queries and repaired by the next append."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    full = str(tmp_path / "full_index")
+    A.ann_build_index(SF_SMOKE, full)
+    want = A.ann_query_index(full, SF_SMOKE).to_pandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+    inc = str(tmp_path / "inc_index")
+    man0 = A.ann_build_index(SF_SMOKE, inc, parity=0)
+    assert man0["n_vectors"] == 250
+    # simulate a killed earlier append: stale dot-tmp must not break
+    # anything or be read by queries
+    os.makedirs(os.path.join(inc, "appends", ".night1.tmp", "bucket=0"),
+                exist_ok=True)
+    man1 = A.ann_append_index(SF_SMOKE, inc, "night1", parity=1)
+    assert man1["n_vectors"] == 500 and man1["applied"] == ["night1"]
+
+    got = A.ann_query_index(inc, SF_SMOKE).to_pandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    n_files = len(glob.glob(os.path.join(inc, "appends", "night1", "**",
+                                         "*.parquet"), recursive=True))
+    man2 = A.ann_append_index(SF_SMOKE, inc, "night1", parity=1)
+    assert man2 == man1
+    assert n_files == len(glob.glob(os.path.join(
+        inc, "appends", "night1", "**", "*.parquet"), recursive=True))
