@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from security_log_analysis_rust_ray.synth import oracle_query
+from security_log_analysis_rust_ray.synth import SERVER_MOD, oracle_query
 from security_log_analysis_rust_ray.pipelines import ann as ANN
 from security_log_analysis_rust_ray.pipelines import clustered as CL
 from security_log_analysis_rust_ray.pipelines import docs as D
@@ -147,6 +147,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.filter_ablation_report,                # oracle, new r03
         "doc_rag_chunks": D.doc_rag_chunks,          # oracle, new r03
         "doc_mixed_corpus": D.doc_mixed_corpus,      # oracle, new r03
+        "tool_call_runs": R.tool_call_runs,          # oracle, new r03
+        "conversation_dedup":
+            R.conversation_dedup,                    # oracle, new r03
+        "assistant_latency_stats":
+            R.assistant_latency_stats,               # oracle, new r03
+        "returned_items_report":
+            REL.returned_items_report,               # oracle, new r03
+        "churned_users": REL.churned_users,          # oracle, new r03
+        "doc_search_phrase":
+            SRCH.search_docs_phrase,                 # oracle, new r03
+        "conversation_quality":
+            R.conversation_quality,                  # oracle, new r03
         "parsed": R.parsed,                          # r01+r02-passed
         "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
@@ -392,6 +404,33 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)"
             " AS sft_text, CAST(count(*) AS BIGINT) AS n_turns"
             " FROM transcripts GROUP BY conv_id",
+        "tool_call_runs":
+            "SELECT conv_id, min(turn_idx) AS run_start_turn,"
+            " count(*) AS run_len FROM ("
+            "SELECT conv_id, turn_idx, turn_idx - row_number() OVER ("
+            " PARTITION BY conv_id ORDER BY turn_idx) AS isl"
+            " FROM transcripts WHERE role = 'tool')"
+            " GROUP BY conv_id, isl",
+        "conversation_dedup":
+            "SELECT min(conv_id) AS conv_id, sft_text FROM ("
+            "SELECT conv_id,"
+            " string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)"
+            " AS sft_text FROM transcripts GROUP BY conv_id)"
+            " GROUP BY 2",
+        "assistant_latency_stats":
+            "SELECT server, count(v) AS n,"
+            " round(sum(v)/count(v), 6) AS mean,"
+            " round(sqrt(greatest((sum(v*v) - sum(v)*sum(v)/count(v))"
+            "   / (count(v)-1), 0.0)), 6) AS std,"
+            " min(v) AS min_v, max(v) AS max_v FROM ("
+            "SELECT 'srv' || CAST(CAST(substr(conv_id, 6) AS BIGINT)"
+            f" % {SERVER_MOD} AS VARCHAR) AS server,"
+            " CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) AS v FROM ("
+            "SELECT conv_id, ts, role, lag(ts) OVER w AS prev_ts,"
+            " lag(role) OVER w AS prev_role FROM transcripts"
+            " WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))"
+            " WHERE role = 'assistant' AND prev_role = 'user')"
+            " GROUP BY server ORDER BY server",
         "qa_pairs":
             "SELECT conv_id, turn_idx, prompt, response FROM ("
             "SELECT conv_id, turn_idx, role, text AS response,"
@@ -648,6 +687,54 @@ def oracle_sql() -> dict[str, str]:
         " AS shuffle_key FROM docs_aug)\n"
         "SELECT doc_id, shuffle_key,"
         f" (shuffle_key * 8) // {D.EPOCH_MOD} AS shard FROM keyed")
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        CHURN_IDLE_US, Q10_DATE_LO, Q10_DATE_HI)
+    out["returned_items_report"] = (
+        "SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,"
+        " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        f" WHERE o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'"
+        f" AND o.o_orderdate < TIMESTAMP '{Q10_DATE_HI}'"
+        " AND l.l_returnflag = 'R'"
+        " GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal"
+        " ORDER BY revenue DESC, c.c_custkey LIMIT 20")
+    out["churned_users"] = (
+        "WITH lastt AS (SELECT user_id, max(ts) AS last_ts FROM events"
+        " GROUP BY user_id)"
+        " SELECT user_id, last_ts FROM lastt"
+        " WHERE epoch_us(last_ts) <"
+        f" (SELECT max(epoch_us(last_ts)) FROM lastt) - {CHURN_IDLE_US}")
+    from security_log_analysis_rust_ray.pipelines.reports import (
+        QUALITY_MIN_TURNS, QUALITY_MAX_TURNS)
+    out["conversation_quality"] = oracle_query(
+        ", w AS (SELECT conv_id, role, text,"
+        " lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        " AS prev_role FROM transcripts),\n"
+        "g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,"
+        " CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_user,"
+        " CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_assistant,"
+        " CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_tool,"
+        " CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_empty,"
+        " CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS same_role_adj"
+        " FROM w GROUP BY conv_id)\n"
+        "SELECT *, CAST(CASE WHEN"
+        f" n_turns >= {QUALITY_MIN_TURNS}"
+        f" AND n_turns <= {QUALITY_MAX_TURNS}"
+        " AND n_user >= 1 AND n_assistant >= 1 AND n_empty = 0"
+        " THEN 1 ELSE 0 END AS BIGINT) AS keep FROM g")
+    # oracle_query puts the transcripts CTE in scope; this body CONTINUES
+    # the preamble's WITH chain (same pattern as trending_terms)
+    out["doc_search_phrase"] = docs_pre + (
+        "hit AS (SELECT doc_id FROM docs_aug"
+        " WHERE contains(' ' || text || ' ', ' batch join '))\n"
+        "SELECT doc_id FROM hit ORDER BY doc_id")
     out["doc_search_and"] = docs_pre + (
         "t AS (SELECT DISTINCT doc_id,"
         " unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
@@ -1234,7 +1321,6 @@ def oracle_sql() -> dict[str, str]:
     # alert flush batches: recursive CTE replaying the engine's per-stream
     # sequential scan (same microsecond age rule, same byte bound)
     from security_log_analysis_rust_ray.config import get_config as _cfg
-    from security_log_analysis_rust_ray.synth import SERVER_MOD
     _buf = _cfg().alert_buffer_size
     _delay_us = _cfg().alert_log_delay * 1_000_000
     _cut = (f"s.cur_bytes + o.sz > {_buf} OR "

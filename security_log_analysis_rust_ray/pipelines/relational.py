@@ -285,6 +285,99 @@ def local_supplier_volume(sf_dir: str) -> rd.Dataset:
         .sort(["revenue", "nation"], descending=[True, False])
 
 
+Q10_DATE_LO = "1998-01-01"
+Q10_DATE_HI = "1998-04-01"
+
+
+def returned_items_report(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """TPC-H Q10-flavored returned-items report: revenue lost to RETURNED
+    lineitems per customer over one order quarter, top-k customers.
+    customer |x| orders (quarter filter) |x| lineitem (returnflag='R')
+    |x| nation — all through the size-aware lookup_join with filters
+    pushed below every join (the lineitem scan keeps only ~1/3 of rows,
+    orders ~1/25), so the fact stream that reaches the exchange is already
+    pruned.  Output: (c_custkey, c_name, n_name, c_acctbal, revenue)
+    sorted revenue desc, c_custkey asc, LIMIT k."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    lo, hi = pd.Timestamp(Q10_DATE_LO), pd.Timestamp(Q10_DATE_HI)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow", batch_size=None)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_returnflag"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["l_returnflag"], "R"))
+            .select(["l_orderkey", "l_extendedprice", "l_discount"]),
+            batch_format="pyarrow", batch_size=None)
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_acctbal",
+                               "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"])
+
+    nparts = _num_partitions(li)
+    j = lookup_join(li, orders, "l_orderkey", "o_orderkey",
+                    nparts=nparts, how="inner")
+    j = lookup_join(j, cust, "o_custkey", "c_custkey",
+                    nparts=nparts, how="inner")
+    j = lookup_join(j, nation, "c_nationkey", "n_nationkey",
+                    nparts=nparts, how="inner")
+
+    # lookup_join drops each dim's key, keeping the fact-side key —
+    # o_custkey IS the surviving customer key; renamed on output
+    keys = ["o_custkey", "c_name", "n_name", "c_acctbal"]
+
+    def derive(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({k: b[k] for k in keys} | {"revenue": rev})
+
+    partial = j.map_batches(derive, batch_format="pyarrow",
+                            batch_size=None) \
+        .map_batches(_partial_sums(keys, {"revenue": "sum"}),
+                     batch_format="pyarrow")
+    out = partial.groupby(keys).aggregate(
+        Sum("revenue_sum", alias_name="rev_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["o_custkey"], "c_name": b["c_name"],
+            "n_name": b["n_name"], "c_acctbal": b["c_acctbal"],
+            "revenue": pa.array(round_half_up(b["rev_f"].to_numpy(), 2))})
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+CHURN_IDLE_US = 24 * 3600 * 1_000_000   # churn = idle >= 1 day at corpus end
+
+
+def churned_users(sf_dir: str) -> rd.Dataset:
+    """Users whose LAST event precedes the corpus watermark by >= 1 day —
+    the inactivity report every engagement pipeline runs, pinned to the
+    data's own high-water mark so it is meaningful at any scale factor.
+    One grouped-max fold (partial per-block max -> one exchange row per
+    (user, block)); the watermark is the max of the per-user maxes (a
+    scalar tree-reduce over the already-tiny fold result), then a
+    vectorized cutoff filter.  The fact table never shuffles raw rows.
+    Output: (user_id, last_ts)."""
+    from ..stages import aggregate as agg
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    last = agg.grouped_max(ds, ["user_id"], "ts", alias="last_ts",
+                           high_cardinality=True).materialize()
+    wm = last.max("last_ts")
+    cut = pd.Timestamp(wm) - pd.Timedelta(microseconds=CHURN_IDLE_US)
+    return last.map_batches(
+        lambda b: b.filter(pc.less(b["last_ts"], pa.scalar(cut))),
+        batch_format="pyarrow", batch_size=None)
+
+
 def user_running_totals(sf_dir: str) -> rd.Dataset:
     """Per-user running cumulative `value` over time — the windowed
     cumulative-aggregate shape.  Hash-repartition by user, then ONE

@@ -8,6 +8,7 @@ aggregates A1-A5, sorts O1-O5, dedup D1-D6, filters P13/P14.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -348,6 +349,152 @@ def qa_pairs(sf_dir: str) -> rd.Dataset:
         out["response"] = df.loc[keep, "text"]
         return pa.Table.from_pandas(out, schema=_QA_SCHEMA,
                                     preserve_index=False)
+
+    return _by_key_blocks(ds, ["conv_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None)
+
+
+def tool_call_runs(sf_dir: str) -> rd.Dataset:
+    """Maximal runs of consecutive TOOL turns per conversation (agentic
+    tool-call chains — their length distribution is a first-order
+    property of agent transcripts).  The gaps-and-islands pattern,
+    vectorized across every conversation in a block after ONE conv_id
+    exchange: a run boundary is a conv change or a non-tool->tool edge;
+    cumsum of boundaries labels the islands, one groupby sizes them.
+    Output (conv_id, run_start_turn, run_len), tool turns only."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
+
+    def block(df):
+        import pandas as pd
+        if not len(df):
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "run_start_turn": pa.array([], pa.int32()),
+                             "run_len": pa.array([], pa.int64())})
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        is_tool = (df["role"].to_numpy() == "tool")
+        conv = df["conv_id"].to_numpy()
+        new_grp = np.concatenate([[True], conv[1:] != conv[:-1]])
+        prev_tool = np.concatenate([[False], is_tool[:-1]])
+        boundary = new_grp | (is_tool & ~prev_tool)
+        run_id = np.cumsum(boundary)
+        sub = pd.DataFrame({"conv_id": conv, "turn_idx": df["turn_idx"],
+                            "run": run_id})[is_tool]
+        out = sub.groupby("run", sort=False).agg(
+            conv_id=("conv_id", "first"),
+            run_start_turn=("turn_idx", "min"),
+            run_len=("turn_idx", "size")).reset_index(drop=True)
+        out["run_len"] = out["run_len"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _by_key_blocks(ds, ["conv_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None)
+
+
+def conversation_dedup(sf_dir: str) -> rd.Dataset:
+    """Whole-conversation exact dedup: one surviving conv_id (the
+    minimum) per distinct assembled transcript — conversations whose full
+    role-tagged turn sequence repeats are the conversation-granularity
+    duplicates an SFT corpus drops first.  Composition: the
+    ``conversation_sft_text`` assembly (one conv exchange) feeding the
+    exact-dedup grouped-min plan keyed on the assembled text."""
+    from ..stages import aggregate as agg
+    sft = conversation_sft_text(sf_dir)
+    return agg.grouped_min(sft, ["sft_text"], "conv_id", alias="conv_id",
+                           high_cardinality=True)
+
+
+def assistant_latency_stats(sf_dir: str) -> rd.Dataset:
+    """Assistant response latency: for every user->assistant adjacent
+    turn pair, the µs gap between the two timestamps, folded to per-server
+    (n, mean, std, min, max) via the one-pass mergeable-moments combiner —
+    the serving-latency dashboard slice of the transcript corpus.  One
+    conv exchange + one grouped shift (the ``qa_pairs`` adjacency rule
+    over ts), then ``grouped_stats``."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages import aggregate as agg
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def block(df):
+        import pandas as pd
+        if not len(df):
+            return pa.table({"server": pa.array([], pa.string()),
+                             "latency_us": pa.array([], pa.float64())})
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        g = df.groupby("conv_id", sort=False)
+        prev_role = g["role"].shift(1)
+        prev_ts = g["ts"].shift(1)
+        keep = (df["role"].to_numpy() == "assistant") \
+            & (prev_role.to_numpy() == "user")
+        lat = (df["ts"][keep].to_numpy() - prev_ts[keep].to_numpy()) \
+            .astype("timedelta64[us]").astype(np.int64)
+        # server shard of the conversation — the shared stream key
+        # (grok.server_from_conv, same rule as the alert scans)
+        from ..functions import grok
+        srv = grok.server_from_conv(pa.array(df["conv_id"][keep],
+                                             pa.string()))
+        return pa.table({
+            "server": srv,
+            "latency_us": pa.array(lat.astype(np.float64))})
+
+    pairs = _by_key_blocks(ds, ["conv_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None)
+    return agg.grouped_stats(pairs, ["server"], "latency_us") \
+        .sort("server")
+
+
+QUALITY_MIN_TURNS = 2
+QUALITY_MAX_TURNS = 200
+
+
+def conversation_quality(sf_dir: str) -> rd.Dataset:
+    """Conversation-level SFT quality gate: per-conv structural counters
+    (turns, per-role counts, empty texts, adjacent same-role runs) plus
+    an integer keep flag — the transcript analog of the document
+    ``doc_quality``/gopher gates, applied at conversation granularity
+    before assembly.  All rules are integer comparisons (memory: float
+    flags are hash time bombs).  One conv_id exchange, then one
+    vectorized pandas pass per block."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def block(df):
+        import pandas as pd
+        cols = {"conv_id": pa.string(), "n_turns": pa.int64(),
+                "n_user": pa.int64(), "n_assistant": pa.int64(),
+                "n_tool": pa.int64(), "n_empty": pa.int64(),
+                "same_role_adj": pa.int64(), "keep": pa.int64()}
+        if not len(df):
+            return pa.table({k: pa.array([], t) for k, t in cols.items()})
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        same_conv = np.concatenate([[False], conv[1:] == conv[:-1]])
+        same_role = np.concatenate([[False], role[1:] == role[:-1]])
+        g = pd.DataFrame({
+            "conv_id": conv,
+            "one": np.ones(len(df), dtype=np.int64),
+            "is_user": (role == "user").astype(np.int64),
+            "is_assistant": (role == "assistant").astype(np.int64),
+            "is_tool": (role == "tool").astype(np.int64),
+            "is_empty": (df["text"].to_numpy() == "").astype(np.int64),
+            "adj": (same_conv & same_role).astype(np.int64),
+        }).groupby("conv_id", sort=False, as_index=False).sum()
+        keep = ((g["one"] >= QUALITY_MIN_TURNS)
+                & (g["one"] <= QUALITY_MAX_TURNS)
+                & (g["is_user"] >= 1) & (g["is_assistant"] >= 1)
+                & (g["is_empty"] == 0)).astype(np.int64)
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"], pa.string()),
+            "n_turns": pa.array(g["one"]),
+            "n_user": pa.array(g["is_user"]),
+            "n_assistant": pa.array(g["is_assistant"]),
+            "n_tool": pa.array(g["is_tool"]),
+            "n_empty": pa.array(g["is_empty"]),
+            "same_role_adj": pa.array(g["adj"]),
+            "keep": pa.array(keep)})
 
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
         block, batch_format="pandas", batch_size=None)

@@ -80,7 +80,9 @@ def search_build_index(sf_dir: str, index_dir: str) -> dict:
     return man
 
 
-def _probed_postings(index_dir: str, terms: list[str]) -> rd.Dataset | None:
+def _probed_postings(index_dir: str, terms: list[str],
+                     columns: list[str] | None = None
+                     ) -> rd.Dataset | None:
     """Read ONLY the buckets the query terms hash to (path-pruned; at 64
     buckets a 2-term query scans ~3% of the index).  ``read_parquet``
     rejects a list of directories, so expand to file globs."""
@@ -99,7 +101,118 @@ def _probed_postings(index_dir: str, terms: list[str]) -> rd.Dataset | None:
             os.path.join(index_dir, "postings", f"bucket={k}", "*.parquet"))))
     if not files:
         return None
-    return rd.read_parquet(files, columns=["term", "doc_id"])
+    return rd.read_parquet(files,
+                           columns=columns or ["term", "doc_id"])
+
+
+def _pos_posting_rows(b: pa.Table) -> pa.Table:
+    """(term, doc_id, pos, bucket) rows — the POSITIONAL posting variant
+    (not distinct: every occurrence matters for phrase adjacency).  Same
+    one-explode shape as ``_posting_rows`` plus a per-doc position counter
+    derived from the split offsets (arange minus each doc's start)."""
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets, dtype=np.int64)
+    lens = np.diff(offs)
+    doc = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), lens)
+    pos = np.arange(offs[-1] - offs[0], dtype=np.int64) \
+        - np.repeat(offs[:-1] - offs[0], lens)
+    t = pa.table({"term": flat, "doc_id": pa.array(doc, pa.int64()),
+                  "pos": pa.array(pos)})
+    bucket = hash64_stable(t["term"].combine_chunks()) % SEARCH_BUCKETS
+    return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+
+def search_build_pos_index(sf_dir: str, index_dir: str) -> dict:
+    """Positional sibling of ``search_build_index`` (same atomic
+    tmp+rename, same bucket partitioning, ~positions× larger postings —
+    the classic index-size/phrase-capability trade)."""
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            return json.load(fh)
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    docs = docs_aug_ds(sf_dir)
+    n = docs.count()
+    docs.map_batches(_pos_posting_rows, batch_format="pyarrow",
+                     batch_size=None) \
+        .write_parquet(os.path.join(tmp, "postings"),
+                       partition_cols=["bucket"])
+    man = {"n_docs": int(n), "buckets": SEARCH_BUCKETS,
+           "hash_impl": _HASH_IMPL, "positional": True}
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    os.rename(tmp, index_dir)
+    return man
+
+
+def search_docs_phrase(sf_dir: str, terms: list[str] | None = None,
+                       index_dir: str | None = None) -> rd.Dataset:
+    """doc_ids containing the terms as an ADJACENT IN-ORDER phrase —
+    Lucene-style positional-index phrase match.  Each posting (t, d, p)
+    with t == terms[i] votes for a phrase START at base = p - i; a base
+    wins when all len(terms) slots voted: dedup (d, base, slot) ->
+    grouped count == n -> distinct doc_id.  Only the phrase terms'
+    buckets are read; no corpus rescan.  Returns (doc_id) sorted.
+
+    Tokenizer contract (single-space split, same as the AND/OR index)
+    makes this bit-equivalent to the oracle's
+    ``' ' || text || ' ' LIKE '% t0 t1 %'`` containment rule."""
+    from ..stages.dedup import distinct_rows
+    terms = list(terms if terms is not None else SEARCH_TERMS)
+    if index_dir is None:
+        from ..synth import CACHE_ROOT
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        index_dir = os.path.join(CACHE_ROOT, tag, "search_pos_index")
+    search_build_pos_index(sf_dir, index_dir)
+    empty = pa.schema([pa.field("doc_id", pa.int64())]).empty_table()
+    if not terms:
+        return rd.from_arrow(empty)
+    post = _probed_postings(index_dir, sorted(set(terms)),
+                            columns=["term", "doc_id", "pos"])
+    if post is None:
+        return rd.from_arrow(empty)
+    n = len(terms)
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        slots.setdefault(t, []).append(i)
+
+    def vote(b: pa.Table) -> pa.Table:
+        outs = []
+        for t, idxs in slots.items():
+            m = b.filter(pc.equal(b["term"], t))
+            if m.num_rows == 0:
+                continue
+            for i in idxs:
+                outs.append(pa.table({
+                    "doc_id": m["doc_id"],
+                    "base": pc.subtract(m["pos"], pa.scalar(i)),
+                    "slot": pa.array(
+                        np.full(m.num_rows, i, dtype=np.int64))}))
+        if not outs:
+            return pa.schema([
+                pa.field("doc_id", pa.int64()), pa.field("base", pa.int64()),
+                pa.field("slot", pa.int64())]).empty_table()
+        return pa.concat_tables(outs)
+
+    votes = post.map_batches(vote, batch_format="pyarrow", batch_size=None)
+    votes = distinct_rows(votes, ["doc_id", "base", "slot"])
+    counts = agg.grouped_count(votes, ["doc_id", "base"])
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.schema.names:
+            return empty
+        return b.filter(pc.equal(b["cnt"], n)).select(["doc_id"])
+
+    hits = counts.map_batches(final, batch_format="pyarrow",
+                              batch_size=None)
+    return distinct_rows(hits, ["doc_id"]).map_batches(
+        lambda t: t if t.num_columns else empty,
+        batch_format="pyarrow", batch_size=None).sort("doc_id")
 
 
 def search_docs_and(sf_dir: str, terms: list[str] | None = None,

@@ -149,8 +149,8 @@ def _grouped_fold(ds: rd.Dataset, keys: list[str], partial, alias: str,
         if pre.context.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
             from .dedup import _num_partitions
             pre.context.default_hash_shuffle_parallelism = _num_partitions(ds)
-        from ray.data.aggregate import Min
-        agg_cls = Sum if combine == "sum" else Min
+        from ray.data.aggregate import Max, Min
+        agg_cls = {"sum": Sum, "min": Min, "max": Max}[combine]
         out = pre.groupby(keys).aggregate(agg_cls("_partial",
                                                   alias_name=alias))
     return out.map_batches(lambda b: _restore(b, keys), batch_format="pyarrow",
@@ -172,6 +172,21 @@ def grouped_min(ds: rd.Dataset, keys: list[str], value_col: str,
 
     return _grouped_fold(ds, keys, partial, alias,
                          high_cardinality, small_keyspace, combine="min")
+
+
+def grouped_max(ds: rd.Dataset, keys: list[str], value_col: str,
+                alias: str = "max",
+                high_cardinality: bool = False,
+                small_keyspace: bool = False) -> rd.Dataset:
+    """groupby(keys).max(value_col) — ``grouped_min``'s mirror (max is
+    associative+commutative, partial/final split exact)."""
+    def partial(b: pa.Table) -> pa.Table:
+        b = _fill(b.select(keys + [value_col]), keys)
+        g = b.group_by(keys).aggregate([(value_col, "max")])
+        return g.rename_columns(keys + ["_partial"])
+
+    return _grouped_fold(ds, keys, partial, alias,
+                         high_cardinality, small_keyspace, combine="max")
 
 
 def top_k(ds: rd.Dataset, sort_col: str, keys_asc: list[str], k: int) -> rd.Dataset:

@@ -84,3 +84,68 @@ def test_search_no_hit_term_returns_empty(index_dir):
         search_docs_and
     out = search_docs_and(SF, ["batch", "zqxjkwv"], index_dir=index_dir)
     assert out.count() == 0
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("inv") / "search_pos_index")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phrase_matches_brute_force(pos_index_dir):
+    from security_log_analysis_rust_ray.pipelines.docs import docs_aug_ds
+    from security_log_analysis_rust_ray.pipelines.search import \
+        search_docs_phrase
+
+    got = search_docs_phrase(SF, ["batch", "join"],
+                             index_dir=pos_index_dir) \
+        .to_pandas()["doc_id"].tolist()
+
+    def brute(b):
+        import pyarrow as pa
+        m = [(" batch join " in f" {t} ") for t in b["text"].to_pylist()]
+        return b.filter(pa.array(m)).select(["doc_id"])
+
+    want = sorted(docs_aug_ds(SF).map_batches(brute, batch_format="pyarrow")
+                  .to_pandas()["doc_id"].tolist())
+    assert got == want and len(got) > 0
+    # phrase hits are a subset of the AND hits
+    from security_log_analysis_rust_ray.pipelines.search import \
+        search_docs_and
+    both = set(search_docs_and(SF, ["batch", "join"])
+               .to_pandas()["doc_id"].tolist())
+    assert set(got) <= both
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phrase_repeated_term_and_order(pos_index_dir):
+    """A phrase with a repeated term only matches true repetition, and
+    order matters (reversed phrase != original)."""
+    from security_log_analysis_rust_ray.pipelines.docs import docs_aug_ds
+    from security_log_analysis_rust_ray.pipelines.search import \
+        search_docs_phrase
+
+    def brute(phrase):
+        needle = " " + " ".join(phrase) + " "
+
+        def fn(b):
+            import pyarrow as pa
+            m = [(needle in f" {t} ") for t in b["text"].to_pylist()]
+            return b.filter(pa.array(m)).select(["doc_id"])
+        return sorted(docs_aug_ds(SF).map_batches(
+            fn, batch_format="pyarrow").to_pandas()["doc_id"].tolist())
+
+    for phrase in (["the", "the"], ["join", "batch"],
+                   ["the", "batch", "join"]):
+        got = search_docs_phrase(SF, phrase, index_dir=pos_index_dir) \
+            .to_pandas()["doc_id"].tolist()
+        assert got == brute(phrase), phrase
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phrase_empty_and_miss(pos_index_dir):
+    from security_log_analysis_rust_ray.pipelines.search import \
+        search_docs_phrase
+    assert search_docs_phrase(SF, [], index_dir=pos_index_dir).count() == 0
+    assert search_docs_phrase(SF, ["zqxjkwv", "batch"],
+                              index_dir=pos_index_dir).count() == 0

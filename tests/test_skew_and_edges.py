@@ -334,3 +334,21 @@ def test_grouped_sum_all_paths_match_pandas():
         assert int(out.sum()) == int(expected.sum())
         assert out["t0"] == expected["t0"]
         assert out[out.index.isnull()].iloc[0] == expected[np.nan]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_max_matches_pandas():
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 5000).astype(str),
+        "v": rng.normal(size=5000)})
+    for hc in (False, True):
+        got = agg.grouped_max(rd.from_pandas(df).repartition(9),
+                              ["k"], "v", alias="mx",
+                              high_cardinality=hc).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        want = df.groupby("k", as_index=False)["v"].max() \
+            .rename(columns={"v": "mx"}).sort_values("k") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
