@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             SRCH.search_docs_phrase,                 # oracle, new r03
         "conversation_quality":
             R.conversation_quality,                  # oracle, new r03
+        "role_transition_matrix":
+            R.role_transition_matrix,                # oracle, new r03
+        "events_hourly_heatmap":
+            REL.events_hourly_heatmap,               # oracle, new r03
         "parsed": R.parsed,                          # r01+r02-passed
         "doc_near_dedup": D.doc_near_dedup,          # r02-passed
         "parsed_dedup": R.parsed_dedup,              # r01+r02-passed
@@ -731,6 +735,16 @@ def oracle_sql() -> dict[str, str]:
         " THEN 1 ELSE 0 END AS BIGINT) AS keep FROM g")
     # oracle_query puts the transcripts CTE in scope; this body CONTINUES
     # the preamble's WITH chain (same pattern as trending_terms)
+    out["role_transition_matrix"] = oracle_query(
+        ", w AS (SELECT role, lag(role) OVER ("
+        " PARTITION BY conv_id ORDER BY turn_idx) AS prev_role"
+        " FROM transcripts)\n"
+        "SELECT prev_role, role, count(*) AS cnt FROM w"
+        " WHERE prev_role IS NOT NULL GROUP BY prev_role, role")
+    out["events_hourly_heatmap"] = (
+        "SELECT CAST(isodow(ts) AS INT) AS dow,"
+        " CAST(hour(ts) AS INT) AS hour, count(*) AS cnt"
+        " FROM events GROUP BY 1, 2")
     out["doc_search_phrase"] = docs_pre + (
         "hit AS (SELECT doc_id FROM docs_aug"
         " WHERE contains(' ' || text || ' ', ' batch join '))\n"

@@ -355,6 +355,27 @@ def returned_items_report(sf_dir: str, k: int = 20) -> rd.Dataset:
         .sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
 
 
+def events_hourly_heatmap(sf_dir: str) -> rd.Dataset:
+    """Calendar heatmap: event counts per (ISO day-of-week, hour) — the
+    7x24 activity matrix.  Bucketing fuses into the pruned read (one
+    int32 pair per row leaves the scan) and the 168-key space takes the
+    guarded small-keyspace fold: one partial row per (cell, block), no
+    exchange.  dow follows SQL isodow (Mon=1..Sun=7)."""
+    from ..stages import aggregate as agg
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        # Arrow day_of_week(count_from_zero=True, week_start Monday)=0..6
+        dow = pc.add(pc.day_of_week(b["ts"]), pa.scalar(1))
+        return pa.table({"dow": pc.cast(dow, pa.int32()),
+                         "hour": pc.cast(pc.hour(b["ts"]), pa.int32())})
+
+    cells_ds = ds.map_batches(cells, batch_format="pyarrow",
+                              batch_size=None)
+    return agg.grouped_count(cells_ds, ["dow", "hour"],
+                             small_keyspace=True)
+
+
 CHURN_IDLE_US = 24 * 3600 * 1_000_000   # churn = idle >= 1 day at corpus end
 
 

@@ -444,6 +444,33 @@ def assistant_latency_stats(sf_dir: str) -> rd.Dataset:
         .sort("server")
 
 
+def role_transition_matrix(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts over roles: for every adjacent turn pair
+    within a conversation, count (prev_role, role) — the structural
+    signature of a transcript corpus (user->assistant vs tool loops).
+    One conv exchange, one grouped shift per block, then the guarded
+    small-keyspace count fold (keyspace = |roles|² ≤ ~16 rows)."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages import aggregate as agg
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
+
+    def block(df):
+        if not len(df):
+            return pa.table({"prev_role": pa.array([], pa.string()),
+                             "role": pa.array([], pa.string())})
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        keep = prev.notna().to_numpy()
+        return pa.table({
+            "prev_role": pa.array(prev[keep], pa.string()),
+            "role": pa.array(df["role"][keep], pa.string())})
+
+    pairs = _by_key_blocks(ds, ["conv_id"]).map_batches(
+        block, batch_format="pandas", batch_size=None)
+    return agg.grouped_count(pairs, ["prev_role", "role"],
+                             small_keyspace=True)
+
+
 QUALITY_MIN_TURNS = 2
 QUALITY_MAX_TURNS = 200
 
