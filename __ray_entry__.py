@@ -194,6 +194,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_next_purchase,      # oracle, new r03 (sweep-checked)
         "signup_to_purchase_stats":
             REL.signup_to_purchase_stats,  # oracle, new r03 (sweep-checked)
+        "cheapest_supplier_per_part":
+            REL.cheapest_supplier_per_part,  # Q2-shape argmin, new r03
+        "idle_high_balance_customers":
+            REL.idle_high_balance_customers,  # Q22-shape, new r03
+        "supplier_variety":
+            REL.supplier_variety,            # Q16-shape, new r03
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -1548,6 +1554,39 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY user_id ORDER BY ts"
         " RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np"
         " FROM events)")
+    out["cheapest_supplier_per_part"] = (
+        "WITH unit AS (SELECT l_partkey AS pk, l_suppkey AS sk,"
+        " min(l_extendedprice / CAST(l_quantity AS DOUBLE)) AS cost"
+        " FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),\n"
+        "win AS (SELECT pk, sk, cost, row_number() OVER ("
+        "PARTITION BY pk ORDER BY cost, sk) AS rn FROM unit)\n"
+        "SELECT p_partkey, p_name, s_name, n_name AS nation,"
+        " round(cost, 6) AS unit_cost"
+        " FROM win JOIN part ON p_partkey = pk"
+        " JOIN supplier ON s_suppkey = sk"
+        " JOIN nation ON n_nationkey = s_nationkey"
+        " WHERE rn = 1 AND p_size >= 40 ORDER BY p_partkey")
+    out["idle_high_balance_customers"] = (
+        "WITH cc AS (SELECT c_custkey, c_nationkey,"
+        " CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents"
+        " FROM customer),\n"
+        "st AS (SELECT sum(bal_cents) AS s, count(*) AS n FROM cc"
+        " WHERE bal_cents > 0),\n"
+        "idle AS (SELECT cc.* FROM cc, st WHERE bal_cents * st.n > st.s"
+        " AND c_custkey NOT IN (SELECT o_custkey FROM orders"
+        "  WHERE o_orderpriority = '1-URGENT'))\n"
+        "SELECT n_name AS nation, count(*) AS n_custs,"
+        " CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS total_bal"
+        " FROM idle JOIN nation ON n_nationkey = c_nationkey"
+        " GROUP BY 1 ORDER BY 1")
+    out["supplier_variety"] = (
+        "SELECT p_brand, p_size,"
+        " count(DISTINCT l_suppkey) AS supplier_cnt"
+        " FROM lineitem JOIN part ON p_partkey = l_partkey"
+        " WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier"
+        "  WHERE s_acctbal < 2000.0)"
+        " GROUP BY 1, 2"
+        " ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 30")
     out["events_asof_signup"] = (
         "SELECT user_id, event_id,"
         " max(CASE WHEN event_type = 'signup' THEN ts END) OVER ("

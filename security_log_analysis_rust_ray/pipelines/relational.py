@@ -1058,3 +1058,202 @@ def signup_to_purchase_stats(sf_dir: str) -> rd.Dataset:
     delays = both.map_batches(delay, batch_format="pyarrow",
                               batch_size=None)
     return agg.grouped_stats(delays, ["k"], "delay_s")
+
+
+def cheapest_supplier_per_part(sf_dir: str, min_size: int = 40) -> rd.Dataset:
+    """TPC-H Q2-shape groupwise ARGMIN: for every part (restricted to
+    ``p_size >= min_size``), the supplier that shipped it at the lowest
+    observed unit cost (``l_extendedprice / l_quantity``), joined back to
+    supplier and nation names.  Generalizes the reference's
+    oldest-unprocessed LIMIT-1 scan (src/security_log_http.rs: min-row
+    lookup) from one global argmin to one argmin PER KEY.
+
+    Plan (scale-safe, two exchanges):
+      1. in-batch grouped min of unit cost per (part, supplier) — the
+         combiner collapses fact-scale lineitem to at most
+         |part x supplier| rows per block before anything moves;
+      2. global grouped_min on (part, supplier);
+      3. per-part argmin via dedup_keep_first (hash-repartition on
+         l_partkey, one vectorized sort + adjacent-dup mask per block) with
+         the deterministic (cost, suppkey) tie-break;
+      4. winners (one row per part) join part/supplier/nation through the
+         size-aware lookup_join — never a driver-side dict.
+    Exactness: unit cost is one IEEE division of identical operands on
+    both engine and oracle sides; min/argmin over identical float sets is
+    bit-stable (no accumulation), so the float compare is safe."""
+    from ..stages import aggregate as agg
+    from ..stages.dedup import _num_partitions, dedup_keep_first
+    from ..stages.joins import lookup_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_quantity"])
+
+    def unit(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_quantity"], pa.scalar(0.0)))
+        cost = pc.divide(b["l_extendedprice"],
+                         pc.cast(b["l_quantity"], pa.float64()))
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_suppkey": b["l_suppkey"], "cost": cost})
+
+    per_ps = agg.grouped_min(
+        li.map_batches(unit, batch_format="pyarrow", batch_size=None),
+        ["l_partkey", "l_suppkey"], "cost", alias="cost")
+    winners = dedup_keep_first(per_ps, keys=["l_partkey"],
+                               order=["cost", "l_suppkey"])
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_name", "p_size"])
+    part = part.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["p_size"],
+                                            pa.scalar(min_size))),
+        batch_format="pyarrow", batch_size=None)
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"])
+    nparts = _num_partitions(winners)
+    j = lookup_join(winners, part, "l_partkey", "p_partkey", nparts=nparts)
+    j = lookup_join(j, supp, "l_suppkey", "s_suppkey", nparts=nparts)
+    j = lookup_join(j, nation, "s_nationkey", "n_nationkey", nparts=nparts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b["l_partkey"],
+            "p_name": b["p_name"],
+            "s_name": b["s_name"],
+            "nation": b["n_name"],
+            "unit_cost": pa.array(round_half_up(b["cost"].to_numpy(), 6)),
+        })
+    return j.map_batches(finish, batch_format="pyarrow") \
+        .sort("p_partkey")
+
+
+def idle_high_balance_customers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22-shape: customers whose balance exceeds the average
+    POSITIVE balance and who have never placed an URGENT order, counted +
+    summed per nation.  (The synthetic orders table covers every customer,
+    so the NOT-IN leg filters on o_orderpriority to stay non-trivial.)
+    The anti-join leg is the reference's J3 dangling-host shape
+    (src/security_log_http.rs cleanup query) on customer vs order keys.
+
+    Exactness: the above-average predicate is restated in integer cents —
+    ``bal_cents * n_pos > sum_cents_pos`` — so the distributed sum and
+    DuckDB's sum agree bit-for-bit (float sums are order-dependent; int64
+    sums are not).  Plan: one combiner pass folds the two scalars, the
+    filtered customers anti-join the orders key set through the
+    size-aware path, then a tiny per-nation groupby."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import anti_join, lookup_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["c_acctbal"],
+                                         pa.scalar(100.0))), pa.int64())
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "c_nationkey": b["c_nationkey"], "bal_cents": c})
+
+    cc = cust.map_batches(cents, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["bal_cents"], pa.scalar(0, pa.int64())))
+        return pa.table({
+            "s": pa.array([pc.sum(t["bal_cents"]).as_py() or 0],
+                          pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = cc.map_batches(pos_partial, batch_format="pyarrow") \
+        .take_all()  # one 2-int row per block — driver combine is exact
+    tot_s = sum(r["s"] for r in parts)
+    tot_n = sum(r["n"] for r in parts)
+
+    rich = cc.map_batches(
+        lambda b, s=tot_s, n=tot_n: b.filter(
+            pc.greater(pc.multiply(b["bal_cents"],
+                                   pa.scalar(n, pa.int64())),
+                       pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow", batch_size=None)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"],
+                                    pa.scalar("1-URGENT"))).select(
+            ["o_custkey"]),
+        batch_format="pyarrow", batch_size=None)
+    idle = anti_join(rich, urgent, "c_custkey", "o_custkey",
+                     nparts=_num_partitions(cc))
+
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"])
+    j = lookup_join(idle, nation, "c_nationkey", "n_nationkey")
+    pre = j.map_batches(
+        lambda b: pa.table({"nation": b["n_name"],
+                            "bal_cents": b["bal_cents"],
+                            "one": pa.array(
+                                np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None)
+    out = pre.map_batches(
+        _partial_sums(["nation"], {"bal_cents": "sum", "one": "sum"}),
+        batch_format="pyarrow").groupby("nation").aggregate(
+        Sum("bal_cents_sum", alias_name="cents"),
+        Sum("one_sum", alias_name="cnt"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        bal = pc.divide(pc.cast(b["cents"], pa.float64()),
+                        pa.scalar(100.0))
+        return pa.table({"nation": b["nation"],
+                         "n_custs": pc.cast(b["cnt"], pa.int64()),
+                         "total_bal": bal})
+    return out.map_batches(finish, batch_format="pyarrow").sort("nation")
+
+
+def supplier_variety(sf_dir: str, excl_bal: float = 2000.0,
+                     k: int = 30) -> rd.Dataset:
+    """TPC-H Q16-shape: per (p_brand, p_size), how many DISTINCT suppliers
+    shipped that part class — excluding low-balance suppliers (the Q16
+    'complaints' NOT-IN leg, done as the size-aware anti-join).  Plan:
+    fact-scale lineitem |x| part via lookup_join, in-batch distinct
+    combiner on (brand, size, suppkey), ONE hash exchange that both
+    finishes the distinct and (because brand/size prefix the key) feeds
+    the per-(brand,size) count without a second shuffle."""
+    from ..stages.dedup import _num_partitions, distinct_rows
+    from ..stages.joins import anti_join, lookup_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
+    excl = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_acctbal"]).map_batches(
+        lambda b: b.filter(pc.less(b["s_acctbal"],
+                                   pa.scalar(excl_bal))).select(
+            ["s_suppkey"]),
+        batch_format="pyarrow", batch_size=None)
+
+    nparts = _num_partitions(li)
+    li = anti_join(li, excl, "l_suppkey", "s_suppkey", nparts=nparts)
+    j = lookup_join(li, part, "l_partkey", "p_partkey", nparts=nparts)
+    trip = j.map_batches(
+        lambda b: b.select(["p_brand", "p_size", "l_suppkey"]),
+        batch_format="pyarrow", batch_size=None)
+    uniq = distinct_rows(trip, ["p_brand", "p_size", "l_suppkey"])
+
+    def pcount(b: pa.Table) -> pa.Table:
+        return b.group_by(["p_brand", "p_size"]).aggregate(
+            [("l_suppkey", "count")]).rename_columns(
+            ["p_brand", "p_size", "c"])
+
+    from ray.data.aggregate import Sum
+    out = uniq.map_batches(pcount, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_size"]) \
+        .aggregate(Sum("c", alias_name="supplier_cnt"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "p_brand": b["p_brand"],
+            "p_size": b["p_size"],
+            "supplier_cnt": pc.cast(b["supplier_cnt"], pa.int64())}),
+        batch_format="pyarrow") \
+        .sort(["supplier_cnt", "p_brand", "p_size"],
+              descending=[True, False, False]).limit(k)
