@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.idle_high_balance_customers,  # Q22-shape, new r03
         "supplier_variety":
             REL.supplier_variety,            # Q16-shape, new r03
+        "preference_pairs": R.preference_pairs,  # DPO assembly, new r03
+        "modal_hour_by_type":
+            REL.modal_hour_by_type,          # grouped mode, new r03
+        "events_value_hour_corr":
+            REL.events_value_hour_corr,      # grouped Pearson r, new r03
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -747,6 +752,39 @@ def oracle_sql() -> dict[str, str]:
         " FROM transcripts)\n"
         "SELECT prev_role, role, count(*) AS cnt FROM w"
         " WHERE prev_role IS NOT NULL GROUP BY prev_role, role")
+    out["preference_pairs"] = oracle_query(
+        ", pr AS (SELECT u.text AS prompt, a.text AS reply"
+        " FROM transcripts u JOIN transcripts a"
+        " ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1"
+        " WHERE u.role = 'user' AND a.role = 'assistant'),\n"
+        "d AS (SELECT DISTINCT prompt, reply FROM pr),\n"
+        "r AS (SELECT prompt, reply,"
+        " row_number() OVER (PARTITION BY prompt"
+        "  ORDER BY length(reply) DESC, reply DESC) AS rc,"
+        " row_number() OVER (PARTITION BY prompt"
+        "  ORDER BY length(reply) ASC, reply ASC) AS rr,"
+        " count(*) OVER (PARTITION BY prompt) AS n FROM d)\n"
+        "SELECT prompt, max(CASE WHEN rc = 1 THEN reply END) AS chosen,"
+        " max(CASE WHEN rr = 1 THEN reply END) AS rejected,"
+        " max(n) AS n_candidates FROM r GROUP BY prompt"
+        " HAVING max(n) >= 2 ORDER BY prompt")
+    out["modal_hour_by_type"] = (
+        "WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,"
+        " count(*) AS cnt FROM events GROUP BY 1, 2)\n"
+        "SELECT event_type, hour, cnt FROM c QUALIFY row_number() OVER ("
+        "PARTITION BY event_type ORDER BY cnt DESC, hour) = 1"
+        " ORDER BY event_type")
+    out["events_value_hour_corr"] = (
+        "WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,"
+        " sum(value) AS sx, sum(CAST(hour(ts) AS DOUBLE)) AS sy,"
+        " sum(value * value) AS sxx,"
+        " sum(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)) AS syy,"
+        " sum(value * CAST(hour(ts) AS DOUBLE)) AS sxy"
+        " FROM events GROUP BY 1)\n"
+        "SELECT event_type, CAST(n AS BIGINT) AS n,"
+        " round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0"
+        "  THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))"
+        "  END, 6) AS corr FROM s ORDER BY event_type")
     out["events_hourly_heatmap"] = (
         "SELECT CAST(isodow(ts) AS INT) AS dow,"
         " CAST(hour(ts) AS INT) AS hour, count(*) AS cnt"

@@ -1257,3 +1257,85 @@ def supplier_variety(sf_dir: str, excl_bal: float = 2000.0,
         batch_format="pyarrow") \
         .sort(["supplier_cnt", "p_brand", "p_size"],
               descending=[True, False, False]).limit(k)
+
+
+def modal_hour_by_type(sf_dir: str) -> rd.Dataset:
+    """Grouped MODE: for every event_type, the hour-of-day with the most
+    events (deterministic tie-break on the smaller hour) — the per-key
+    argmax sibling of cheapest_supplier_per_part's argmin, over exact
+    integer counts so engine and oracle agree bit-for-bit.  Plan: in-batch
+    (type, hour) count combiner, one grouped sum, then per-type argmax via
+    dedup_keep_first on (-cnt, hour)."""
+    from ..stages.dedup import dedup_keep_first
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hour_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pc.cast(pc.hour(b["ts"]), pa.int64())})
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "hour", "c"])
+
+    counts = ds.map_batches(hour_counts, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("c", alias_name="cnt"))
+    counts = counts.map_batches(
+        lambda b: b.append_column("neg_cnt",
+                                  pc.negate(pc.cast(b["cnt"], pa.int64()))),
+        batch_format="pyarrow", batch_size=None)
+    win = dedup_keep_first(counts, keys=["event_type"],
+                           order=["neg_cnt", "hour"])
+    return win.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"],
+                            "hour": b["hour"],
+                            "cnt": pc.cast(b["cnt"], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).sort("event_type")
+
+
+def events_value_hour_corr(sf_dir: str) -> rd.Dataset:
+    """Grouped Pearson correlation between event value and hour-of-day,
+    per event_type — the two-variable extension of grouped_stats'
+    sum-of-squares fold.  One combiner pass emits the six partial sums
+    (n, sx, sy, sxx, syy, sxy) per (type, block); one tiny groupby
+    finishes; r is computed from the folded sums with the SAME explicit
+    formula the oracle SQL uses (rounded to 6: float partial-sum order
+    differs between engine and DuckDB only in final ulps)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = b["value"]
+        y = pc.cast(pc.hour(b["ts"]), pa.float64())
+        t = pa.table({
+            "event_type": b["event_type"],
+            "n": pa.array(np.ones(b.num_rows)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y)})
+        return t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]) \
+            .rename_columns(["event_type", "n", "sx", "sy",
+                             "sxx", "syy", "sxy"])
+
+    folded = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+        *[Sum(c, alias_name=c + "_t")
+          for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_t"].to_numpy()
+        sx, sy = b["sx_t"].to_numpy(), b["sy_t"].to_numpy()
+        sxx, syy = b["sxx_t"].to_numpy(), b["syy_t"].to_numpy()
+        sxy = b["sxy_t"].to_numpy()
+        cov = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        denom = np.sqrt(vx * vy)
+        r = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0),
+                     np.nan)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n": pa.array(n.astype(np.int64)),
+            "corr": pa.array(round_half_up(r, 6)),
+        })
+    return folded.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")

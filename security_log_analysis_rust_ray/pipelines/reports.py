@@ -889,3 +889,77 @@ def enriched_scd_counts(sf_dir: str) -> rd.Dataset:
                            "lo", "hi", right_payload=["code"])
     return agg.grouped_count(joined, ["code"],
                              small_keyspace=True).sort("code")
+
+
+_PREF_SCHEMA = pa.schema([("prompt", pa.string()),
+                          ("chosen", pa.string()),
+                          ("rejected", pa.string()),
+                          ("n_candidates", pa.int64())])
+_PAIR_SCHEMA = pa.schema([("prompt", pa.string()),
+                          ("reply", pa.string())])
+
+
+def preference_pairs(sf_dir: str) -> rd.Dataset:
+    """DPO/RLHF preference-pair assembly: for every user prompt that drew
+    >= 2 DISTINCT assistant replies across the corpus, one training pair
+    (prompt, chosen, rejected) — chosen = the (length, text)-max reply,
+    rejected = the (length, text)-min — plus the candidate count.  The
+    pairing step generalizes the reference's line->parsed-row projection
+    (src/parse_logs.rs) to adjacent-turn joins.
+
+    Plan (two exchanges, no per-group Python):
+      1. co-locate conv_id, one vectorized shift(-1) kernel per block
+         pairs each user turn with its immediate assistant reply, with an
+         in-block (prompt, reply) pre-distinct combiner;
+      2. co-locate prompt, one pandas kernel per block finishes the
+         distinct and folds each prompt group to first/last of the
+         (len, reply) sort order — argmin and argmax in the same pass.
+    Deterministic: ties in reply length break on the reply string."""
+    import pandas as pd
+
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_transcripts(sf_dir,
+                          columns=["conv_id", "turn_idx", "role", "text"])
+
+    def pair_turns(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _PAIR_SCHEMA.empty_table()
+        df = df.sort_values(["conv_id", "turn_idx"],
+                            kind="stable").reset_index(drop=True)
+        nxt_conv = df["conv_id"].shift(-1)
+        nxt_turn = df["turn_idx"].shift(-1)
+        nxt_role = df["role"].shift(-1)
+        nxt_text = df["text"].shift(-1)
+        keep = ((df["role"] == "user") & (nxt_role == "assistant")
+                & (nxt_conv == df["conv_id"])
+                & (nxt_turn == df["turn_idx"] + 1))
+        out = pd.DataFrame({"prompt": df.loc[keep, "text"],
+                            "reply": nxt_text[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(out, schema=_PAIR_SCHEMA,
+                                    preserve_index=False)
+
+    pairs = _by_key_blocks(ds, ["conv_id"]).map_batches(
+        pair_turns, batch_format="pandas", batch_size=None)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _PREF_SCHEMA.empty_table()
+        df = df.drop_duplicates()
+        df = df.assign(_len=df["reply"].str.len()) \
+               .sort_values(["prompt", "_len", "reply"], kind="stable")
+        g = df.groupby("prompt", sort=True)
+        out = pd.DataFrame({
+            "prompt": np.asarray(list(g.groups)),
+            "chosen": g["reply"].last().to_numpy(),
+            "rejected": g["reply"].first().to_numpy(),
+            "n_candidates": g.size().to_numpy().astype(np.int64),
+        })
+        out = out[out["n_candidates"] >= 2].reset_index(drop=True)
+        return pa.Table.from_pandas(out, schema=_PREF_SCHEMA,
+                                    preserve_index=False)
+
+    # no trailing sort: Ray's sort on an ALL-EMPTY dataset erases the
+    # schema (ds.schema() -> None), which breaks the empty-result schema
+    # compare; comparators canonicalize row order themselves.
+    return _by_key_blocks(pairs, ["prompt"]).map_batches(
+        fold, batch_format="pandas", batch_size=None)
