@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.modal_hour_by_type,          # grouped mode, new r03
         "events_value_hour_corr":
             REL.events_value_hour_corr,      # grouped Pearson r, new r03
+        "user_retention_cohorts":
+            REL.user_retention_cohorts,      # cohort grid, new r03
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -785,6 +787,14 @@ def oracle_sql() -> dict[str, str]:
         " round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0"
         "  THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))"
         "  END, 6) AS corr FROM s ORDER BY event_type")
+    out["user_retention_cohorts"] = (
+        "WITH uw AS (SELECT DISTINCT user_id,"
+        f" epoch_us(ts) // {REL.WEEK_US} AS week FROM events),\n"
+        "c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)\n"
+        "SELECT c.cohort AS cohort_week, uw.week - c.cohort AS week_offset,"
+        " CAST(count(*) AS BIGINT) AS n_users"
+        " FROM uw JOIN c USING (user_id)"
+        " GROUP BY 1, 2 ORDER BY 1, 2")
     out["events_hourly_heatmap"] = (
         "SELECT CAST(isodow(ts) AS INT) AS dow,"
         " CAST(hour(ts) AS INT) AS hour, count(*) AS cnt"

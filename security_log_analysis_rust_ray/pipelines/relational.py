@@ -1339,3 +1339,57 @@ def events_value_hour_corr(sf_dir: str) -> rd.Dataset:
         })
     return folded.map_batches(finish, batch_format="pyarrow") \
         .sort("event_type")
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def user_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Weekly retention-cohort grid: users cohorted by their FIRST active
+    epoch-week; for every (cohort_week, week_offset) cell, how many of
+    that cohort's users were active offset weeks later — the
+    product-analytics triangle, and the corpus-freshness view a crawl
+    pipeline runs on document fetch dates.  Weeks are exact integer
+    µs-epoch divisions (floor(epoch_us / week_us)) so engine and oracle
+    agree bit-for-bit with no date_trunc/datediff semantics in play.
+
+    Plan (one exchange): in-batch distinct (user, week) combiner shrinks
+    the fact stream to active-cells; hash-exchange on user_id lands each
+    user's cells in one block; a single vectorized pandas kernel per
+    block finishes the distinct, takes per-user min week (cohort) via
+    transform, and emits per-cell partial counts; the bounded
+    (weeks x offsets) keyspace folds through the guarded driver-side
+    final.  Generalizes the reference's year/month histogram
+    (src/security_log_http.rs A3) to per-entity relative time."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages import aggregate as agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(b["ts"], pa.int64()), WEEK_US)
+        t = pa.table({"user_id": b["user_id"], "week": week})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.schema([("cohort_week", pa.int64()),
+                              ("week_offset", pa.int64()),
+                              ("n_users", pa.int64())]).empty_table()
+        df = df.drop_duplicates()
+        cohort = df.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame({"cohort_week": cohort,
+                            "week_offset": df["week"] - cohort})
+        g = out.groupby(["cohort_week", "week_offset"]).size()
+        t = g.reset_index(name="n_users")
+        t["n_users"] = t["n_users"].astype(np.int64)
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    partials = _by_key_blocks(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["user_id"]).map_batches(fold, batch_format="pandas",
+                                 batch_size=None)
+    return agg.grouped_sum(partials, ["cohort_week", "week_offset"],
+                           "n_users", alias="n_users",
+                           small_keyspace=True) \
+        .sort(["cohort_week", "week_offset"])
