@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_value_hour_corr,      # grouped Pearson r, new r03
         "user_retention_cohorts":
             REL.user_retention_cohorts,      # cohort grid, new r03
+        "rolling_wau": REL.rolling_wau,      # 7-day distinct users, new r03
+        "supplier_triangles":
+            REL.supplier_triangles,          # graph triangles, new r03
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -795,6 +798,22 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS n_users"
         " FROM uw JOIN c USING (user_id)"
         " GROUP BY 1, 2 ORDER BY 1, 2")
+    out["rolling_wau"] = (
+        "WITH ud AS (SELECT DISTINCT user_id,"
+        f" epoch_us(ts) // {REL.DAY_US} AS day FROM events),\n"
+        "w AS (SELECT DISTINCT user_id, day + i AS wday"
+        f" FROM ud, unnest(generate_series(0, {REL.WAU_WINDOW - 1})) u(i))\n"
+        "SELECT wday AS day, CAST(count(*) AS BIGINT) AS n_users FROM w"
+        " WHERE wday <= (SELECT max(day) FROM ud)"
+        " GROUP BY 1 ORDER BY 1")
+    out["supplier_triangles"] = (
+        "WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s"
+        " FROM lineitem),\n"
+        "e AS (SELECT DISTINCT x.s AS a, y.s AS b FROM so x"
+        " JOIN so y ON x.o = y.o AND x.s < y.s)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1"
+        " JOIN e e2 ON e1.b = e2.a"
+        " JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b")
     out["events_hourly_heatmap"] = (
         "SELECT CAST(isodow(ts) AS INT) AS dow,"
         " CAST(hour(ts) AS INT) AS hour, count(*) AS cnt"

@@ -1393,3 +1393,140 @@ def user_retention_cohorts(sf_dir: str) -> rd.Dataset:
                            "n_users", alias="n_users",
                            small_keyspace=True) \
         .sort(["cohort_week", "week_offset"])
+
+
+DAY_US = 24 * 3600 * 1_000_000
+WAU_WINDOW = 7  # rolling window, days
+
+
+def rolling_wau(sf_dir: str) -> rd.Dataset:
+    """Rolling 7-day distinct active users (the WAU curve): for every
+    epoch-day in the data range, how many distinct users had >=1 event in
+    the trailing 7-day window ending that day.  Days are exact integer
+    µs-epoch divisions so engine and oracle agree bit-for-bit.
+
+    Plan (bounded expansion, no window join): the fact stream shrinks to
+    distinct (user, day) active cells first (in-batch combiner + one hash
+    exchange); each cell then fans out to the <=7 window-days it can
+    serve (a FIXED 7x expansion of the already-tiny cell table — never of
+    the fact table); a second distinct collapses users active on several
+    days of one window; a grouped count finishes.  This is the exact
+    version of the keyed-HLL DAU pipeline, and the window analog of the
+    reference's year/month histogram (src/security_log_http.rs:
+    get_log_messages aggregation surface)."""
+    from ..stages import aggregate as agg
+    from ..stages.dedup import distinct_rows
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b["ts"], pa.int64()), DAY_US)
+        return pa.table({"user_id": b["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+
+    uw = distinct_rows(ev.map_batches(cells, batch_format="pyarrow"),
+                       ["user_id", "day"]).materialize()
+    max_day = uw.max("day")
+
+    def explode(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        d = b["day"].to_numpy()
+        off = np.tile(np.arange(WAU_WINDOW, dtype=np.int64), len(d))
+        wd = np.repeat(d, WAU_WINDOW) + off
+        keep = wd <= max_day
+        return pa.table({"user_id": np.repeat(u, WAU_WINDOW)[keep],
+                         "day": wd[keep]})
+
+    pairs = distinct_rows(
+        uw.map_batches(explode, batch_format="pyarrow"),
+        ["user_id", "day"])
+    return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
+
+
+def supplier_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle count of the supplier co-occurrence graph: suppliers are
+    linked when they ship lines of the SAME order; the result is the
+    number of supplier triples that are pairwise linked — the classic
+    graph-clustering statistic (one number).
+
+    Plan (the MapReduce wedge-check algorithm, Suri & Vassilvitskii
+    WWW'11): distinct (order, supplier) cells, per-order pair expansion
+    with ids ordered a<b (orders have <=7 lines, so the per-group pair
+    fan-out is bounded by 21 — no hot-group hazard), distinct edges, one
+    hash join E(a,b)⋈E(b,c) builds wedges with a<b<c, and a semi-join of
+    the wedge's closing pair (a,c) against the edge set counts each
+    triangle exactly once.  At web scale the same plan orients edges by
+    DEGREE instead of id (low->high) to bound the wedge fan-out of hub
+    nodes; id order keeps the oracle exact here.  Generalizes the
+    conversation host-transition graph ops (host_pagerank) to a
+    closed-form, oracle-checkable statistic."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import hash_join, semi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        return pa.table({"o": b["l_orderkey"], "s": b["l_suppkey"]}) \
+            .group_by(["o", "s"]).aggregate([])
+
+    so = distinct_rows(li.map_batches(cells, batch_format="pyarrow"),
+                       ["o", "s"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        o = b["o"].to_numpy()
+        s = b["s"].to_numpy()
+        idx = np.lexsort((s, o))
+        o, s = o[idx], s[idx]
+        starts = np.r_[True, o[1:] != o[:-1]]
+        gid = np.cumsum(starts) - 1
+        counts = np.bincount(gid)
+        pos = np.arange(len(o)) - np.r_[0, np.cumsum(counts)[:-1]][gid]
+        aa, bb = [], []
+        for d in range(1, int(counts.max() if len(counts) else 0) + 1):
+            m = pos + d < counts[gid]
+            if not m.any():
+                break
+            lo = np.flatnonzero(m)
+            aa.append(s[lo])
+            bb.append(s[lo + d])
+        if not aa:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]) \
+                .empty_table()
+        a = np.concatenate(aa).astype(np.int64)
+        c = np.concatenate(bb).astype(np.int64)
+        return pa.table({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+
+    edges = distinct_rows(
+        _by_key_blocks(so, ["o"]).map_batches(
+            pairs, batch_format="pyarrow", batch_size=None),
+        ["a", "b"]).materialize()
+
+    right = edges.map_batches(
+        lambda b: pa.table({"b2": b["a"], "c": b["b"]}),
+        batch_format="pyarrow")
+    wedges = hash_join(edges, right, on=("b",), right_on=("b2",),
+                       how="inner")
+
+    FUSE = np.int64(1) << np.int64(32)  # suppkey < 2^32 by construction
+
+    def fuse(cols: tuple[str, str]):
+        def f(b: pa.Table) -> pa.Table:
+            k = b[cols[0]].to_numpy().astype(np.int64) * FUSE \
+                + b[cols[1]].to_numpy().astype(np.int64)
+            return b.append_column("k", pa.array(k))
+        return f
+
+    closing = wedges.map_batches(fuse(("a", "c")), batch_format="pyarrow")
+    ek = edges.map_batches(fuse(("a", "b")), batch_format="pyarrow") \
+        .select_columns(["k"])
+    tri = semi_join(closing, ek, "k", "k")
+
+    def count_block(b: pa.Table) -> pa.Table:
+        return pa.table({"_partial": pa.array([len(b)], pa.int64())})
+
+    partials = tri.map_batches(count_block, batch_format="pyarrow",
+                               batch_size=None)
+    total = int(sum(r["_partial"] for r in partials.take_all()))
+    return rd.from_arrow(pa.table({"n_triangles":
+                                   pa.array([total], pa.int64())}))
