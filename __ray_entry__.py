@@ -58,6 +58,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # by pytest invariants instead).  tools/parity_sweep.py checks ALL 124
     # every round regardless (CORRECTNESS_LOCAL_r03.json).
     return {
+        # newest r03 additions (no driver row yet) lead the window
+        "part_price_size_skyline":
+            REL.part_price_size_skyline,                   # oracle, new r03
+        "events_value_ntile": REL.events_value_ntile,      # oracle, new r03
+        "order_priority_exists_counts":
+            REL.order_priority_exists_counts,              # oracle, new r03
+        "line_priority_counts": REL.line_priority_counts,  # oracle, new r03
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
@@ -210,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_wau": REL.rolling_wau,      # 7-day distinct users, new r03
         "supplier_triangles":
             REL.supplier_triangles,          # graph triangles, new r03
+        "supplier_kcore":
+            REL.supplier_kcore,              # rows-only (iterative peel)
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -328,6 +337,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     q = {
+        "part_price_size_skyline":
+            "SELECT p_partkey, p_retailprice, p_size FROM part p"
+            " WHERE NOT EXISTS (SELECT 1 FROM part q"
+            "  WHERE q.p_retailprice <= p.p_retailprice"
+            "  AND q.p_size >= p.p_size"
+            "  AND (q.p_retailprice < p.p_retailprice"
+            "       OR q.p_size > p.p_size))",
+        "events_value_ntile":
+            "SELECT event_id, event_type, value, CAST(ntile(4) OVER ("
+            "PARTITION BY event_type ORDER BY value, event_id) AS BIGINT)"
+            " AS quartile FROM events",
+        "order_priority_exists_counts":
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders o"
+            " WHERE EXISTS (SELECT 1 FROM lineitem l"
+            "  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')"
+            " GROUP BY o_orderpriority",
+        "line_priority_counts":
+            "SELECT l_returnflag,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+            "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY l_returnflag",
         "transcripts": "SELECT * FROM transcripts",
         "parsed": "SELECT * FROM parsed",
         "messages": "SELECT * FROM messages",

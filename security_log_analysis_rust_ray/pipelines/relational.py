@@ -1443,26 +1443,15 @@ def rolling_wau(sf_dir: str) -> rd.Dataset:
     return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
 
 
-def supplier_triangles(sf_dir: str) -> rd.Dataset:
-    """Triangle count of the supplier co-occurrence graph: suppliers are
-    linked when they ship lines of the SAME order; the result is the
-    number of supplier triples that are pairwise linked — the classic
-    graph-clustering statistic (one number).
-
-    Plan (the MapReduce wedge-check algorithm, Suri & Vassilvitskii
-    WWW'11): distinct (order, supplier) cells, per-order pair expansion
-    with ids ordered a<b (orders have <=7 lines, so the per-group pair
-    fan-out is bounded by 21 — no hot-group hazard), distinct edges, one
-    hash join E(a,b)⋈E(b,c) builds wedges with a<b<c, and a semi-join of
-    the wedge's closing pair (a,c) against the edge set counts each
-    triangle exactly once.  At web scale the same plan orients edges by
-    DEGREE instead of id (low->high) to bound the wedge fan-out of hub
-    nodes; id order keeps the oracle exact here.  Generalizes the
-    conversation host-transition graph ops (host_pagerank) to a
-    closed-form, oracle-checkable statistic."""
+def _supplier_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct undirected (a < b) supplier co-occurrence edges: suppliers
+    are linked when they ship lines of the SAME order.  Distinct (order,
+    supplier) cells -> one order-key exchange -> per-order pair expansion
+    (orders have <= 7 lines, so the per-group fan-out is bounded by 21 —
+    no hot-group hazard) -> distinct edges.  Shared by the triangle count
+    and the k-core peel."""
     from ..pipelines.streaming import _by_key_blocks
     from ..stages.dedup import distinct_rows
-    from ..stages.joins import hash_join, semi_join
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
 
@@ -1497,10 +1486,44 @@ def supplier_triangles(sf_dir: str) -> rd.Dataset:
         c = np.concatenate(bb).astype(np.int64)
         return pa.table({"a": np.minimum(a, c), "b": np.maximum(a, c)})
 
-    edges = distinct_rows(
+    return distinct_rows(
         _by_key_blocks(so, ["o"]).map_batches(
             pairs, batch_format="pyarrow", batch_size=None),
         ["a", "b"]).materialize()
+
+
+def supplier_kcore(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Suppliers in the k-core of the co-occurrence graph — the standard
+    dense-backbone extraction (who stays after iteratively peeling
+    low-degree suppliers).  Edge extraction shared with
+    ``supplier_triangles``; the peel is ``stages/graph.py:kcore``
+    (size-aware: one numpy task under 5M edges, else per-round grouped
+    degree counts + anti-join deletions).  Returns (node,) supplier
+    keys, validated by a pure-Python peel in pytest."""
+    from ..stages.graph import kcore
+    return kcore(_supplier_edges(sf_dir), k)
+
+
+def supplier_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle count of the supplier co-occurrence graph: suppliers are
+    linked when they ship lines of the SAME order; the result is the
+    number of supplier triples that are pairwise linked — the classic
+    graph-clustering statistic (one number).
+
+    Plan (the MapReduce wedge-check algorithm, Suri & Vassilvitskii
+    WWW'11): distinct (order, supplier) cells, per-order pair expansion
+    with ids ordered a<b (orders have <=7 lines, so the per-group pair
+    fan-out is bounded by 21 — no hot-group hazard), distinct edges, one
+    hash join E(a,b)⋈E(b,c) builds wedges with a<b<c, and a semi-join of
+    the wedge's closing pair (a,c) against the edge set counts each
+    triangle exactly once.  At web scale the same plan orients edges by
+    DEGREE instead of id (low->high) to bound the wedge fan-out of hub
+    nodes; id order keeps the oracle exact here.  Generalizes the
+    conversation host-transition graph ops (host_pagerank) to a
+    closed-form, oracle-checkable statistic."""
+    from ..stages.joins import hash_join, semi_join
+
+    edges = _supplier_edges(sf_dir)
 
     right = edges.map_batches(
         lambda b: pa.table({"b2": b["a"], "c": b["b"]}),
@@ -1530,3 +1553,210 @@ def supplier_triangles(sf_dir: str) -> rd.Dataset:
     total = int(sum(r["_partial"] for r in partials.take_all()))
     return rd.from_arrow(pa.table({"n_triangles":
                                    pa.array([total], pa.int64())}))
+
+
+def _skyline_block(b: pa.Table) -> pa.Table:
+    """Per-block 2-D skyline kernel (minimize p_retailprice, maximize
+    p_size).  One Arrow sort + vectorized per-price-group max and a strict
+    prefix max over groups — no per-row Python.  Dominance: q dominates p
+    iff q.price <= p.price AND q.size >= p.size with at least one strict;
+    exact duplicates on both axes never dominate each other, so both
+    survive (matching the NOT EXISTS oracle)."""
+    if b.num_rows == 0:
+        return b
+    b = b.take(pc.sort_indices(b, sort_keys=[
+        ("p_retailprice", "ascending"), ("p_size", "descending"),
+        ("p_partkey", "ascending")]))
+    price = b["p_retailprice"].to_numpy()
+    size = b["p_size"].to_numpy()
+    first = np.r_[True, price[1:] != price[:-1]]
+    gid = np.cumsum(first) - 1
+    # size is sorted desc within each equal-price group -> group max is the
+    # group's first element
+    gmax = size[first]
+    # strict prefix max: best size among all strictly-cheaper groups
+    prefix = np.r_[np.iinfo(np.int64).min,
+                   np.maximum.accumulate(gmax)[:-1]]
+    keep = (size == gmax[gid]) & (size > prefix[gid])
+    return b.filter(pa.array(keep))
+
+
+def part_price_size_skyline(sf_dir: str) -> rd.Dataset:
+    """Pareto frontier (skyline) over part: parts for which no other part
+    is at-most-as-expensive AND at-least-as-big with one strict — the
+    classic price/quality trade-off operator relational engines lack.
+
+    Skyline admits an EXACT combiner: a point dominated inside its own
+    block is dominated by a point that block retains, so local-skyline ->
+    concat -> final-skyline equals the global skyline.  The exchange
+    carries only frontier candidates (expected O(log n) per block for
+    independent dims), so the single-partition final pass sees
+    blocks x frontier rows, never the table.  Generalizes the reference's
+    sort+filter reporting surface (/root/reference/src/parse_opts.rs:
+    228-229) to a multi-objective rule."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_retailprice", "p_size"])
+    local = ds.map_batches(_skyline_block, batch_format="pyarrow",
+                           batch_size=None)
+    return local.repartition(num_blocks=1).map_batches(
+        _skyline_block, batch_format="pyarrow", batch_size=None)
+
+
+def events_value_ntile(sf_dir: str, n_tiles: int = 4) -> rd.Dataset:
+    """Per-group NTILE(4): every event gets its within-type value quartile
+    (SQL ``ntile(4) OVER (PARTITION BY event_type ORDER BY value,
+    event_id)``) — the distributed windowed-rank operator behind
+    equal-depth bucketing and per-domain curriculum tiers.
+
+    A group does NOT fit one partition at 100 TB, so this never collects a
+    group: ONE global sort on (type, value, id), then the
+    ``doc_quality_percentile`` block-summary plan PER TYPE SEGMENT — each
+    block emits one (first-row key, segment type, segment count) row per
+    within-block type run, the driver folds those few-per-block rows into
+    exclusive per-type rank offsets and per-type totals, and a final
+    vectorized pass adds the in-block arange and applies the SQL tile rule
+    (first ``total % n`` tiles one row bigger).  Driver state is one row
+    per block-segment, never per event."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]) \
+        .sort(["event_type", "value", "event_id"]).materialize()
+
+    def seg_summary(b: pa.Table) -> pa.Table:
+        empty = pa.table({"id0": pa.array([], pa.int64()),
+                          "t0": pa.array([], pa.string()),
+                          "v0": pa.array([], pa.float64()),
+                          "seg": pa.array([], pa.int64()),
+                          "typ": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, t[1:] != t[:-1]]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(t)])
+        k = len(starts)
+        return pa.table({
+            "id0": pa.array(np.full(k, b["event_id"][0].as_py(), np.int64)),
+            "t0": pa.array([t[0]] * k, pa.string()),
+            "v0": pa.array(np.full(k, b["value"][0].as_py(), np.float64)),
+            "seg": pa.array(np.arange(k, dtype=np.int64)),
+            "typ": pa.array(t[starts]),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    summ = ds.map_batches(seg_summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if not len(summ):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "quartile": pa.array([], pa.int64())}))
+    # recover global block order by each block's FIRST-ROW full sort key
+    # (type, value, event_id) -- unique because event_id is; segments
+    # within a block are already ordered by `seg`.
+    summ = summ.sort_values(["t0", "v0", "id0", "seg"], kind="stable")
+    # exclusive per-type prefix: cumsum within type minus own count
+    summ["off"] = summ.groupby("typ")["cnt"].cumsum() - summ["cnt"]
+    totals = summ.groupby("typ")["cnt"].sum().to_dict()
+    offmap = {(int(i), int(s)): int(o)
+              for i, s, o in zip(summ["id0"], summ["seg"], summ["off"])}
+    ref = ray.put((offmap, totals, int(n_tiles)))
+
+    def attach(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "quartile": pa.array([], pa.int64())})
+        offmap, totals, nt = ray.get(ref)
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, t[1:] != t[:-1]]
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        id0 = int(b["event_id"][0].as_py())
+        segoff = np.array([offmap[(id0, int(s))]
+                           for s in range(len(starts))], np.int64)
+        rank0 = segoff[gid] + (np.arange(len(t)) - starts[gid])
+        tot = np.array([totals[x] for x in t[starts]], np.int64)[gid]
+        base, rem = tot // nt, tot % nt
+        big = rem * (base + 1)
+        inbig = rank0 < big
+        # guard base==0 (fewer rows than tiles): every tile holds one row
+        tile = np.where(inbig, rank0 // np.maximum(base + 1, 1),
+                        rem + (rank0 - big) // np.maximum(base, 1))
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "value": b["value"],
+                         "quartile": pa.array(tile + 1, pa.int64())})
+
+    return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def order_priority_exists_counts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 shape: per-priority count of orders that have AT LEAST ONE
+    returned lineitem (``EXISTS`` decorrelated to a semi-join).  The
+    existence probe never joins rows: returned lineitems reduce to a
+    DISTINCT orderkey set (per-block distinct combiner before the ONE hash
+    exchange), the size-aware ``semi_join`` keeps qualifying orders, and
+    the 5-key priority count is the guarded small-keyspace fold.
+    Generalizes the reference's filtered-count reports
+    (/root/reference/src/parse_opts.rs:208-233) to an EXISTS gate."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import semi_join
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag"])
+
+    def returned(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["l_returnflag"], "R")) \
+                .select(["l_orderkey"])
+
+    keys = distinct_rows(
+        li.map_batches(returned, batch_format="pyarrow"), ["l_orderkey"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    qual = semi_join(orders, keys, "o_orderkey", "l_orderkey")
+    from ..stages.aggregate import grouped_count
+    return grouped_count(qual, ["o_orderpriority"], alias="n_orders")
+
+
+def line_priority_counts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12 shape: per returnflag, how many lineitems belong to
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders — the
+    CASE-bucketed dual count over a fact-to-fact join.  The orders side
+    carries only (key, 1-bit flag) through the size-aware ``lookup_join``;
+    both CASE sums fold in-batch (flag sum and its complement), so the
+    exchange moves <= 2 ints per (flag, block)."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(b["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "hi": pc.cast(hi, pa.int64())})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag"])
+    j = lookup_join(li, orders.map_batches(flag, batch_format="pyarrow"),
+                    "l_orderkey", "o_orderkey",
+                    nparts=_num_partitions(li))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": b["l_returnflag"], "hi": b["hi"],
+                      "lo": pc.subtract(pa.scalar(1, pa.int64()), b["hi"])})
+        return t.group_by(["l_returnflag"]).aggregate(
+            [("hi", "sum"), ("lo", "sum")]) \
+            .rename_columns(["l_returnflag", "hi_p", "lo_p"])
+
+    out = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag"]).aggregate(
+            Sum("hi_p", alias_name="high_line_count"),
+            Sum("lo_p", alias_name="low_line_count"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "high_line_count": pc.cast(b["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(b["low_line_count"], pa.int64())}),
+        batch_format="pyarrow")

@@ -284,3 +284,96 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
             }),
             batch_format="pyarrow", batch_size=None).materialize()
     return ranks
+
+
+KCORE_LOCAL_MAX_EDGES = 5_000_000  # one task's worth of edge arrays
+
+
+def _kcore_one_task(edges: rd.Dataset, k: int, src: str,
+                    dst: str) -> rd.Dataset:
+    """Small-graph k-core: peel entirely inside ONE remote numpy task
+    (vectorized bincount rounds; nothing edge-sized on the driver)."""
+    import ray
+
+    refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def solve(*blocks):
+        import numpy as np
+        ts = [b if isinstance(b, pa.Table) else pa.Table.from_blocks([b])
+              for b in blocks]
+        t = pa.concat_tables([x.select([src, dst]) for x in ts]) \
+            if ts else None
+        empty = pa.table({"node": pa.array([], pa.int64())})
+        if t is None or t.num_rows == 0:
+            return empty
+        a = t[src].to_numpy().astype(np.int64)
+        b = t[dst].to_numpy().astype(np.int64)
+        # relabel to a compact id space
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        x, y = inv[:len(a)], inv[len(a):]
+        alive_e = np.ones(len(x), bool)
+        alive_n = np.ones(len(nodes), bool)
+        while True:
+            deg = np.bincount(x[alive_e], minlength=len(nodes)) \
+                + np.bincount(y[alive_e], minlength=len(nodes))
+            low = alive_n & (deg < k)
+            if not low.any():
+                break
+            alive_n &= ~low
+            alive_e &= alive_n[x] & alive_n[y]
+        return pa.table({"node": pa.array(nodes[alive_n], pa.int64())})
+
+    return rd.from_arrow_refs([solve.remote(*refs)])
+
+
+def kcore(edges: rd.Dataset, k: int, src: str = "a", dst: str = "b",
+          nparts: int = 8, max_rounds: int = 100) -> rd.Dataset:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k — the standard peel (repeat: drop nodes with degree < k
+    among survivors) expressed as dataset primitives.
+
+    Each round is ONE grouped degree count over the symmetrized survivor
+    edges plus two size-aware anti-joins that delete edges touching peeled
+    nodes; the driver sees only the per-round peeled-node COUNT.  Rounds
+    are bounded by the peel depth (a path graph peels one layer per round
+    — ``max_rounds`` caps the pathological chain), and every exchange
+    shrinks: edges only ever get deleted.  Size-aware like
+    connected_components: graphs under ``KCORE_LOCAL_MAX_EDGES`` resolve
+    in one remote numpy task.  Returns (node,) rows."""
+    try:
+        n_edges = edges.count()
+    except Exception:
+        n_edges = None
+    if n_edges is not None and n_edges <= KCORE_LOCAL_MAX_EDGES:
+        return _kcore_one_task(edges, k, src, dst)
+
+    from .aggregate import grouped_count
+    from .dedup import distinct_rows
+    from .joins import anti_join
+
+    both = edges.map_batches(
+        lambda t: pa.table({"x": t[src].cast(pa.int64()),
+                            "y": t[dst].cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None).union(
+        edges.map_batches(
+            lambda t: pa.table({"x": t[dst].cast(pa.int64()),
+                                "y": t[src].cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None)).materialize()
+
+    for _ in range(max_rounds):
+        deg = grouped_count(both, ["x"], alias="deg").materialize()
+        low = deg.map_batches(
+            lambda t: t.filter(pa.compute.less(t["deg"], k))
+                       .select(["x"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+        if low.count() == 0:
+            break
+        both = anti_join(both, low, "x", "x")
+        both = anti_join(both, low, "y", "x").materialize()
+        if both.count() == 0:
+            break
+    return distinct_rows(
+        both.map_batches(lambda t: pa.table({"node": t["x"]}),
+                         batch_format="pyarrow", batch_size=None),
+        ["node"])
