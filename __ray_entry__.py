@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_exists_counts":
             REL.order_priority_exists_counts,              # oracle, new r03
         "line_priority_counts": REL.line_priority_counts,  # oracle, new r03
+        "promo_revenue_share": REL.promo_revenue_share,    # oracle, new r03
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
@@ -219,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.supplier_triangles,          # graph triangles, new r03
         "supplier_kcore":
             REL.supplier_kcore,              # rows-only (iterative peel)
+        "embedding_kcenter_sample":
+            ANN.embedding_kcenter_sample,    # rows-only (greedy coreset)
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -361,6 +364,12 @@ def oracle_sql() -> dict[str, str]:
             "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " GROUP BY l_returnflag",
+        "promo_revenue_share":
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'"
+            " THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+            " / sum(l_extendedprice * (1 - l_discount)), 6)"
+            " AS promo_share"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey",
         "transcripts": "SELECT * FROM transcripts",
         "parsed": "SELECT * FROM parsed",
         "messages": "SELECT * FROM messages",

@@ -1293,3 +1293,93 @@ def ann_hard_negatives(sf_dir: str, k: int = TOP_K,
 
     return partial.groupby("query_id").map_groups(final,
                                                   batch_format="pandas")
+
+
+KCENTER_K = 16
+
+
+def embedding_kcenter_sample(sf_dir: str, k: int = KCENTER_K) -> rd.Dataset:
+    """Greedy k-center (farthest-point) coreset over the embedding table —
+    the diversity-sampling step of training-data curation (pick vectors
+    that COVER the space rather than cluster-stratified
+    ``embedding_cluster_sample``).  Gonzalez's 2-approximation: seed with
+    the smallest vec_id, then k-1 rounds of "add the point farthest from
+    its nearest selected center".
+
+    Each round broadcasts the current center matrix (<= k x DIM floats)
+    and runs ONE vectorized map_batches: per block, min-distance to
+    centers via a (batch x centers) matmul, then a single (max-dist,
+    min-vec_id) candidate ROW per block — the driver folds one row per
+    block per round, never vectors.  Deterministic: ties break on the
+    smaller vec_id.  O(k) streaming passes total; at 100 TB the pass count
+    is the knob (k is small for coreset seeding) and each pass is
+    embarrassingly parallel with a tiny broadcast side."""
+    base = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def seed_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": b["embedding"]})
+        i = int(np.argmin(b["vec_id"].to_numpy()))
+        return b.slice(i, 1)
+
+    seeds = base.map_batches(seed_block, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    if not len(seeds):
+        return rd.from_arrow(pa.table({
+            "sel_order": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "dist_to_prev": pa.array([], pa.float64())}))
+    seeds = seeds.sort_values("vec_id").iloc[0]
+    sel_ids = [int(seeds["vec_id"])]
+    sel_vecs = [np.asarray(seeds["embedding"], dtype=np.float64)]
+    dists = [0.0]
+
+    for _ in range(k - 1):
+        centers_ref = ray.put(np.stack(sel_vecs))
+        chosen = set(sel_ids)
+
+        def far_block(b: pa.Table, _c=centers_ref, _ch=frozenset(chosen)):
+            empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                              "d": pa.array([], pa.float64()),
+                              "embedding": pa.array(
+                                  [], b.schema.field("embedding").type)})
+            if b.num_rows == 0:
+                return empty
+            ids = b["vec_id"].to_numpy()
+            keep = ~np.isin(ids, np.fromiter(_ch, np.int64))
+            if not keep.any():
+                return empty
+            c = ray.get(_c)
+            v = np.stack(b["embedding"].to_numpy(zero_copy_only=False)[keep]) \
+                .astype(np.float64)
+            # squared euclidean via the expanded form; exact enough for an
+            # argmax and one order of magnitude cheaper than pairwise diff
+            d2 = (v * v).sum(1)[:, None] - 2.0 * (v @ c.T) \
+                + (c * c).sum(1)[None, :]
+            dmin = d2.min(1)
+            # block candidate: max distance, vec_id ascending tie-break
+            kid = np.flatnonzero(keep)
+            order = np.lexsort((ids[kid], -dmin))
+            i = order[0]
+            return pa.table({
+                "vec_id": pa.array([int(ids[kid[i]])], pa.int64()),
+                "d": pa.array([float(dmin[i])], pa.float64()),
+                "embedding": pa.array(
+                    [v[i].tolist()], b.schema.field("embedding").type)})
+
+        cand = base.map_batches(far_block, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+        if not len(cand):
+            break
+        cand = cand.sort_values(["d", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+        sel_ids.append(int(cand["vec_id"]))
+        sel_vecs.append(np.asarray(cand["embedding"], dtype=np.float64))
+        dists.append(float(np.sqrt(cand["d"])))
+
+    return rd.from_arrow(pa.table({
+        "sel_order": pa.array(range(len(sel_ids)), pa.int64()),
+        "vec_id": pa.array(sel_ids, pa.int64()),
+        "dist_to_prev": pa.array(
+            np.asarray(round_half_up(np.array(dists))), pa.float64())}))

@@ -1760,3 +1760,40 @@ def line_priority_counts(sf_dir: str) -> rd.Dataset:
             "high_line_count": pc.cast(b["high_line_count"], pa.int64()),
             "low_line_count": pc.cast(b["low_line_count"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def promo_revenue_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14 shape: promo parts' share of total revenue, percent.
+    The part side carries only (key, 1-bit promo flag) through the
+    size-aware ``lookup_join``; BOTH conditional sums fold per block
+    (revenue and its promo-masked copy), so one scan and a 2-scalar
+    exchange produce the ratio.  Rounded 6 like every float oracle."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "promo": pc.cast(pc.equal(b["p_type"], "PROMO"), pa.float64())})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"])
+    j = lookup_join(li, part.map_batches(flag, batch_format="pyarrow"),
+                    "l_partkey", "p_partkey", nparts=_num_partitions(li))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        promo = pc.multiply(rev, b["promo"])
+        return pa.table({
+            "rev_p": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+            "promo_p": pa.array([pc.sum(promo).as_py() or 0.0],
+                                pa.float64())})
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    share = 100.0 * parts["promo_p"].sum() / parts["rev_p"].sum()
+    return rd.from_arrow(pa.table({
+        "promo_share": pa.array(round_half_up(np.array([share])),
+                                pa.float64())}))
