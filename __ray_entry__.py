@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.order_priority_exists_counts,              # oracle, new r03
         "line_priority_counts": REL.line_priority_counts,  # oracle, new r03
         "promo_revenue_share": REL.promo_revenue_share,    # oracle, new r03
+        "corpus_continuation_counts":
+            D.corpus_continuation_counts,                  # oracle, new r03
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
@@ -222,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.supplier_kcore,              # rows-only (iterative peel)
         "embedding_kcenter_sample":
             ANN.embedding_kcenter_sample,    # rows-only (greedy coreset)
+        "service_host_overlap_approx":
+            R.service_host_overlap_approx,   # rows-only (HLL set algebra)
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -628,6 +632,14 @@ def oracle_sql() -> dict[str, str]:
         " JOIN uni ca ON big.w1 = ca.t JOIN uni cb ON big.w2 = cb.t"
         " CROSS JOIN nu CROSS JOIN nb"
         f" WHERE cnt >= {D.COLLOC_MIN_CNT}")
+    out["corpus_continuation_counts"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
+        " FROM docs_aug),\n"
+        "big AS (SELECT DISTINCT tk[i] AS w1, tk[i+1] AS w2 FROM toks,"
+        " unnest(generate_series(1, len(tk) - 1)) u(i))\n"
+        "SELECT w2 AS term, CAST(count(*) AS BIGINT) AS n_contexts"
+        " FROM big GROUP BY w2"
+        f" HAVING count(*) >= {D.CONT_MIN}")
     out["corpus_ngram_diversity"] = docs_pre + (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
         " FROM docs_aug),\n"

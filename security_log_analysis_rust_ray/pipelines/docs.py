@@ -3443,3 +3443,42 @@ def doc_suffix_dups(sf_dir: str) -> rd.Dataset:
 
     return _prefix_dup_ids(docs_aug_ds(sf_dir).map_batches(
         rev, batch_format="pyarrow", batch_size=None))
+
+
+CONT_MIN = 3
+
+
+def corpus_continuation_counts(sf_dir: str,
+                               min_cont: int = CONT_MIN) -> rd.Dataset:
+    """Kneser-Ney continuation counts: for each term, how many DISTINCT
+    predecessor terms it follows — the statistic KN smoothing uses instead
+    of raw frequency (a word seen often after ONE context, e.g.
+    "Francisco", gets a low continuation count).  ONE bigram explode
+    (shared window-gather kernel), the hash-partitioned distinct-pair
+    combiner (per-block distinct BEFORE the exchange, so a hot bigram
+    collapses in its own block), then a grouped count over the distinct
+    pairs — the ``min_cont`` floor prunes the vocabulary tail.  Output
+    (term, n_contexts) for n_contexts >= min_cont."""
+    base = docs_aug_ds(sf_dir)
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        offs = np.asarray(tk.offsets)
+        wins = np.maximum(np.diff(offs) - 1, 0)
+        starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
+        return pa.table({"w1": flat.take(pa.array(starts)),
+                         "w2": flat.take(pa.array(starts + 1))})
+
+    from ..stages.dedup import distinct_rows
+    pairs = distinct_rows(
+        base.map_batches(bigrams, batch_format="pyarrow"), ["w1", "w2"])
+    cont = agg.grouped_count(
+        pairs.map_batches(lambda t: pa.table({"term": t["w2"]}),
+                          batch_format="pyarrow", batch_size=None),
+        ["term"], alias="n_contexts", high_cardinality=True)
+    return cont.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_contexts"], min_cont)),
+        batch_format="pyarrow", batch_size=None)

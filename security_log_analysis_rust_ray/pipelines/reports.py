@@ -963,3 +963,37 @@ def preference_pairs(sf_dir: str) -> rd.Dataset:
     # compare; comparators canonicalize row order themselves.
     return _by_key_blocks(pairs, ["prompt"]).map_batches(
         fold, batch_format="pandas", batch_size=None)
+
+
+def service_host_overlap_approx(sf_dir: str) -> rd.Dataset:
+    """Approximate version of ``service_host_overlap``: the even/odd-day
+    distinct-host sets as two 4 KB HLL sketches, their union as the
+    register max, and |A ∩ B| by inclusion-exclusion — the sketch-join
+    you run FIRST at 100 TB to decide whether the exact INTERSECT (two
+    distincts + a semi-join exchange) is worth scheduling.  One streaming
+    pass per slice, driver state = two registers.  Output one row
+    (n_even_est, n_odd_est, n_overlap_est), each rounded to ints."""
+    from ..stages.sketch import (approx_distinct_registers,
+                                 hll_estimate, hll_intersection_estimate)
+
+    base = parsed(sf_dir)
+
+    def parity(rem):
+        def f(b: pa.Table) -> pa.Table:
+            d = pc.day(b["datetime"])
+            return b.filter(pc.equal(pc.bit_wise_and(d, 1), rem)) \
+                .select(["host"])
+        return f
+
+    even = base.map_batches(parity(0), batch_format="pyarrow",
+                            batch_size=None)
+    odd = base.map_batches(parity(1), batch_format="pyarrow",
+                           batch_size=None)
+    ra = approx_distinct_registers(even, "host")
+    rb = approx_distinct_registers(odd, "host")
+    return rd.from_arrow(pa.table({
+        "n_even_est": pa.array([int(round(hll_estimate(ra)))], pa.int64()),
+        "n_odd_est": pa.array([int(round(hll_estimate(rb)))], pa.int64()),
+        "n_overlap_est": pa.array(
+            [int(round(hll_intersection_estimate(ra, rb)))], pa.int64()),
+    }))

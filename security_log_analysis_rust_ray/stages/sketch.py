@@ -460,3 +460,40 @@ def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], col: str,
                          alias: pa.array(ests, pa.int64())})
 
     return parts.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def approx_distinct_registers(ds: rd.Dataset, col: str) -> np.ndarray:
+    """Merged HLL register array for one column (the distributed state
+    behind ``approx_distinct``, exposed so callers can COMBINE sketches:
+    union = elementwise max, intersection = inclusion-exclusion)."""
+    def partial(b: pa.Table) -> pa.Table:
+        c = b[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not pa.types.is_string(c.type):
+            c = c.cast(pa.string())
+        reg = hll_partial(c)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .repartition(8) \
+        .map_batches(_merge_rows, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
+    if not len(rows):
+        return np.zeros(HLL_M, dtype=np.uint8)
+    regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                     for r in rows["reg"]])
+    return np.maximum.reduce(regs)
+
+
+def hll_intersection_estimate(reg_a: np.ndarray,
+                              reg_b: np.ndarray) -> float:
+    """|A ∩ B| by inclusion-exclusion over mergeable HLL states:
+    est(A) + est(B) - est(A ∪ B), where the union sketch is the
+    elementwise register max — the one set operation HLL supports
+    exactly.  Error grows with |A ∪ B| / |A ∩ B| (difference of two
+    noisy numbers), which is why the pytest bound is looser than the
+    union bound."""
+    return hll_estimate(reg_a) + hll_estimate(reg_b) \
+        - hll_estimate(np.maximum(reg_a, reg_b))
