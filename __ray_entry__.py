@@ -68,6 +68,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": REL.promo_revenue_share,    # oracle, new r03
         "corpus_continuation_counts":
             D.corpus_continuation_counts,                  # oracle, new r03
+        "doc_edit_similar_pairs":
+            D.doc_edit_similar_pairs,                      # oracle, new r03
+        "events_cdc_snapshot":
+            STR.events_cdc_snapshot,                       # oracle, new r03
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
@@ -640,6 +644,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w2 AS term, CAST(count(*) AS BIGINT) AS n_contexts"
         " FROM big GROUP BY w2"
         f" HAVING count(*) >= {D.CONT_MIN}")
+    out["doc_edit_similar_pairs"] = docs_pre + (
+        "k AS (SELECT doc_id,"
+        f" substr(text, 1, {D.EDIT_PREFIX_LEN}) AS pfx, text"
+        " FROM docs_aug)\n"
+        "SELECT least(a.doc_id, b.doc_id) AS doc_a,"
+        " greatest(a.doc_id, b.doc_id) AS doc_b,"
+        " CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist"
+        " FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id"
+        f" WHERE levenshtein(a.text, b.text) <= {D.EDIT_MAX_DIST}")
     out["corpus_ngram_diversity"] = docs_pre + (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
         " FROM docs_aug),\n"
@@ -833,6 +846,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, hour, cnt FROM c QUALIFY row_number() OVER ("
         "PARTITION BY event_type ORDER BY cnt DESC, hour) = 1"
         " ORDER BY event_type")
+    out["events_cdc_snapshot"] = (
+        "WITH log AS (SELECT user_id, value, event_id AS seq,"
+        f" (event_id % {STR.CDC_DELETE_EVERY} = 0) AS is_delete"
+        " FROM events),"
+        " latest AS (SELECT * FROM log QUALIFY row_number() OVER"
+        " (PARTITION BY user_id ORDER BY seq DESC) = 1)"
+        " SELECT user_id, value, seq AS last_seq FROM latest"
+        " WHERE NOT is_delete")
     out["events_value_hour_corr"] = (
         "WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,"
         " sum(value) AS sx, sum(CAST(hour(ts) AS DOUBLE)) AS sy,"

@@ -3482,3 +3482,85 @@ def corpus_continuation_counts(sf_dir: str,
     return cont.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_contexts"], min_cont)),
         batch_format="pyarrow", batch_size=None)
+
+
+EDIT_PREFIX_LEN = 12
+EDIT_MAX_DIST = 20
+
+
+def doc_edit_similar_pairs(sf_dir: str, prefix_len: int = EDIT_PREFIX_LEN,
+                           max_dist: int = EDIT_MAX_DIST) -> rd.Dataset:
+    """Fuzzy-duplicate pairs by EXACT edit distance under prefix blocking:
+    docs sharing their first ``prefix_len`` codepoints are candidates
+    (the classic blocking key for truncation/suffix-edit duplicates —
+    complements MinHash, which needs shingle overlap everywhere), and a
+    candidate pair survives iff levenshtein(text_a, text_b) <= max_dist.
+
+    ONE hash exchange on the prefix key co-locates each block's groups;
+    the per-block kernel sorts, expands pairs with the distinct-group-size
+    triu gather (hot-group cap as in ``_block_group_pairs``), and scores
+    every pair with the batched min-plus-scan Levenshtein kernel
+    (``functions/editdist.py`` — O(max_len) vectorized row updates across
+    ALL pairs of the block, no per-pair Python DP).  Output
+    (doc_a, doc_b, dist)."""
+    import logging
+    from ..config import get_config
+    from ..functions.editdist import levenshtein_pairs
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+
+    log = logging.getLogger(__name__)
+    cap = get_config().max_group_pairs
+    base = docs_aug_ds(sf_dir)
+
+    def key(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pfx": pc.utf8_slice_codeunits(b["text"], 0, prefix_len),
+            "doc_id": b["doc_id"], "text": b["text"]})
+
+    keyed = base.map_batches(key, batch_format="pyarrow", batch_size=None)
+    nparts = _num_partitions(base)
+    rep = _use_hash_shuffle(keyed, nparts).repartition(
+        num_blocks=nparts, keys=["pfx"])
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if b.num_rows < 2:
+            return empty
+        srt = b.sort_by([("pfx", "ascending"), ("doc_id", "ascending")])
+        p = srt["pfx"].combine_chunks()
+        d = srt["doc_id"].to_numpy()
+        texts = srt["text"].to_pylist()
+        change = ~pc.equal(p.slice(1), p.slice(0, len(d) - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        counts = np.diff(np.append(starts, len(d)))
+        ii, jj = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            if int(s) * (int(s) - 1) // 2 > cap:
+                log.warning(
+                    "hot-prefix guard: dropping %d group(s) of size %d"
+                    " (> max_group_pairs=%d)",
+                    int((counts == s).sum()), int(s), cap)
+                continue
+            st = starts[counts == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            ii.append((st[:, None] + iu[None, :]).ravel())
+            jj.append((st[:, None] + ju[None, :]).ravel())
+        if not ii:
+            return empty
+        ii = np.concatenate(ii)
+        jj = np.concatenate(jj)
+        dist = levenshtein_pairs([texts[i] for i in ii],
+                                 [texts[j] for j in jj])
+        keep = dist <= max_dist
+        a, bb = d[ii[keep]], d[jj[keep]]
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        return pa.table({"doc_a": pa.array(lo, pa.int64()),
+                         "doc_b": pa.array(hi, pa.int64()),
+                         "dist": pa.array(dist[keep], pa.int64())})
+
+    return rep.map_batches(score, batch_format="pyarrow", batch_size=None)

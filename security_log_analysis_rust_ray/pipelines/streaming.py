@@ -437,3 +437,55 @@ def _event_time_us(b: pa.Table) -> np.ndarray:
     ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
     eid = b["event_id"].to_numpy(zero_copy_only=False)
     return ts - np.where(eid % LATE_EVERY == 0, LATE_DELAY_US, 0)
+
+
+CDC_DELETE_EVERY = 13
+
+
+def events_cdc_snapshot(sf_dir: str) -> rd.Dataset:
+    """CDC merge-on-read: apply an upsert/delete changelog to produce the
+    LATEST snapshot — the standard merge step of a replicated-table sink
+    (Debezium/Hudi-style).  The changelog derives deterministically from
+    events: every event is an upsert of (user_id -> value) sequenced by
+    event_id, and every ``CDC_DELETE_EVERY``-th event is a DELETE tombstone.
+
+    Plan: flag the op in the pruned read map, per-block keep-latest
+    combiner (in-batch argmax over seq per key — correct because the
+    global latest row is necessarily its own block's latest for that key),
+    ONE hash exchange on user_id, the same kernel per partition, then drop
+    keys whose surviving row is a tombstone.  Tombstones must survive the
+    combiner (a delete can be the latest op), so the filter is the LAST
+    step — the classic CDC subtlety.  Output (user_id, value, last_seq)."""
+    base = read_table(sf_dir, "events",
+                      columns=["event_id", "user_id", "value"])
+
+    def ops(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        is_del = (eid % CDC_DELETE_EVERY) == 0
+        return pa.table({
+            "user_id": b["user_id"],
+            "value": b["value"],
+            "seq": b["event_id"],
+            "is_delete": pa.array(is_del)})
+
+    def keep_latest(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        b = b.take(pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("seq", "descending")]))
+        u = b["user_id"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        return b.filter(pa.array(first))
+
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+    pre = base.map_batches(ops, batch_format="pyarrow", batch_size=None) \
+        .map_batches(keep_latest, batch_format="pyarrow", batch_size=None)
+    nparts = _num_partitions(base)
+    latest = _use_hash_shuffle(pre, nparts).repartition(
+        num_blocks=nparts, keys=["user_id"]) \
+        .map_batches(keep_latest, batch_format="pyarrow", batch_size=None)
+    return latest.map_batches(
+        lambda b: b.filter(pc.invert(b["is_delete"])).select(
+            ["user_id", "value", "seq"]).rename_columns(
+            ["user_id", "value", "last_seq"]),
+        batch_format="pyarrow", batch_size=None)
