@@ -70,8 +70,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.corpus_continuation_counts,                  # oracle, new r03
         "doc_edit_similar_pairs":
             D.doc_edit_similar_pairs,                      # oracle, new r03
+        "doc_span_corruption_pairs":
+            D.doc_span_corruption_pairs,                   # oracle, new r03
         "events_cdc_snapshot":
             STR.events_cdc_snapshot,                       # oracle, new r03
+        "user_time_weighted_value":
+            REL.user_time_weighted_value,                  # oracle, new r03
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
@@ -230,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ANN.embedding_kcenter_sample,    # rows-only (greedy coreset)
         "service_host_overlap_approx":
             R.service_host_overlap_approx,   # rows-only (HLL set algebra)
+        "source_top_terms_approx":
+            D.source_top_terms_approx,       # rows-only (keyed Misra-Gries)
         "enriched_scd_counts":
             R.enriched_scd_counts,         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -644,6 +650,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT w2 AS term, CAST(count(*) AS BIGINT) AS n_contexts"
         " FROM big GROUP BY w2"
         f" HAVING count(*) >= {D.CONT_MIN}")
+    out["doc_span_corruption_pairs"] = docs_pre + (
+        "toks AS (SELECT doc_id, str_split(text, ' ') AS tk"
+        " FROM docs_aug),\n"
+        "m AS (SELECT doc_id, i, tk[i] AS t,"
+        f" ((i - 1) % {D.SPAN_EVERY}) AS r,"
+        f" (i - 1) // {D.SPAN_EVERY} AS k"
+        " FROM toks, unnest(generate_series(1, len(tk))) u(i))\n"
+        "SELECT doc_id,"
+        f" string_agg(CASE WHEN r >= {D.SPAN_LEN} THEN t"
+        " WHEN r = 0 THEN '<X' || k || '>' END, ' ' ORDER BY i)"
+        " AS input_text,"
+        f" string_agg(CASE WHEN r < {D.SPAN_LEN} THEN"
+        " CASE WHEN r = 0 THEN '<X' || k || '> ' || t ELSE t END END,"
+        " ' ' ORDER BY i) AS target_text"
+        " FROM m GROUP BY doc_id")
     out["doc_edit_similar_pairs"] = docs_pre + (
         "k AS (SELECT doc_id,"
         f" substr(text, 1, {D.EDIT_PREFIX_LEN}) AS pfx, text"
@@ -846,6 +867,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, hour, cnt FROM c QUALIFY row_number() OVER ("
         "PARTITION BY event_type ORDER BY cnt DESC, hour) = 1"
         " ORDER BY event_type")
+    out["user_time_weighted_value"] = (
+        "WITH w AS (SELECT user_id, value,"
+        " CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts,"
+        " value)) - epoch_us(ts) AS DOUBLE) AS dt FROM events)"
+        " SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twap"
+        " FROM w WHERE dt IS NOT NULL GROUP BY user_id"
+        " HAVING sum(dt) > 0")
     out["events_cdc_snapshot"] = (
         "WITH log AS (SELECT user_id, value, event_id AS seq,"
         f" (event_id % {STR.CDC_DELETE_EVERY} = 0) AS is_delete"

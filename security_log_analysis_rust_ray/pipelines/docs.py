@@ -3564,3 +3564,93 @@ def doc_edit_similar_pairs(sf_dir: str, prefix_len: int = EDIT_PREFIX_LEN,
                          "dist": pa.array(dist[keep], pa.int64())})
 
     return rep.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def source_top_terms_approx(sf_dir: str, k: int = 16) -> rd.Dataset:
+    """Per-SOURCE approximate hot terms via the keyed Misra-Gries fold
+    (`stages/sketch.py:grouped_heavy_hitters`) — the per-tenant hot-key
+    detector: one term explode with the source attached, one MG summary
+    row per (source, block), one small exchange.  Approximate by design
+    (lower-bound counts) -> rows-only entry; the per-group MG guarantee
+    is pytest-bounded against exact per-source counts."""
+    from ..stages.sketch import grouped_heavy_hitters
+
+    base = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        n = np.diff(np.asarray(tk.offsets))
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": pa.array(np.repeat(src, n)),
+                         "term": tk.values})
+
+    terms = base.map_batches(explode, batch_format="pyarrow",
+                             batch_size=None)
+    return grouped_heavy_hitters(terms, ["source"], "term", k=k)
+
+
+SPAN_EVERY = 7
+SPAN_LEN = 3
+
+
+def doc_span_corruption_pairs(sf_dir: str, every: int = SPAN_EVERY,
+                              span_len: int = SPAN_LEN) -> rd.Dataset:
+    """T5-style span-corruption pair generation: mask deterministic token
+    runs (positions p with ``p % every < span_len`` — ~3/7 of tokens in
+    3-token spans), emit the sentinel-bridged input and the sentinel-keyed
+    target stream per doc.  Interleaving target spans back over the
+    input's sentinels reconstructs the original text EXACTLY — the
+    invariant pytest asserts it — which is the property span-corruption
+    pretraining relies on.
+
+    Stateless fused map, zero shuffle: ONE token explode per batch (docs
+    never span batches), vectorized position/mask/sentinel arithmetic,
+    per-doc reassembly via np.bincount offsets + a single
+    ``binary_join`` per stream.  Output (doc_id, input_text,
+    target_text)."""
+    base = docs_aug_ds(sf_dir)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        offs = np.asarray(tk.offsets)
+        n_per = np.diff(offs)
+        n_docs = len(n_per)
+        doc_idx = np.repeat(np.arange(n_docs), n_per)
+        pos = np.arange(len(flat)) - np.repeat(offs[:-1], n_per)
+        mask = (pos % every) < span_len
+        run_start = mask & (pos % every == 0)
+        k = pos // every
+        sent = np.where(run_start,
+                        np.char.add(np.char.add(
+                            "<X", k.astype("U8")), ">"), "")
+
+        toks = flat.to_numpy(zero_copy_only=False).astype(object)
+        # input stream: unmasked tokens + one sentinel per masked run
+        in_keep = (~mask) | run_start
+        in_toks = np.where(run_start[in_keep], sent[in_keep],
+                           toks[in_keep])
+        in_counts = np.bincount(doc_idx[in_keep], minlength=n_docs)
+        # target stream: sentinel-prefixed masked tokens
+        tg_toks = np.where(run_start[mask],
+                           np.char.add(np.char.add(
+                               sent[mask], " "),
+                               toks[mask].astype("U64")).astype(object),
+                           toks[mask])
+        tg_counts = np.bincount(doc_idx[mask], minlength=n_docs)
+
+        def join(stream: np.ndarray, counts: np.ndarray) -> pa.Array:
+            lst = pa.ListArray.from_arrays(
+                pa.array(np.r_[0, np.cumsum(counts)], pa.int32()),
+                pa.array(stream, pa.string()))
+            return pc.binary_join(lst, " ")
+
+        return pa.table({"doc_id": b["doc_id"],
+                         "input_text": join(in_toks, in_counts),
+                         "target_text": join(tg_toks, tg_counts)})
+
+    return base.map_batches(pairs, batch_format="pyarrow", batch_size=None)

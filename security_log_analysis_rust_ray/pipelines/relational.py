@@ -1797,3 +1797,54 @@ def promo_revenue_share(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow(pa.table({
         "promo_share": pa.array(round_half_up(np.array([share])),
                                 pa.float64())}))
+
+
+def user_time_weighted_value(sf_dir: str) -> rd.Dataset:
+    """Per-user TIME-WEIGHTED average value (TWAP): each event's value
+    holds until the user's next event; the average weights each value by
+    its holding time in µs.  Users with a single event have no holding
+    interval and are excluded (SQL semantics: sum of zero weights ->
+    NULL -> dropped).
+
+    ONE hash exchange on user_id, then a single vectorized kernel per
+    block across ALL its users: sort, one grouped shift for the next
+    timestamp, masked weighted sums per user via np.bincount — no
+    per-user Python.  Weighted sums stay exact int64·float products
+    summed in user order, mirrored left-to-right in the oracle; result
+    rounded 6."""
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    nparts = _num_partitions(ds)
+    rep = _use_hash_shuffle(ds, nparts).repartition(
+        num_blocks=nparts, keys=["user_id"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "twap": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        # (ts, value) tie-break mirrors the oracle's lead() ORDER BY so
+        # the per-group float summation ORDER matches bit-for-bit
+        b = b.take(pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("value", "ascending")]))
+        u = b["user_id"].to_numpy()
+        t = b["ts"].cast(pa.int64()).to_numpy()
+        v = b["value"].to_numpy()
+        n = len(u)
+        same_next = np.r_[u[1:] == u[:-1], False]
+        dt = np.zeros(n, dtype=np.float64)
+        dt[:-1] = (t[1:] - t[:-1]).astype(np.float64)
+        dt[~same_next] = 0.0
+        first = np.r_[True, u[1:] != u[:-1]]
+        gid = np.cumsum(first) - 1
+        wsum = np.bincount(gid, weights=v * dt)
+        wtot = np.bincount(gid, weights=dt)
+        keep = wtot > 0
+        from ..functions.util import round_half_up
+        return pa.table({
+            "user_id": pa.array(u[np.flatnonzero(first)][keep], pa.int64()),
+            "twap": pa.array(round_half_up(wsum[keep] / wtot[keep]),
+                             pa.float64())})
+
+    return rep.map_batches(kernel, batch_format="pyarrow", batch_size=None)

@@ -497,3 +497,62 @@ def hll_intersection_estimate(reg_a: np.ndarray,
     union bound."""
     return hll_estimate(reg_a) + hll_estimate(reg_b) \
         - hll_estimate(np.maximum(reg_a, reg_b))
+
+
+def grouped_heavy_hitters(ds: rd.Dataset, keys: list[str], col: str,
+                          k: int = 32) -> rd.Dataset:
+    """PER-GROUP Misra-Gries heavy hitters — the keyed form of
+    ``heavy_hitters`` (per-tenant hot keys, per-source hot terms).  One MG
+    summary row per (group, block) — two list columns, at most k counters
+    each — then ONE hash exchange on the group keys and a per-partition
+    ``mg_merge`` fold per group.  The MG guarantee holds per group: any
+    item with in-group frequency > n_g/(k+1) survives, counts are lower
+    bounds undercounting by at most n_g/(k+1).  Exchange volume = groups x
+    blocks x O(k), independent of row count.  Output (keys..., item,
+    lb_count) rows."""
+    from .dedup import _num_partitions, _use_hash_shuffle
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(keys + [col]).to_pandas()
+        out = {kc: [] for kc in keys}
+        items, cnts = [], []
+        for kv, g in df.groupby(keys, dropna=False, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            mg = mg_partial(pa.array(g[col].astype(str)), k)
+            for kc, v in zip(keys, kv):
+                out[kc].append(v)
+            items.append(list(mg.keys()))
+            cnts.append([int(c) for c in mg.values()])
+        return pa.table({**{kc: pa.array(out[kc]) for kc in keys},
+                         "items": pa.array(items,
+                                           pa.list_(pa.string())),
+                         "cnts": pa.array(cnts, pa.list_(pa.int64()))})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    parts = _use_hash_shuffle(pre).repartition(
+        num_blocks=max(_num_partitions(ds) // 4, 2), keys=keys)
+    empty = pa.table({**{kc: pa.array([], pa.string()) for kc in keys},
+                      "item": pa.array([], pa.string()),
+                      "lb_count": pa.array([], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "items" not in b.schema.names:
+            return empty
+        df = b.to_pandas()
+        cols = {kc: [] for kc in keys}
+        items, cnts = [], []
+        for kv, g in df.groupby(keys, dropna=False, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            m: dict[str, int] = {}
+            for it, ct in zip(g["items"], g["cnts"]):
+                m = mg_merge(m, dict(zip(it, (int(x) for x in ct))), k)
+            for item, c in sorted(m.items(), key=lambda x: (-x[1], x[0])):
+                for kc, v in zip(keys, kv):
+                    cols[kc].append(v)
+                items.append(item)
+                cnts.append(int(c))
+        return pa.table({**{kc: pa.array(cols[kc]) for kc in keys},
+                         "item": pa.array(items, pa.string()),
+                         "lb_count": pa.array(cnts, pa.int64())})
+
+    return parts.map_batches(final, batch_format="pyarrow", batch_size=None)
