@@ -37,3 +37,59 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None,
                          where=path)
     kw = {"override_num_blocks": blocks} if blocks else {}
     return rd.read_parquet(path, columns=columns, **kw)
+
+
+def read_evolving(paths: list[str],
+                  columns: list[str] | None = None) -> rd.Dataset:
+    """Schema-evolution reader: union Parquet shards whose schemas DRIFTED
+    (nightly-crawl reality — later shards add columns, early shards lack
+    them).  Plain ``read_parquet`` over such a mix fails or silently
+    drops; here the target schema is the FIELD-UNION of all footers
+    (footer reads only — no data I/O at plan time), names sorted for
+    determinism, first-seen type wins (a field that changed TYPE across
+    shards raises — that is corruption, not evolution), and each shard
+    maps through one vectorized cast that adds its missing columns as
+    typed nulls.  Column pruning still pushes down: only requested
+    columns are read from each shard that has them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields: dict[str, pa.DataType] = {}
+    for p in paths:
+        sch = pq.read_schema(p)
+        for f in sch:
+            seen = fields.get(f.name)
+            if seen is None:
+                fields[f.name] = f.type
+            elif seen != f.type:
+                raise ValueError(
+                    f"field {f.name!r} changed type across shards:"
+                    f" {seen} vs {f.type} in {p} — not schema evolution")
+    names = sorted(fields)
+    if columns is not None:
+        missing = set(columns) - set(names)
+        if missing:
+            raise ValueError(f"columns {sorted(missing)} in no shard")
+        names = [n for n in sorted(columns)]
+    target = pa.schema([(n, fields[n]) for n in names])
+
+    def conform(p: str) -> rd.Dataset:
+        have = set(pq.read_schema(p).names)
+        cols = [n for n in names if n in have]
+
+        def widen(b: pa.Table) -> pa.Table:
+            arrays = []
+            for n in names:
+                if n in b.schema.names:
+                    arrays.append(b[n].cast(fields[n]))
+                else:
+                    arrays.append(pa.nulls(b.num_rows, fields[n]))
+            return pa.table(dict(zip(names, arrays)))
+
+        return rd.read_parquet(p, columns=cols or None).map_batches(
+            widen, batch_format="pyarrow", batch_size=None)
+
+    out = conform(paths[0])
+    for p in paths[1:]:
+        out = out.union(conform(p))
+    return out
