@@ -72,10 +72,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.doc_edit_similar_pairs,                      # oracle, new r03
         "doc_span_corruption_pairs":
             D.doc_span_corruption_pairs,                   # oracle, new r03
+        "doc_filter_audit": D.doc_filter_audit,            # oracle, new r03
         "events_cdc_snapshot":
             STR.events_cdc_snapshot,                       # oracle, new r03
         "user_time_weighted_value":
             REL.user_time_weighted_value,                  # oracle, new r03
+        "user_rolling_value_7d":
+            REL.user_rolling_value_7d,                     # oracle, new r03
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
@@ -867,6 +870,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, hour, cnt FROM c QUALIFY row_number() OVER ("
         "PARTITION BY event_type ORDER BY cnt DESC, hour) = 1"
         " ORDER BY event_type")
+    out["user_rolling_value_7d"] = (
+        "SELECT event_id, user_id,"
+        " round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts"
+        " RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 6)"
+        " AS rolling_7d FROM events")
     out["user_time_weighted_value"] = (
         "WITH w AS (SELECT user_id, value,"
         " CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts,"
@@ -1314,7 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         f" CAST(least({D.RAG_CHUNK_TOKENS}, len(tk) - i + 1) AS BIGINT)"
         " AS n_chunk_tokens FROM toks,"
         f" unnest(generate_series(1, len(tk), {D.RAG_CHUNK_STRIDE})) u(i)")
-    out["filter_ablation_report"] = docs_pre + (
+    flags_cte = (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS tk,"
         " strlen(text) AS chars FROM docs_aug),\n"
         "nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,"
@@ -1355,11 +1363,18 @@ def oracle_sql() -> dict[str, str]:
         " (1 - round(CAST(stop_cnt AS DOUBLE) / q_tokens, 6)), 6) > 0.5"
         " THEN '1' ELSE '0' END AS pass_quality"
         " FROM qs JOIN nt USING (doc_id)"
-        " LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id))\n"
+        " LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id))\n")
+    out["filter_ablation_report"] = docs_pre + flags_cte + (
         "SELECT pass_gopher, pass_blocklist, pass_quality,"
         " CAST(GROUPING(pass_gopher, pass_blocklist, pass_quality)"
         " AS BIGINT) AS grp_id, count(*) AS cnt FROM flags"
         " GROUP BY CUBE(pass_gopher, pass_blocklist, pass_quality)")
+    out["doc_filter_audit"] = docs_pre + flags_cte + (
+        "SELECT doc_id,"
+        " CASE WHEN pass_gopher = '0' THEN 'gopher'"
+        " WHEN pass_blocklist = '0' THEN 'blocklist'"
+        " WHEN pass_quality = '0' THEN 'quality'"
+        " ELSE 'pass' END AS verdict FROM flags")
     out["doc_blocklist_filter"] = docs_only + (
         "SELECT doc_id, text FROM docs_aug"
         f" WHERE NOT regexp_matches(text, '{D.BLOCKLIST_RE}')")

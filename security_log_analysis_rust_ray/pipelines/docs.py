@@ -3654,3 +3654,30 @@ def doc_span_corruption_pairs(sf_dir: str, every: int = SPAN_EVERY,
                          "target_text": join(tg_toks, tg_counts)})
 
     return base.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+def doc_filter_audit(sf_dir: str) -> rd.Dataset:
+    """Per-doc curation AUDIT TRAIL: the FIRST gate each document fails
+    (gopher -> blocklist -> quality, reference order of the curation
+    chain) or 'pass' — the provenance column a data card needs to answer
+    "why is doc X not in the corpus".  One fused stateless map reusing
+    the ablation flags bit-for-bit; zero shuffle.  Output
+    (doc_id, verdict)."""
+    def audit(b: pa.Table) -> pa.Table:
+        ok_g, _ = _gopher_ok(b)
+        ok_b = pc.invert(pc.match_substring_regex(b["text"], BLOCKLIST_RE)) \
+            .to_numpy(zero_copy_only=False)
+        s = _token_stats_batch(b)
+        nt = s["n_tokens"].to_numpy().astype(np.float64)
+        q = round_half_up(np.minimum(nt / 200.0, 1.0)
+                          * (1.0 - s["stop_ratio"].to_numpy()))
+        ok_q = q > 0.5
+        verdict = np.where(~ok_g, "gopher",
+                           np.where(~ok_b, "blocklist",
+                                    np.where(~ok_q, "quality", "pass")))
+        return pa.table({"doc_id": b["doc_id"],
+                         "verdict": pa.array(verdict.astype(object),
+                                             pa.string())})
+
+    return docs_aug_ds(sf_dir).map_batches(audit, batch_format="pyarrow",
+                                           batch_size=None)

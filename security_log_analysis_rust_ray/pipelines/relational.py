@@ -1848,3 +1848,68 @@ def user_time_weighted_value(sf_dir: str) -> rd.Dataset:
                              pa.float64())})
 
     return rep.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+ROLLING_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def user_rolling_value_7d(sf_dir: str) -> rd.Dataset:
+    """Per-user ROLLING 7-DAY value sum at every event — the SQL RANGE
+    frame (``SUM(value) OVER (PARTITION BY user ORDER BY ts RANGE 7 DAYS
+    PRECEDING)``), which Ray Data has no operator for.
+
+    ONE hash exchange on user_id, then a single vectorized kernel per
+    block across ALL its users: sort by (user, ts, event_id), build a
+    GLOBALLY sorted fused key ``gid * (max_in_group_span + W + 1) +
+    (ts - group_start)`` — consecutive group bases differ by more than
+    any query can reach, so ONE np.searchsorted resolves every row's
+    window bounds with no per-user Python; the rolling sum is two gathers
+    of the global value cumsum.  RANGE-frame tie semantics (equal-ts
+    peers AFTER the current row are IN the frame) come from the
+    side='right' upper bound.  The fused key is overflow-guarded: a
+    partition whose groups x span exceed int64 raises with the
+    repartition hint (at 100 TB you raise nparts, the per-partition group
+    count is the knob)."""
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    nparts = _num_partitions(ds)
+    rep = _use_hash_shuffle(ds, nparts).repartition(
+        num_blocks=nparts, keys=["user_id"])
+    W = ROLLING_WINDOW_US
+
+    def kernel(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "rolling_7d": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        b = b.take(pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        u = b["user_id"].to_numpy()
+        t = b["ts"].cast(pa.int64()).to_numpy()
+        v = b["value"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        gid = np.cumsum(first) - 1
+        gstart = np.flatnonzero(first)
+        rel = t - t[gstart][gid]
+        span = int(rel.max()) if len(rel) else 0
+        base_step = span + W + 1
+        if gid[-1] + 1 and base_step > (2**63 - 1) // (int(gid[-1]) + 1):
+            raise OverflowError(
+                "fused rolling-window key overflows int64 for this "
+                "partition; raise the partition count so fewer groups "
+                "share a block")
+        fused = gid * base_step + rel
+        lo = np.searchsorted(fused, fused - W, side="left")
+        hi = np.searchsorted(fused, fused, side="right")
+        csum = np.r_[0.0, np.cumsum(v)]
+        from ..functions.util import round_half_up
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "rolling_7d": pa.array(round_half_up(csum[hi] - csum[lo]),
+                                   pa.float64())})
+
+    return rep.map_batches(kernel, batch_format="pyarrow", batch_size=None)
