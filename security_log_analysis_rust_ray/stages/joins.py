@@ -686,3 +686,75 @@ def range_lookup_join(fact: rd.Dataset, ranges: rd.Dataset, fact_col: str,
         return b
 
     return fact.map_batches(attach, batch_format="pyarrow")
+
+
+def skew_join(fact: rd.Dataset, dim: rd.Dataset, fact_key: str,
+              dim_key: str, nparts: int = 8, how: str = "inner",
+              n_hot: int = 32,
+              hot_keys: pa.Array | None = None) -> rd.Dataset:
+    """Skew-mitigated fact⋈dim join: the hot-key answer for the ONE
+    all-to-all Ray Data can't combiner away.  A hash join hash-partitions
+    the fact on the key, so one hot key (a default user id, an empty
+    host, a viral doc) lands its entire row mass on ONE aggregator and
+    the stage runs at that straggler's speed — the salting advice every
+    100-TB groupby note gives, applied to joins.
+
+    Plan (the classic skew-split / Spark skew-hint shape, driven by this
+    repo's own sketch): one Misra-Gries pass over the fact
+    (``sketch.heavy_hitters`` — per-block k-counter summaries, a few KB
+    to the driver) names the hot keys; callers that already know them
+    pass ``hot_keys`` and skip the pass.  The fact splits ONCE with a
+    vectorized ``is_in`` mask:
+
+      * HOT rows join map-side against the (tiny, <= n_hot keys)
+        matching dim slice broadcast via ray.put — zero exchange, so the
+        hot mass never converges on one partition;
+      * COLD rows run the normal size-aware ``lookup_join``.
+
+    The union is the exact join (hot and cold key sets are disjoint).
+    ``how`` in {"inner", "left"}; dim keys assumed unique (it is a dim
+    lookup)."""
+    from .sketch import heavy_hitters
+
+    if hot_keys is None:
+        hh = heavy_hitters(fact.select_columns([fact_key]), fact_key,
+                           k=n_hot)
+        probe = fact.schema().base_schema.field(fact_key).type
+        hot_keys = pa.array(hh["key"], pa.string()).cast(probe) \
+            if len(hh) else pa.array([], probe)
+    if isinstance(hot_keys, pa.ChunkedArray):
+        hot_keys = hot_keys.combine_chunks()
+    href = ray.put(hot_keys)
+
+    def split(want_hot: bool):
+        def f(b: pa.Table) -> pa.Table:
+            hot = ray.get(href)
+            if len(hot) == 0:
+                return b if not want_hot else b.slice(0, 0)
+            m = pc.fill_null(pc.is_in(b[fact_key], value_set=hot), False)
+            return b.filter(m if want_hot else pc.invert(m))
+        return f
+
+    fact_hot = fact.map_batches(split(True), batch_format="pyarrow",
+                                batch_size=None)
+    fact_cold = fact.map_batches(split(False), batch_format="pyarrow",
+                                 batch_size=None)
+
+    def dim_slice(b: pa.Table) -> pa.Table:
+        hot = ray.get(href)
+        if len(hot) == 0:
+            return b.slice(0, 0)
+        keys = b[dim_key]
+        if keys.type != hot.type:
+            keys = keys.cast(hot.type)
+        return b.filter(pc.fill_null(pc.is_in(keys, value_set=hot), False))
+
+    dim_hot = dim.map_batches(dim_slice, batch_format="pyarrow",
+                              batch_size=None)
+    # the hot dim slice holds <= n_hot unique keys -> always broadcastable
+    joined_hot = lookup_join(fact_hot, dim_hot, fact_key, dim_key,
+                             nparts=nparts, how=how,
+                             broadcast_max_bytes=2**62)
+    joined_cold = lookup_join(fact_cold, dim, fact_key, dim_key,
+                              nparts=nparts, how=how)
+    return joined_hot.union(joined_cold)
