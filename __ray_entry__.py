@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.user_time_weighted_value,                  # oracle, new r03
         "user_rolling_value_7d":
             REL.user_rolling_value_7d,                     # oracle, new r03
+        "events_debounced": STR.events_debounced,          # oracle, new r03
+        "embedding_label_centroids":
+            ANN.embedding_label_centroids,                 # oracle, new r03
         "top_hosts_per_country": R.top_hosts_per_country,  # new r03
         "conversation_sft_text": R.conversation_sft_text,  # oracle, new r03
         "boilerplate_turns": R.boilerplate_turns,          # oracle, new r03
@@ -870,6 +873,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, hour, cnt FROM c QUALIFY row_number() OVER ("
         "PARTITION BY event_type ORDER BY cnt DESC, hour) = 1"
         " ORDER BY event_type")
+    out["events_debounced"] = (
+        "SELECT event_id, user_id, event_type, ts, value FROM ("
+        " SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER"
+        " (PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS dt"
+        " FROM events)"
+        f" WHERE dt IS NULL OR dt >= CAST({STR.DEBOUNCE_GAP_S} AS BIGINT)"
+        " * 1000000")
+    out["embedding_label_centroids"] = (
+        "WITH e AS (SELECT label, embedding FROM embeddings)"
+        " SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,"
+        " round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean"
+        " FROM e, unnest(generate_series(1, len(embedding))) u(i)"
+        " GROUP BY label, i")
     out["user_rolling_value_7d"] = (
         "SELECT event_id, user_id,"
         " round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts"

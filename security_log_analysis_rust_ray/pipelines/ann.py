@@ -1383,3 +1383,68 @@ def embedding_kcenter_sample(sf_dir: str, k: int = KCENTER_K) -> rd.Dataset:
         "vec_id": pa.array(sel_ids, pa.int64()),
         "dist_to_prev": pa.array(
             np.asarray(round_half_up(np.array(dists))), pa.float64())}))
+
+
+def embedding_label_centroids(sf_dir: str) -> rd.Dataset:
+    """GROUPED VECTOR MEAN: the per-label centroid of the embedding table
+    — the pooling aggregate behind class prototypes, cluster summaries
+    and chunk->doc embedding pooling, which Ray Data's scalar aggregates
+    can't express over a list column.
+
+    Per block: ONE matrix fold per label (np.add.reduceat over the
+    label-sorted stack) producing (label, sum_vector, n) partial rows;
+    ONE hash exchange on label; final pass folds partials and divides.
+    Exchange volume = labels x blocks x DIM floats, independent of row
+    count.  Output EXPLODED as (label, dim_idx, mean) rows so the result
+    is oracle-checkable against unnest-with-ordinality SQL (round 6)."""
+    base = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "vsum": pa.array([], pa.list_(pa.float64())),
+                             "n": pa.array([], pa.int64())})
+        lab = b["label"].to_numpy()
+        v = np.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        order = np.argsort(lab, kind="stable")
+        lab, v = lab[order], v[order]
+        first = np.r_[True, lab[1:] != lab[:-1]]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(v, starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab)))
+        return pa.table({
+            "label": pa.array(lab[starts], pa.int32()),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(counts.astype(np.int64))})
+
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+    pre = base.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    parts = _use_hash_shuffle(pre).repartition(
+        num_blocks=max(_num_partitions(base) // 4, 2), keys=["label"])
+
+    def final(b: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int32()),
+                          "dim_idx": pa.array([], pa.int64()),
+                          "mean": pa.array([], pa.float64())})
+        if b.num_rows == 0 or "vsum" not in b.schema.names:
+            return empty
+        lab = b["label"].to_numpy()
+        v = np.stack(b["vsum"].to_numpy(zero_copy_only=False))
+        n = b["n"].to_numpy()
+        order = np.argsort(lab, kind="stable")
+        lab, v, n = lab[order], v[order], n[order]
+        first = np.r_[True, lab[1:] != lab[:-1]]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(v, starts, axis=0)
+        tot = np.add.reduceat(n, starts)
+        means = round_half_up(sums / tot[:, None])
+        k, dim = means.shape
+        return pa.table({
+            "label": pa.array(np.repeat(lab[starts], dim), pa.int32()),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "mean": pa.array(means.reshape(-1), pa.float64())})
+
+    return parts.map_batches(final, batch_format="pyarrow",
+                             batch_size=None)

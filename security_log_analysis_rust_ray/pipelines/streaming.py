@@ -489,3 +489,43 @@ def events_cdc_snapshot(sf_dir: str) -> rd.Dataset:
             ["user_id", "value", "seq"]).rename_columns(
             ["user_id", "value", "last_seq"]),
         batch_format="pyarrow", batch_size=None)
+
+
+DEBOUNCE_GAP_S = 3600
+
+
+def events_debounced(sf_dir: str, gap_s: int = DEBOUNCE_GAP_S) -> rd.Dataset:
+    """Windowed dedup (debounce): drop an event when the SAME (user,
+    event_type) fired within the preceding ``gap_s`` seconds — the
+    duplicate-webhook / retry-storm suppressor, a time-bounded cousin of
+    keep-first dedup (which Ray Data has, while this it does not).
+    Rule matches SQL lag(): the gap is measured to the previous RAW event
+    of the key, not the previous KEPT one, so the result is
+    order-independent and oracle-checkable.
+
+    ONE hash exchange on (user_id, event_type), per-block vectorized
+    kernel: sort, one grouped shift, one mask — no per-key Python."""
+    from ..stages.dedup import _num_partitions, _use_hash_shuffle
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts",
+                             "value"])
+    nparts = _num_partitions(ds)
+    rep = _use_hash_shuffle(ds, nparts).repartition(
+        num_blocks=nparts, keys=["user_id", "event_type"])
+    gap_us = gap_s * 1_000_000
+
+    def kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        b = b.take(pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("ts", "ascending"), ("event_id", "ascending")]))
+        u = b["user_id"].to_numpy()
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        t = b["ts"].cast(pa.int64()).to_numpy()
+        same = np.r_[False, (u[1:] == u[:-1]) & (et[1:] == et[:-1])]
+        dt = np.r_[0, t[1:] - t[:-1]]
+        keep = ~same | (dt >= gap_us)
+        return b.filter(pa.array(keep))
+
+    return rep.map_batches(kernel, batch_format="pyarrow", batch_size=None)
