@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_corruption_pairs":
             D.doc_span_corruption_pairs,                   # oracle, new r03
         "doc_filter_audit": D.doc_filter_audit,            # oracle, new r03
+        "doc_near_dedup_best":
+            D.doc_near_dedup_best,                         # oracle, new r03
         "events_cdc_snapshot":
             STR.events_cdc_snapshot,                       # oracle, new r03
         "user_time_weighted_value":
@@ -763,6 +765,22 @@ def oracle_sql() -> dict[str, str]:
         " GROUP BY n)\n"
         "SELECT d.doc_id, d.text FROM docs_aug d WHERE d.doc_id NOT IN"
         " (SELECT doc_id FROM clusters WHERE doc_id <> cluster)")
+    out["doc_near_dedup_best"] = _cc_prefix.rstrip() + (
+        ",\nclusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach"
+        " GROUP BY n)"
+        ",\nqual AS (SELECT doc_id,"
+        " round(least(CAST(len(str_split(text, ' ')) AS BIGINT) / 200.0,"
+        " 1.0) * (1 - round(CAST(len(list_filter(str_split(text, ' '),"
+        f" x -> x IN ({stop_list}))) AS BIGINT) * 1.0"
+        " / CAST(len(str_split(text, ' ')) AS BIGINT), 6)), 6)"
+        " AS quality_score FROM docs_aug)"
+        ",\nbest AS (SELECT c.cluster, q.doc_id, q.quality_score,"
+        " row_number() OVER (PARTITION BY c.cluster"
+        " ORDER BY q.quality_score DESC, q.doc_id) AS rn"
+        " FROM clusters c JOIN qual q USING (doc_id))\n"
+        "SELECT doc_id, quality_score FROM best WHERE rn = 1"
+        " UNION ALL SELECT doc_id, quality_score FROM qual"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM clusters)")
     out["doc_dup_weights"] = _cc_prefix.rstrip() + (
         ",\nclusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach"
         " GROUP BY n)"

@@ -3681,3 +3681,37 @@ def doc_filter_audit(sf_dir: str) -> rd.Dataset:
 
     return docs_aug_ds(sf_dir).map_batches(audit, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def doc_near_dedup_best(sf_dir: str,
+                        threshold: float = JACCARD_THRESHOLD) -> rd.Dataset:
+    """Quality-canonical near-dedup: keep the HIGHEST-QUALITY document of
+    every near-dup cluster (min doc_id breaks quality ties), not the
+    arbitrary min-id one — the curation variant that preserves the best
+    copy of each duplicated page.  Composition of three existing
+    primitives: ``dup_clusters`` (distributed CC labels), a size-aware
+    ``lookup_join`` to attach quality scores, ``grouped_top_k(k=1)`` for
+    the per-cluster argmax, and an ``anti_join`` to pass unclustered docs
+    through untouched.  Output (doc_id, quality_score)."""
+    from ..stages.aggregate import grouped_top_k
+    from ..stages.joins import anti_join, lookup_join
+
+    q = doc_quality(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "quality_score"]),
+        batch_format="pyarrow", batch_size=None).materialize()
+    clusters = dup_clusters(sf_dir, threshold=threshold).materialize()
+    memb = lookup_join(
+        clusters.map_batches(
+            lambda t: pa.table({"m_doc": t["doc_id"],
+                                "cluster": t["cluster"]}),
+            batch_format="pyarrow", batch_size=None),
+        q, "m_doc", "doc_id", nparts=_join_parts(sf_dir))
+    best = grouped_top_k(memb, ["cluster"], "quality_score", 1,
+                         tie_cols=["m_doc"])
+    best = best.map_batches(
+        lambda t: pa.table({"doc_id": t["m_doc"],
+                            "quality_score": t["quality_score"]}),
+        batch_format="pyarrow", batch_size=None)
+    rest = anti_join(q, clusters, "doc_id", "doc_id",
+                     nparts=_join_parts(sf_dir))
+    return best.union(rest)

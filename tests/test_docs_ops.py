@@ -805,3 +805,29 @@ def test_context_windows_invariants():
     n_assist = int(((raw["role"] == "assistant")
                     & (raw.index.get_level_values(1) >= 1)).sum())
     assert len(got) == n_assist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_best_matches_oracle(oracle_smoke):
+    import __ray_entry__ as mod
+    from security_log_analysis_rust_ray.pipelines.docs import \
+        doc_near_dedup_best
+    from .conftest import SF_SMOKE, assert_matches_oracle
+    assert_matches_oracle(doc_near_dedup_best(SF_SMOKE), oracle_smoke,
+                          mod.oracle_sql()["doc_near_dedup_best"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_best_keeps_one_per_cluster():
+    from .conftest import SF_SMOKE, to_pandas
+    from security_log_analysis_rust_ray.pipelines.docs import (
+        doc_near_dedup, doc_near_dedup_best, dup_clusters)
+
+    best = to_pandas(doc_near_dedup_best(SF_SMOKE))
+    base = to_pandas(doc_near_dedup(SF_SMOKE))
+    # same cardinality as min-id dedup (one survivor per cluster + rest)
+    assert len(best) == len(base)
+    clusters = to_pandas(dup_clusters(SF_SMOKE))
+    merged = clusters.merge(best, on="doc_id", how="inner")
+    # exactly one survivor per cluster
+    assert (merged.groupby("cluster").size() == 1).all()
