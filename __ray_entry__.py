@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_audit": D.doc_filter_audit,            # oracle, new r03
         "doc_near_dedup_best":
             D.doc_near_dedup_best,                         # oracle, new r03
+        "corpus_dedup_funnel":
+            D.corpus_dedup_funnel,                         # oracle, new r03
         "events_cdc_snapshot":
             STR.events_cdc_snapshot,                       # oracle, new r03
         "user_time_weighted_value":
@@ -781,6 +783,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, quality_score FROM best WHERE rn = 1"
         " UNION ALL SELECT doc_id, quality_score FROM qual"
         " WHERE doc_id NOT IN (SELECT doc_id FROM clusters)")
+    out["corpus_dedup_funnel"] = _cc_prefix.rstrip() + (
+        ",\nclusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach"
+        " GROUP BY n)\n"
+        "SELECT '0_raw' AS stage, count(*) AS n_docs FROM docs_aug"
+        " UNION ALL SELECT '1_exact_dedup', count(*) FROM"
+        " (SELECT min(doc_id) FROM docs_aug GROUP BY text)"
+        " UNION ALL SELECT '2_near_dedup', count(*) FROM docs_aug"
+        " WHERE doc_id NOT IN"
+        " (SELECT doc_id FROM clusters WHERE doc_id <> cluster)")
     out["doc_dup_weights"] = _cc_prefix.rstrip() + (
         ",\nclusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach"
         " GROUP BY n)"

@@ -3715,3 +3715,20 @@ def doc_near_dedup_best(sf_dir: str,
     rest = anti_join(q, clusters, "doc_id", "doc_id",
                      nparts=_join_parts(sf_dir))
     return best.union(rest)
+
+
+def corpus_dedup_funnel(sf_dir: str) -> rd.Dataset:
+    """Dedup FUNNEL report: corpus size after each rung of the dedup
+    ladder — raw -> exact (hash) -> near (Jaccard clusters) — the
+    one-table summary every data card leads with.  Each rung reuses its
+    standalone pipeline verbatim (same oracles, same code paths); the
+    counts are streaming ``Dataset.count()`` folds, so the funnel costs
+    three aggregate scans and materializes nothing.  Output
+    (stage, n_docs) with a stable stage ordering key."""
+    raw = docs_aug_ds(sf_dir).count()
+    exact = doc_exact_dedup(sf_dir).count()
+    near = doc_near_dedup(sf_dir).count()
+    return rd.from_arrow(pa.table({
+        "stage": pa.array(["0_raw", "1_exact_dedup", "2_near_dedup"],
+                          pa.string()),
+        "n_docs": pa.array([raw, exact, near], pa.int64())}))

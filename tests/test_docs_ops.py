@@ -831,3 +831,15 @@ def test_near_dedup_best_keeps_one_per_cluster():
     merged = clusters.merge(best, on="doc_id", how="inner")
     # exactly one survivor per cluster
     assert (merged.groupby("cluster").size() == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_funnel_matches_oracle_and_monotone(oracle_smoke):
+    import __ray_entry__ as mod
+    from .conftest import SF_SMOKE, assert_matches_oracle, to_pandas
+    from security_log_analysis_rust_ray.pipelines.docs import \
+        corpus_dedup_funnel
+    assert_matches_oracle(corpus_dedup_funnel(SF_SMOKE), oracle_smoke,
+                          mod.oracle_sql()["corpus_dedup_funnel"])
+    df = to_pandas(corpus_dedup_funnel(SF_SMOKE)).sort_values("stage")
+    assert df["n_docs"].is_monotonic_decreasing
