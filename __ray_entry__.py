@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
         "events_value_stats": REL.events_value_stats,  # oracle, new r03
+        "events_value_median_exact":
+            REL.events_value_median_exact,  # oracle, new r03
+        "conversation_split_assign":
+            R.conversation_split_assign,  # oracle, new r03
         "distinct_host_count": REL.distinct_host_count,
         "hot_hosts": REL.hot_hosts,
         "host_daily_anomalies":
@@ -568,6 +572,15 @@ def oracle_sql() -> dict[str, str]:
         "parsed_page_offset":
             "SELECT * FROM parsed "
             "ORDER BY datetime DESC, conv_id, turn_idx LIMIT 20 OFFSET 20",
+        "conversation_split_assign":
+            "SELECT conv_id, turn_idx, CASE"
+            " WHEN ((CAST(regexp_extract(conv_id, 'conv_(\\d+)', 1)"
+            f"   AS BIGINT) * {R.CONV_SPLIT_MULT})"
+            f"  % {R.CONV_SPLIT_MOD}) % 10 < 8 THEN 'train'"
+            " WHEN ((CAST(regexp_extract(conv_id, 'conv_(\\d+)', 1)"
+            f"   AS BIGINT) * {R.CONV_SPLIT_MULT})"
+            f"  % {R.CONV_SPLIT_MOD}) % 10 = 8 THEN 'val'"
+            " ELSE 'test' END AS split FROM transcripts",
     }
     out = {name: oracle_query(body) for name, body in q.items()}
 
@@ -1866,6 +1879,11 @@ def oracle_sql() -> dict[str, str]:
         "   / (count(value)-1), 0.0)), 6) AS std,"
         " min(value) AS min_v, max(value) AS max_v"
         " FROM events GROUP BY event_type ORDER BY event_type")
+    out["events_value_median_exact"] = (
+        "SELECT value AS median_value FROM"
+        " (SELECT value, row_number() OVER (ORDER BY value, event_id) rn,"
+        "  count(*) OVER () n FROM events)"
+        " WHERE rn = (n + 1) // 2")
     out["events_user_bands"] = (
         "WITH bands AS (SELECT n_name AS band,"
         " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"

@@ -1913,3 +1913,51 @@ def user_rolling_value_7d(sf_dir: str) -> rd.Dataset:
                                    pa.float64())})
 
     return rep.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+def events_value_median_exact(sf_dir: str) -> rd.Dataset:
+    """EXACT global median by distributed selection — the order statistic
+    an approximate sketch can't certify.  Lower median: the element at
+    rank ceil(n/2) under (value, event_id) order.
+
+    No full materialization on the driver: ONE global sort, a (first-key,
+    row-count) summary row per block (the ``doc_quality_percentile``
+    plan), the driver folds block counts to locate WHICH block holds the
+    target rank, and a final map extracts that single row — every other
+    block short-circuits on its first-key check.  Output one row
+    (median_value,)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"]) \
+        .sort(["value", "event_id"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"v0": b["value"].slice(0, 1),
+                         "id0": b["event_id"].slice(0, 1),
+                         "cnt": pa.array([b.num_rows], pa.int64())})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if not len(summ):
+        return rd.from_arrow(pa.table({
+            "median_value": pa.array([], pa.float64())}))
+    summ = summ.sort_values(["v0", "id0"]).reset_index(drop=True)
+    n = int(summ["cnt"].sum())
+    target = (n + 1) // 2  # 1-based rank of the lower median
+    ends = summ["cnt"].cumsum()
+    blk = int(np.searchsorted(ends.to_numpy(), target))
+    in_blk = target - (int(ends.iloc[blk - 1]) if blk else 0) - 1
+    key = (float(summ["v0"].iloc[blk]), int(summ["id0"].iloc[blk]))
+
+    def extract(b: pa.Table) -> pa.Table:
+        empty = pa.table({"median_value": pa.array([], pa.float64())})
+        if b.num_rows == 0 or \
+                (float(b["value"][0].as_py()),
+                 int(b["event_id"][0].as_py())) != key:
+            return empty
+        return pa.table({"median_value": b["value"].slice(in_blk, 1)})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=None)

@@ -997,3 +997,33 @@ def service_host_overlap_approx(sf_dir: str) -> rd.Dataset:
         "n_overlap_est": pa.array(
             [int(round(hll_intersection_estimate(ra, rb)))], pa.int64()),
     }))
+
+
+CONV_SPLIT_MULT = 2654435761
+CONV_SPLIT_MOD = 1000003
+
+
+def conversation_split_assign(sf_dir: str) -> rd.Dataset:
+    """Leakage-safe train/val/test assignment at CONVERSATION granularity:
+    every turn of a conversation lands in the same split (hashing turn
+    rows independently would leak sibling turns across the train/test
+    boundary — the classic eval-contamination bug).  Same deterministic
+    multiplicative-hash rule as ``doc_split_assign``, keyed on the
+    numeric conversation id parsed out of conv_id (string ids hash via
+    their stable numeric suffix so the rule stays SQL-replayable);
+    pure fused map over the pruned 2-column read, zero shuffle.  Output
+    (conv_id, turn_idx, split)."""
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(b["conv_id"], r"conv_(?P<n>\d+)")
+        v = pc.cast(pc.struct_field(ext, "n"), pa.int64()).to_numpy()
+        bucket = ((v * CONV_SPLIT_MULT) % CONV_SPLIT_MOD) % 10
+        split = np.where(bucket < 8, "train",
+                         np.where(bucket == 8, "val", "test"))
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
