@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": REL.events_value_stats,  # oracle, new r03
         "events_value_median_exact":
             REL.events_value_median_exact,  # oracle, new r03
+        "events_value_median_by_type":
+            REL.events_value_median_by_type,  # oracle, new r03
+        "events_daily_dense":
+            REL.events_daily_dense,  # oracle, new r03
         "conversation_split_assign":
             R.conversation_split_assign,  # oracle, new r03
         "distinct_host_count": REL.distinct_host_count,
@@ -1884,6 +1888,24 @@ def oracle_sql() -> dict[str, str]:
         " (SELECT value, row_number() OVER (ORDER BY value, event_id) rn,"
         "  count(*) OVER () n FROM events)"
         " WHERE rn = (n + 1) // 2")
+    out["events_value_median_by_type"] = (
+        "SELECT event_type, value AS median_value FROM"
+        " (SELECT event_type, value, row_number() OVER ("
+        "   PARTITION BY event_type ORDER BY value, event_id) rn,"
+        "  count(*) OVER (PARTITION BY event_type) n FROM events)"
+        " WHERE rn = (n + 1) // 2 ORDER BY event_type")
+    out["events_daily_dense"] = (
+        "WITH bounds AS (SELECT date_trunc('day', min(ts)) lo,"
+        " date_trunc('day', max(ts)) hi FROM events),\n"
+        "days AS (SELECT unnest(generate_series(lo, hi,"
+        " INTERVAL 1 DAY)) AS day FROM bounds),\n"
+        "types AS (SELECT DISTINCT event_type FROM events),\n"
+        "cnts AS (SELECT event_type, date_trunc('day', ts) AS day,"
+        " count(*) AS cnt FROM events GROUP BY 1, 2)\n"
+        "SELECT t.event_type, d.day,"
+        " CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt"
+        " FROM days d CROSS JOIN types t LEFT JOIN cnts c"
+        " ON c.event_type = t.event_type AND c.day = d.day")
     out["events_user_bands"] = (
         "WITH bands AS (SELECT n_name AS band,"
         " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"

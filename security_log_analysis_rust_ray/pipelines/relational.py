@@ -1961,3 +1961,124 @@ def events_value_median_exact(sf_dir: str) -> rd.Dataset:
 
     return ds.map_batches(extract, batch_format="pyarrow",
                           batch_size=None)
+
+
+def events_value_median_by_type(sf_dir: str) -> rd.Dataset:
+    """EXACT per-group median (lower: rank ceil(n_g/2) under (value,
+    event_id) order within each event_type) — distributed PER-GROUP
+    selection, the op a per-group collect can't survive at scale because
+    one group routinely outweighs a worker.
+
+    Groups are never collected: ONE global sort on (event_type, value,
+    event_id); each block reports one row PER TYPE-SEGMENT it holds
+    (type, segment count, block-first key, in-block segment order) —
+    driver state is O(blocks × |types|), independent of row count.  The
+    driver folds per-type exclusive prefix counts across segments in
+    block order, locates the (block, in-block position) of every group's
+    target rank, and one final map extracts those rows — each block does
+    one first-key tuple check and at most |types| takes.  Output
+    (event_type, median_value), ordered by type."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]) \
+        .sort(["event_type", "value", "event_id"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        out = {"t0": [], "v0": [], "id0": [], "seg": [], "typ": [],
+               "cnt": []}
+        if b.num_rows:
+            t = b["event_type"].to_numpy(zero_copy_only=False)
+            # segment boundaries: type changes within the sorted block
+            starts = np.flatnonzero(
+                np.r_[True, t[1:] != t[:-1]])
+            ends = np.r_[starts[1:], len(t)]
+            for s_i, (s, e) in enumerate(zip(starts, ends)):
+                out["t0"].append(t[0])
+                out["v0"].append(b["value"][0].as_py())
+                out["id0"].append(b["event_id"][0].as_py())
+                out["seg"].append(s_i)
+                out["typ"].append(t[s])
+                out["cnt"].append(int(e - s))
+        return pa.table({"t0": pa.array(out["t0"], pa.string()),
+                         "v0": pa.array(out["v0"], pa.float64()),
+                         "id0": pa.array(out["id0"], pa.int64()),
+                         "seg": pa.array(out["seg"], pa.int64()),
+                         "typ": pa.array(out["typ"], pa.string()),
+                         "cnt": pa.array(out["cnt"], pa.int64())})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "median_value": pa.array([], pa.float64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    # global segment order = (block first key, in-block segment index)
+    summ = summ.sort_values(["t0", "v0", "id0", "seg"]) \
+        .reset_index(drop=True)
+    # in-block row offset where each segment starts
+    seg_base = summ.groupby(["t0", "v0", "id0"], sort=False)["cnt"] \
+        .cumsum() - summ["cnt"]
+    # per-type exclusive prefix counts across segments (already in
+    # global order within each type because the sort is type-major)
+    prev = summ.groupby("typ", sort=False)["cnt"].cumsum() - summ["cnt"]
+    totals = summ.groupby("typ", sort=False)["cnt"].sum()
+    # locate each type's target segment: prev < target <= prev + cnt
+    targets = ((totals + 1) // 2).rename("target")
+    j = summ.join(targets, on="typ")
+    hit = (j["target"] > prev) & (j["target"] <= prev + j["cnt"])
+    picks = {}  # block first key -> [(in-block row position)]
+    for i in np.flatnonzero(hit.to_numpy()):
+        key = (j["t0"].iat[i], float(j["v0"].iat[i]), int(j["id0"].iat[i]))
+        pos = int(seg_base.iat[i] + (j["target"].iat[i] - prev.iat[i]) - 1)
+        picks.setdefault(key, []).append(pos)
+
+    def extract(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        key = (b["event_type"][0].as_py(), float(b["value"][0].as_py()),
+               int(b["event_id"][0].as_py()))
+        pos = picks.get(key)
+        if not pos:
+            return empty
+        idx = pa.array(sorted(pos), pa.int64())
+        return pa.table({"event_type": b["event_type"].take(idx),
+                         "median_value": b["value"].take(idx)})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=None).sort("event_type")
+
+
+def events_daily_dense(sf_dir: str) -> rd.Dataset:
+    """Gap-FILLED daily counts per event_type: every (type, calendar day)
+    cell between the corpus min and max day appears, zero-filled — the
+    dashboard/timeseries shape where a missing day must read 0, not
+    vanish (a plain groupby silently drops empty days and downstream
+    anomaly rules never fire).
+
+    The heavy side stays distributed: day truncation fuses into the
+    pruned 2-column read and counts fold through the partial/final
+    grouped_count exchange.  Only the AGGREGATE (|types| × |days| rows —
+    calendar-sized, not data-sized, even at 10^12 events) reaches the
+    driver, where the date spine is a cross product + left merge.
+    Output (event_type, day, cnt) ordered by (event_type, day)."""
+    from ..stages.aggregate import grouped_count
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "day": pc.floor_temporal(b["ts"], unit="day")})
+
+    dd = read_table(sf_dir, "events", columns=["event_type", "ts"]) \
+        .map_batches(day, batch_format="pyarrow")
+    cp = grouped_count(dd, ["event_type", "day"]).to_pandas()
+    if not len(cp):
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.timestamp("us")),
+            "cnt": pa.array([], pa.int64())}))
+    days = pd.date_range(cp["day"].min(), cp["day"].max(), freq="D")
+    types = sorted(cp["event_type"].unique())
+    spine = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "day"]).to_frame(index=False)
+    out = spine.merge(cp, on=["event_type", "day"], how="left")
+    out["cnt"] = out["cnt"].fillna(0).astype("int64")
+    out["day"] = out["day"].astype("datetime64[us]")
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -1,0 +1,152 @@
+"""Exact distributed median (global + per-group selection), gap-filled
+dense daily counts, and the conversation-level split vs their DuckDB
+oracles, plus the edge cases the sf oracles can't exercise (calendar
+gaps, a type skewed across many blocks, a type entirely inside one
+block)."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_median_exact_matches_oracle(oracle_smoke):
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_value_median_exact
+    assert_matches_oracle(
+        events_value_median_exact(SF_SMOKE), oracle_smoke,
+        "SELECT value AS median_value FROM"
+        " (SELECT value, row_number() OVER (ORDER BY value, event_id) rn,"
+        "  count(*) OVER () n FROM events)"
+        " WHERE rn = (n + 1) // 2")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_median_by_type_matches_oracle(oracle_smoke):
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_value_median_by_type
+    assert_matches_oracle(
+        events_value_median_by_type(SF_SMOKE), oracle_smoke,
+        "SELECT event_type, value AS median_value FROM"
+        " (SELECT event_type, value, row_number() OVER ("
+        "   PARTITION BY event_type ORDER BY value, event_id) rn,"
+        "  count(*) OVER (PARTITION BY event_type) n FROM events)"
+        " WHERE rn = (n + 1) // 2 ORDER BY event_type")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_median_by_type_skewed_multiblock(tmp_path):
+    """One type holds 95% of rows (spans MANY sorted blocks — the shape
+    that kills a per-group collect) and one tiny type sits entirely
+    inside a single block; both medians must be exact."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+
+    rng = np.random.default_rng(7)
+    n_big, n_small = 20_000, 7
+    t = pa.table({
+        "event_id": pa.array(np.arange(n_big + n_small), pa.int64()),
+        "event_type": pa.array(["hot"] * n_big + ["cold"] * n_small),
+        "value": pa.array(
+            np.round(rng.uniform(0, 100, n_big + n_small), 2),
+            pa.float64()),
+        "ts": pa.array([0] * (n_big + n_small), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n_big + n_small), pa.int64()),
+        "props": pa.array([""] * (n_big + n_small)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = REL.events_value_median_by_type(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    exp = con.execute(
+        "SELECT event_type, value AS median_value FROM"
+        " (SELECT event_type, value, row_number() OVER ("
+        "   PARTITION BY event_type ORDER BY value, event_id) rn,"
+        "  count(*) OVER (PARTITION BY event_type) n FROM events)"
+        " WHERE rn = (n + 1) // 2 ORDER BY event_type").df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daily_dense_matches_oracle(oracle_smoke):
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_daily_dense
+    assert_matches_oracle(
+        events_daily_dense(SF_SMOKE), oracle_smoke,
+        "WITH bounds AS (SELECT date_trunc('day', min(ts)) lo,"
+        " date_trunc('day', max(ts)) hi FROM events),\n"
+        "days AS (SELECT unnest(generate_series(lo, hi,"
+        " INTERVAL 1 DAY)) AS day FROM bounds),\n"
+        "types AS (SELECT DISTINCT event_type FROM events),\n"
+        "cnts AS (SELECT event_type, date_trunc('day', ts) AS day,"
+        " count(*) AS cnt FROM events GROUP BY 1, 2)\n"
+        "SELECT t.event_type, d.day,"
+        " CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt"
+        " FROM days d CROSS JOIN types t LEFT JOIN cnts c"
+        " ON c.event_type = t.event_type AND c.day = d.day")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daily_dense_fills_gaps(tmp_path):
+    """Events on day 1 and day 5 only: days 2-4 must appear zero-filled
+    for every type, and a type absent on an active day reads 0 there."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+
+    day = 86_400_000_000  # us
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "a", "b"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "ts": pa.array([0, 4 * day, 4 * day], pa.timestamp("us")),
+        "user_id": pa.array([0, 0, 0], pa.int64()),
+        "props": pa.array(["", "", ""]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = REL.events_daily_dense(str(d)).to_pandas()
+    # 2 types x 5 days, zero-filled except (a,d0) (a,d4) (b,d4)
+    assert len(got) == 10
+    assert int((got["cnt"] == 0).sum()) == 7
+    byk = got.set_index(["event_type", "day"])["cnt"]
+    d0 = pd.Timestamp(0)
+    d4 = pd.Timestamp(4 * day * 1000)
+    assert byk[("a", d0)] == 1 and byk[("a", d4)] == 1
+    assert byk[("b", d4)] == 1 and byk[("b", d0)] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conversation_split_leakage_safe(oracle_smoke):
+    """Every turn of a conversation gets ONE split (conversation
+    granularity), and the assignment matches the SQL restatement."""
+    from security_log_analysis_rust_ray.pipelines.reports import \
+        CONV_SPLIT_MOD, CONV_SPLIT_MULT, conversation_split_assign
+    ds = conversation_split_assign(SF_SMOKE)
+    df = ds.to_pandas()
+    per_conv = df.groupby("conv_id")["split"].nunique()
+    assert (per_conv == 1).all()
+    assert set(df["split"].unique()) <= {"train", "val", "test"}
+    from security_log_analysis_rust_ray.synth import oracle_query
+    assert_matches_oracle(
+        conversation_split_assign(SF_SMOKE), oracle_smoke,
+        oracle_query(
+        "SELECT conv_id, turn_idx, CASE"
+        " WHEN ((CAST(regexp_extract(conv_id, 'conv_(\\d+)', 1)"
+        f"   AS BIGINT) * {CONV_SPLIT_MULT})"
+        f"  % {CONV_SPLIT_MOD}) % 10 < 8 THEN 'train'"
+        " WHEN ((CAST(regexp_extract(conv_id, 'conv_(\\d+)', 1)"
+        f"   AS BIGINT) * {CONV_SPLIT_MULT})"
+        f"  % {CONV_SPLIT_MOD}) % 10 = 8 THEN 'val'"
+        " ELSE 'test' END AS split FROM transcripts"))
