@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_value_median_by_type,  # oracle, new r03
         "events_daily_dense":
             REL.events_daily_dense,  # oracle, new r03
+        "events_snapshot_diff":
+            STR.events_snapshot_diff,  # oracle, new r03
         "conversation_split_assign":
             R.conversation_split_assign,  # oracle, new r03
         "distinct_host_count": REL.distinct_host_count,
@@ -1906,6 +1908,22 @@ def oracle_sql() -> dict[str, str]:
         " CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt"
         " FROM days d CROSS JOIN types t LEFT JOIN cnts c"
         " ON c.event_type = t.event_type AND c.day = d.day")
+    out["events_snapshot_diff"] = (
+        "WITH a AS (SELECT event_id, value FROM events),\n"
+        "b AS (SELECT event_id, CASE WHEN event_id %"
+        f" {STR.DIFF_CHANGED_EVERY} = 0 THEN value + 1.0"
+        " ELSE value END AS value FROM events"
+        f" WHERE event_id % {STR.DIFF_REMOVED_EVERY} <> 0\n"
+        " UNION ALL SELECT -event_id, value FROM events"
+        f" WHERE event_id % {STR.DIFF_ADDED_EVERY} = 0)\n"
+        "SELECT COALESCE(a.event_id, b.event_id) AS event_id,"
+        " CASE WHEN a.event_id IS NULL THEN 'added'"
+        "  WHEN b.event_id IS NULL THEN 'removed'"
+        "  ELSE 'changed' END AS change,"
+        " a.value AS value_a, b.value AS value_b"
+        " FROM a FULL OUTER JOIN b ON a.event_id = b.event_id"
+        " WHERE a.event_id IS NULL OR b.event_id IS NULL"
+        "  OR a.value <> b.value")
     out["events_user_bands"] = (
         "WITH bands AS (SELECT n_name AS band,"
         " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"

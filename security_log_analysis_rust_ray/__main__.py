@@ -140,6 +140,17 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--index-dir", default=None)
     sq.add_argument("--limit", type=int, default=20)
 
+    sg = sub.add_parser("purge", help="targeted key purge (right-to-"
+                                      "erasure): zone-map-planned file "
+                                      "surgery over the clustered layout")
+    sg.add_argument("--index-dir", required=True,
+                    help="clustered layout root (clustered_build output)")
+    sg.add_argument("--keys", required=True,
+                    help="space-separated key values to erase")
+    sg.add_argument("--key-col", default="host")
+    sg.add_argument("--audit", default=None,
+                    help="JSON-lines audit trail path")
+
     a = p.parse_args(argv)
     ray = _ray()
     try:
@@ -282,6 +293,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"terms": terms, "mode": a.mode,
                               "exclude": (a.exclude or "").split(),
                               "n_shown": len(ids), "doc_ids": ids}))
+        elif a.cmd == "purge":
+            from .pipelines.purge import purge_keys
+            print(json.dumps(purge_keys(a.index_dir, a.keys.split(),
+                                        key_col=a.key_col,
+                                        audit_path=a.audit)))
         elif a.cmd == "ses-stats":
             from .pipelines.streaming import ses_email_stats
             row = ses_email_stats(a.sf_dir, threshold=a.threshold).iloc[0]

@@ -529,3 +529,68 @@ def events_debounced(sf_dir: str, gap_s: int = DEBOUNCE_GAP_S) -> rd.Dataset:
         return b.filter(pa.array(keep))
 
     return rep.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+# snapshot-diff derivation rule (deterministic, SQL-replayable)
+DIFF_CHANGED_EVERY = 97    # value bumped +1.0 in snapshot B
+DIFF_REMOVED_EVERY = 101   # row absent from snapshot B
+DIFF_ADDED_EVERY = 103     # row added to B under the negated id
+
+
+def events_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Row-level TABLE DIFF between two snapshots — the anti-entropy /
+    reconciliation primitive behind replica repair and incremental sync
+    (file-level etag diffing lives in ``sources/sync.py``; this is the
+    row-granularity complement when files don't align).  Snapshot A is
+    the events table; snapshot B derives deterministically per batch
+    (every ``DIFF_CHANGED_EVERY``-th id bumped +1.0, every
+    ``DIFF_REMOVED_EVERY``-th dropped, every ``DIFF_ADDED_EVERY``-th
+    mirrored under a fresh negated id) so the diff is oracle-checkable.
+
+    Plan: both snapshots stay distributed — ONE size-aware full-outer
+    ``hash_join`` on the key (each side hash-partitions once; Acero
+    full outer per key partition IS the global diff), then a stateless
+    vectorized classify-and-drop pass: key only in A -> removed, only in
+    B -> added, both but payload differs -> changed, identical rows
+    never leave the join partition.  At 100 TB the exchange ships each
+    snapshot once; unchanged rows (the overwhelming majority) are
+    discarded partition-locally.  Output (event_id, change, value_a,
+    value_b)."""
+    from ..stages.joins import hash_join
+
+    a = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def a_view(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "value_a": b["value"]})
+
+    def derive_b(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        val = b["value"].to_numpy()
+        keep = eid % DIFF_REMOVED_EVERY != 0
+        v2 = np.where(eid % DIFF_CHANGED_EVERY == 0, val + 1.0, val)
+        addm = eid % DIFF_ADDED_EVERY == 0
+        return pa.table({
+            "event_id": pa.array(np.r_[eid[keep], -eid[addm]], pa.int64()),
+            "value_b": pa.array(np.r_[v2[keep], val[addm]], pa.float64())})
+
+    av = a.map_batches(a_view, batch_format="pyarrow")
+    bv = a.map_batches(derive_b, batch_format="pyarrow")
+    j = hash_join(av, bv, on=("event_id",), how="full")
+
+    def classify(t: pa.Table) -> pa.Table:
+        va = t["value_a"].to_numpy(zero_copy_only=False)
+        vb = t["value_b"].to_numpy(zero_copy_only=False)
+        a_null = pc.is_null(t["value_a"]).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(t["value_b"]).to_numpy(zero_copy_only=False)
+        keep = a_null | b_null | (va != vb)
+        change = np.where(a_null, "added",
+                          np.where(b_null, "removed", "changed"))
+        out = pa.table({"event_id": t["event_id"],
+                        "change": pa.array(change.astype(object),
+                                           pa.string()),
+                        "value_a": t["value_a"],
+                        "value_b": t["value_b"]})
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(classify, batch_format="pyarrow")

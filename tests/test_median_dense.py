@@ -150,3 +150,50 @@ def test_conversation_split_leakage_safe(oracle_smoke):
         f"   AS BIGINT) * {CONV_SPLIT_MULT})"
         f"  % {CONV_SPLIT_MOD}) % 10 = 8 THEN 'val'"
         " ELSE 'test' END AS split FROM transcripts"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_diff_matches_oracle(oracle_smoke):
+    from security_log_analysis_rust_ray.pipelines.streaming import (
+        DIFF_ADDED_EVERY, DIFF_CHANGED_EVERY, DIFF_REMOVED_EVERY,
+        events_snapshot_diff)
+    assert_matches_oracle(
+        events_snapshot_diff(SF_SMOKE), oracle_smoke,
+        "WITH a AS (SELECT event_id, value FROM events),\n"
+        "b AS (SELECT event_id, CASE WHEN event_id %"
+        f" {DIFF_CHANGED_EVERY} = 0 THEN value + 1.0"
+        " ELSE value END AS value FROM events"
+        f" WHERE event_id % {DIFF_REMOVED_EVERY} <> 0\n"
+        " UNION ALL SELECT -event_id, value FROM events"
+        f" WHERE event_id % {DIFF_ADDED_EVERY} = 0)\n"
+        "SELECT COALESCE(a.event_id, b.event_id) AS event_id,"
+        " CASE WHEN a.event_id IS NULL THEN 'added'"
+        "  WHEN b.event_id IS NULL THEN 'removed'"
+        "  ELSE 'changed' END AS change,"
+        " a.value AS value_a, b.value AS value_b"
+        " FROM a FULL OUTER JOIN b ON a.event_id = b.event_id"
+        " WHERE a.event_id IS NULL OR b.event_id IS NULL"
+        "  OR a.value <> b.value")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_diff_identical_snapshots_empty(tmp_path):
+    """Two byte-identical snapshots diff to ZERO rows (the anti-entropy
+    fast path: ids that are multiples of none of the rule moduli)."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import streaming as STR
+
+    ids = [1, 2, 3, 5, 7, 11, 199]  # coprime to all three moduli
+    t = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "event_type": pa.array(["a"] * len(ids)),
+        "value": pa.array([float(i) for i in ids], pa.float64()),
+        "ts": pa.array([0] * len(ids), pa.timestamp("us")),
+        "user_id": pa.array([0] * len(ids), pa.int64()),
+        "props": pa.array([""] * len(ids)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    assert STR.events_snapshot_diff(str(d)).count() == 0
