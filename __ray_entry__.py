@@ -43,6 +43,13 @@ _RESOLVE_CODE = (
 )
 
 
+def _zorder_lookup(sf_dir: str) -> Any:
+    # builds (once, cached under /tmp/slar_cache) then 2-D-zone-map-reads
+    from security_log_analysis_rust_ray.pipelines.zorder import \
+        events_zorder_lookup
+    return events_zorder_lookup(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries (observed in CORRECTNESS_r01/r02 — both stopped at entry 50 in
@@ -151,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_daily_dense,  # oracle, new r03
         "events_snapshot_diff":
             STR.events_snapshot_diff,  # oracle, new r03
+        "events_stratified_sample":
+            REL.events_stratified_sample,  # oracle, new r03
+        "events_zorder_lookup":
+            _zorder_lookup,  # oracle, new r03
         "conversation_split_assign":
             R.conversation_split_assign,  # oracle, new r03
         "distinct_host_count": REL.distinct_host_count,
@@ -1924,6 +1935,22 @@ def oracle_sql() -> dict[str, str]:
         " FROM a FULL OUTER JOIN b ON a.event_id = b.event_id"
         " WHERE a.event_id IS NULL OR b.event_id IS NULL"
         "  OR a.value <> b.value")
+    out["events_stratified_sample"] = (
+        "SELECT event_type, event_id, hash_rank FROM"
+        " (SELECT event_type, event_id,"
+        f"  ((event_id % {REL.SAMPLE_MOD}) * {REL.SAMPLE_MULT})"
+        f"   % {REL.SAMPLE_MOD} AS hash_rank,"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY"
+        f"   ((event_id % {REL.SAMPLE_MOD}) * {REL.SAMPLE_MULT})"
+        f"    % {REL.SAMPLE_MOD}, event_id) rn"
+        f" FROM events) WHERE rn <= {REL.STRATUM_K}")
+    from security_log_analysis_rust_ray.pipelines import zorder as _Z
+    out["events_zorder_lookup"] = (
+        "SELECT * FROM events"
+        f" WHERE user_id BETWEEN {_Z.LOOKUP_USER_LO}"
+        f" AND {_Z.LOOKUP_USER_HI}"
+        f" AND ts >= TIMESTAMP '{_Z.LOOKUP_DAY}'"
+        f" AND ts < TIMESTAMP '{_Z.LOOKUP_DAY}' + INTERVAL 1 DAY")
     out["events_user_bands"] = (
         "WITH bands AS (SELECT n_name AS band,"
         " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"

@@ -2082,3 +2082,35 @@ def events_daily_dense(sf_dir: str) -> rd.Dataset:
     out["cnt"] = out["cnt"].fillna(0).astype("int64")
     out["day"] = out["day"].astype("datetime64[us]")
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+SAMPLE_MULT = 2654435761  # Knuth 32-bit multiplier: (id % MOD) * MULT
+SAMPLE_MOD = 2147483647   # < 2^62, so the product is int64-exact in SQL too
+STRATUM_K = 10
+
+
+def events_stratified_sample(sf_dir: str, k: int = STRATUM_K) -> rd.Dataset:
+    """Deterministic STRATIFIED sample: exactly ``k`` rows per event_type,
+    chosen by hash rank (smallest ``(event_id * MULT) % MOD`` wins, id
+    tie-break) — the eval-set/debug-slice sampler that is stable under
+    corpus growth within a stratum boundary, re-runnable, and
+    SQL-replayable, none of which an RNG sample gives you.
+
+    Distributed as the ``grouped_top_k`` partial/final: each block keeps
+    at most k rows per stratum (a correct combiner), ONE hash exchange
+    ships ≤ k × blocks rows per stratum, the same kernel finishes.  The
+    hash fuses into the pruned read.  Output (event_type, event_id,
+    hash_rank)."""
+    from ..stages.aggregate import grouped_top_k
+
+    def rank(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        hr = ((eid % SAMPLE_MOD) * SAMPLE_MULT) % SAMPLE_MOD
+        return pa.table({"event_type": b["event_type"],
+                         "event_id": b["event_id"],
+                         "hash_rank": pa.array(hr, pa.int64())})
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"]) \
+        .map_batches(rank, batch_format="pyarrow")
+    return grouped_top_k(ds, ["event_type"], "hash_rank", k,
+                         descending=False, tie_cols=["event_id"])
