@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_value_median_exact,  # oracle, new r03
         "events_value_median_by_type":
             REL.events_value_median_by_type,  # oracle, new r03
+        "events_value_percentiles_exact":
+            REL.events_value_percentiles_exact,  # oracle, new r03
         "events_daily_dense":
             REL.events_daily_dense,  # oracle, new r03
         "events_snapshot_diff":
@@ -1907,6 +1909,15 @@ def oracle_sql() -> dict[str, str]:
         "   PARTITION BY event_type ORDER BY value, event_id) rn,"
         "  count(*) OVER (PARTITION BY event_type) n FROM events)"
         " WHERE rn = (n + 1) // 2 ORDER BY event_type")
+    out["events_value_percentiles_exact"] = (
+        "WITH r AS (SELECT value,"
+        " row_number() OVER (ORDER BY value, event_id) rn,"
+        " count(*) OVER () n FROM events)\n"
+        "SELECT p.pct, r.value AS pct_value"
+        " FROM (SELECT unnest(["
+        + ", ".join(str(p) for p in REL.PCTS_EXACT) + "]) AS pct) p"
+        " JOIN r ON r.rn = CAST(ceil(p.pct * r.n) AS BIGINT)"
+        " ORDER BY p.pct")
     out["events_daily_dense"] = (
         "WITH bounds AS (SELECT date_trunc('day', min(ts)) lo,"
         " date_trunc('day', max(ts)) hi FROM events),\n"

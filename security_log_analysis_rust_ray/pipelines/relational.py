@@ -2114,3 +2114,59 @@ def events_stratified_sample(sf_dir: str, k: int = STRATUM_K) -> rd.Dataset:
         .map_batches(rank, batch_format="pyarrow")
     return grouped_top_k(ds, ["event_type"], "hash_rank", k,
                          descending=False, tie_cols=["event_id"])
+
+
+PCTS_EXACT = (0.5, 0.9, 0.99)
+
+
+def events_value_percentiles_exact(sf_dir: str) -> rd.Dataset:
+    """EXACT p50/p90/p99 in ONE distributed selection pass — the SLO
+    percentiles a sketch only bounds.  Rank rule: element at
+    ceil(p * n) (1-based, (value, event_id) order), the inverse-CDF
+    lower statistic.  Same block-summary plan as
+    ``events_value_median_exact`` but all targets resolve against one
+    summary fold and one extract pass — k percentiles cost one sort +
+    two tiny maps, not k.  Output (pct, pct_value)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"]) \
+        .sort(["value", "event_id"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"v0": b["value"].slice(0, 1),
+                         "id0": b["event_id"].slice(0, 1),
+                         "cnt": pa.array([b.num_rows], pa.int64())})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"pct": pa.array([], pa.float64()),
+                      "pct_value": pa.array([], pa.float64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    summ = summ.sort_values(["v0", "id0"]).reset_index(drop=True)
+    n = int(summ["cnt"].sum())
+    ends = summ["cnt"].cumsum().to_numpy()
+    picks: dict[tuple, list[tuple[int, float]]] = {}
+    for p in PCTS_EXACT:
+        target = int(np.ceil(p * n))
+        blk = int(np.searchsorted(ends, target))
+        in_blk = target - (int(ends[blk - 1]) if blk else 0) - 1
+        key = (float(summ["v0"].iloc[blk]), int(summ["id0"].iloc[blk]))
+        picks.setdefault(key, []).append((in_blk, p))
+
+    def extract(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        key = (float(b["value"][0].as_py()), int(b["event_id"][0].as_py()))
+        hits = picks.get(key)
+        if not hits:
+            return empty
+        return pa.table({
+            "pct": pa.array([p for _, p in hits], pa.float64()),
+            "pct_value": pa.array(
+                [b["value"][i].as_py() for i, _ in hits], pa.float64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=None).sort("pct")

@@ -197,3 +197,19 @@ def test_snapshot_diff_identical_snapshots_empty(tmp_path):
     d.mkdir()
     pq.write_table(t, d / "events.parquet")
     assert STR.events_snapshot_diff(str(d)).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percentiles_exact_matches_oracle(oracle_smoke):
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        PCTS_EXACT, events_value_percentiles_exact)
+    assert_matches_oracle(
+        events_value_percentiles_exact(SF_SMOKE), oracle_smoke,
+        "WITH r AS (SELECT value,"
+        " row_number() OVER (ORDER BY value, event_id) rn,"
+        " count(*) OVER () n FROM events)\n"
+        "SELECT p.pct, r.value AS pct_value"
+        " FROM (SELECT unnest(["
+        + ", ".join(str(p) for p in PCTS_EXACT) + "]) AS pct) p"
+        " JOIN r ON r.rn = CAST(ceil(p.pct * r.n) AS BIGINT)"
+        " ORDER BY p.pct")
