@@ -146,6 +146,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_rollup": R.route_rollup,           # oracle, new r03
         "route_cube": R.route_cube,               # oracle, new r03
         "unit_level_pivot": R.unit_level_pivot,   # oracle, new r03
+        # TPC-H Q7/Q13/Q15/Q17/Q18/Q21 report shapes (oracle, new r03;
+        # parked at 51+ — sweep-checked, the driver window stays curated)
+        "volume_shipping": REL.volume_shipping,
+        "customer_order_distribution": REL.customer_order_distribution,
+        "top_supplier": REL.top_supplier,
+        "small_quantity_revenue": REL.small_quantity_revenue,
+        "large_volume_customers": REL.large_volume_customers,
+        "waiting_suppliers": REL.waiting_suppliers,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -1962,6 +1970,70 @@ def oracle_sql() -> dict[str, str]:
         f" AND {_Z.LOOKUP_USER_HI}"
         f" AND ts >= TIMESTAMP '{_Z.LOOKUP_DAY}'"
         f" AND ts < TIMESTAMP '{_Z.LOOKUP_DAY}' + INTERVAL 1 DAY")
+    out["volume_shipping"] = (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+        " year(l.l_shipdate) AS l_year,"
+        " round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+        f"WHERE ((n1.n_name = '{REL.Q7_NATION_A}'"
+        f" AND n2.n_name = '{REL.Q7_NATION_B}')"
+        f" OR (n1.n_name = '{REL.Q7_NATION_B}'"
+        f" AND n2.n_name = '{REL.Q7_NATION_A}'))"
+        f" AND l.l_shipdate >= DATE '{REL.Q7_DATE_LO}'"
+        f" AND l.l_shipdate < DATE '{REL.Q7_DATE_HI}' "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")
+    out["customer_order_distribution"] = (
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count"
+        " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+        f" AND o.o_orderpriority <> '{REL.Q13_EXCLUDE_PRIORITY}'"
+        " GROUP BY c.c_custkey) "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC")
+    out["top_supplier"] = (
+        "WITH rev AS (SELECT l_suppkey,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2)"
+        " AS total_revenue FROM lineitem"
+        f" WHERE l_shipdate >= DATE '{REL.Q15_DATE_LO}'"
+        f" AND l_shipdate < DATE '{REL.Q15_DATE_HI}' GROUP BY l_suppkey) "
+        "SELECT s.s_suppkey, s.s_name, r.total_revenue "
+        "FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+        "WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev) "
+        "ORDER BY s.s_suppkey")
+    out["small_quantity_revenue"] = (
+        "SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        f"WHERE p.p_brand = '{REL.Q17_BRAND}'"
+        f" AND l.l_quantity < {REL.Q17_QTY_FRACTION} *"
+        " (SELECT avg(l2.l_quantity) FROM lineitem l2"
+        "  WHERE l2.l_partkey = l.l_partkey)")
+    out["large_volume_customers"] = (
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,"
+        " o.o_totalprice, q.total_qty "
+        "FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty"
+        " FROM lineitem GROUP BY l_orderkey"
+        f" HAVING sum(l_quantity) > {REL.Q18_QTY_THRESHOLD}) q "
+        "JOIN orders o ON o.o_orderkey = q.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey "
+        "LIMIT 100")
+    out["waiting_suppliers"] = (
+        "WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,"
+        " max(CASE WHEN l.l_shipdate >"
+        f" o.o_orderdate + INTERVAL {REL.Q21_LATE_DAYS} DAY"
+        " THEN 1 ELSE 0 END) AS late"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " WHERE o.o_orderstatus = 'F' GROUP BY 1, 2),\n"
+        "q AS (SELECT l_orderkey FROM lo GROUP BY 1"
+        " HAVING count(*) > 1 AND sum(late) = 1)\n"
+        "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM lo JOIN q USING (l_orderkey) "
+        "JOIN supplier s ON s.s_suppkey = lo.l_suppkey "
+        "WHERE lo.late = 1 GROUP BY s.s_name "
+        "ORDER BY numwait DESC, s.s_name LIMIT 20")
     out["events_user_bands"] = (
         "WITH bands AS (SELECT n_name AS band,"
         " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"

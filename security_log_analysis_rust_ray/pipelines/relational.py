@@ -2170,3 +2170,399 @@ def events_value_percentiles_exact(sf_dir: str) -> rd.Dataset:
 
     return ds.map_batches(extract, batch_format="pyarrow",
                           batch_size=None).sort("pct")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7/Q13/Q15/Q17/Q18/Q21 report shapes — the remaining classic join/
+# aggregate skeletons behind the reference's report endpoints
+# (src/security_log_http.rs:589-605 serves exactly these groupby-join-sort
+# results over Postgres; SURVEY §2.8).  Every join goes through the
+# size-aware lookup_join so dims broadcast and fact-fact exchanges hash-
+# partition, and every aggregation folds a per-block partial before the
+# shuffle.
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_DATE_LO = "1996-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+
+def volume_shipping(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year.  The supplier side collapses to a tiny broadcast map BEFORE the
+    lineitem scan (suppliers outside the two nations are dropped at the
+    probe, so the fact stream shrinks immediately); the customer nation
+    arrives through orders via the size-aware hash exchange.  Output
+    (supp_nation, cust_nation, l_year, revenue) sorted by the keys."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    lo, hi = pd.Timestamp(Q7_DATE_LO), pd.Timestamp(Q7_DATE_HI)
+    pair = (Q7_NATION_A, Q7_NATION_B)
+
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            b["n_name"], value_set=pa.array(pair))),
+            batch_format="pyarrow", batch_size=None).materialize()
+    supp = lookup_join(
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation, "s_nationkey", "n_nationkey", how="inner",
+        rename={"n_name": "supp_nation"}) \
+        .map_batches(lambda b: b.select(["s_suppkey", "supp_nation"]),
+                     batch_format="pyarrow", batch_size=None).materialize()
+    cust = lookup_join(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        nation, "c_nationkey", "n_nationkey", how="inner",
+        rename={"n_name": "cust_nation"}) \
+        .map_batches(lambda b: b.select(["c_custkey", "cust_nation"]),
+                     batch_format="pyarrow", batch_size=None)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi)))),
+            batch_format="pyarrow", batch_size=None)
+    nparts = _num_partitions(li)
+
+    # supplier-nation probe first: drops ~23/25ths of the fact stream
+    j = lookup_join(li, supp, "l_suppkey", "s_suppkey",
+                    nparts=nparts, how="inner")
+    orders = lookup_join(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust, "o_custkey", "c_custkey", nparts=nparts, how="inner") \
+        .map_batches(lambda b: b.select(["o_orderkey", "cust_nation"]),
+                     batch_format="pyarrow", batch_size=None)
+    j = lookup_join(j, orders, "l_orderkey", "o_orderkey",
+                    nparts=nparts, how="inner")
+
+    def derive(b: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.and_(pc.equal(b["supp_nation"], pair[0]),
+                    pc.equal(b["cust_nation"], pair[1])),
+            pc.and_(pc.equal(b["supp_nation"], pair[1]),
+                    pc.equal(b["cust_nation"], pair[0])))
+        b = b.filter(keep)
+        return pa.table({
+            "supp_nation": b["supp_nation"],
+            "cust_nation": b["cust_nation"],
+            "l_year": pc.year(b["l_shipdate"]),
+            "volume": pc.multiply(
+                b["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), b["l_discount"]))})
+
+    ds = j.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    partial = ds.map_batches(
+        _partial_sums(["supp_nation", "cust_nation", "l_year"],
+                      {"volume": "sum"}),
+        batch_format="pyarrow")
+    out = partial.groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("volume_sum", alias_name="rev_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": b["supp_nation"],
+            "cust_nation": b["cust_nation"],
+            "l_year": b["l_year"],
+            "revenue": pa.array(round_half_up(b["rev_f"].to_numpy(), 2))})
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["supp_nation", "cust_nation", "l_year"])
+
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def customer_order_distribution(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    INCLUDING zero-order customers (the left join no inner plan can
+    fake).  Orders fold to per-customer counts with an in-block partial
+    before the shuffle; the count table then attaches to customers via
+    the size-aware LEFT lookup join, nulls become zero, and a second
+    (tiny, #distinct-counts keys) aggregation builds the histogram.
+    Output (c_count, custdist) sorted custdist desc, c_count desc."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    def project(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.not_equal(b["o_orderpriority"],
+                                  Q13_EXCLUDE_PRIORITY))
+        return pa.table({
+            "o_custkey": f["o_custkey"],
+            "one": pa.array(np.ones(f.num_rows, np.int64))})
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(project, batch_format="pyarrow", batch_size=None)
+    partial = orders.map_batches(
+        _partial_sums(["o_custkey"], {"one": "sum"}),
+        batch_format="pyarrow")
+    counts = partial.groupby("o_custkey").aggregate(
+        Sum("one_sum", alias_name="c_count"))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    nparts = _num_partitions(cust)
+    j = lookup_join(cust, counts, "c_custkey", "o_custkey",
+                    nparts=nparts, how="left")
+
+    def zero_fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(b["c_count"], 0).cast(pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    hist = j.map_batches(zero_fill, batch_format="pyarrow",
+                         batch_size=None)
+    hp = hist.map_batches(_partial_sums(["c_count"], {"one": "sum"}),
+                          batch_format="pyarrow")
+    out = hp.groupby("c_count").aggregate(
+        Sum("one_sum", alias_name="custdist"))
+    return out.map_batches(
+        lambda b: b.select(["c_count", "custdist"]),
+        batch_format="pyarrow", batch_size=None) \
+        .sort(["custdist", "c_count"], descending=[True, True])
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def top_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    Revenue folds per supplier (partial -> groupby, supplier-key
+    cardinality, never the lineitem stream); the per-supplier table is
+    dim-sized by construction, so it materializes once, the scalar max
+    comes off it, and the winners join the supplier names by broadcast.
+    Output (s_suppkey, s_name, total_revenue) sorted by s_suppkey."""
+    from ..stages.joins import lookup_join
+
+    lo, hi = pd.Timestamp(Q15_DATE_LO), pd.Timestamp(Q15_DATE_HI)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"]) \
+        .map_batches(lambda b: (lambda f: pa.table({
+            "l_suppkey": f["l_suppkey"],
+            "volume": pc.multiply(
+                f["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), f["l_discount"]))}))(
+            b.filter(pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi))))),
+            batch_format="pyarrow", batch_size=None)
+    partial = li.map_batches(_partial_sums(["l_suppkey"],
+                                           {"volume": "sum"}),
+                             batch_format="pyarrow")
+    rev = partial.groupby("l_suppkey").aggregate(
+        Sum("volume_sum", alias_name="rev_f")) \
+        .map_batches(lambda b: pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "total_revenue": pa.array(
+                round_half_up(b["rev_f"].to_numpy(), 2))}),
+            batch_format="pyarrow", batch_size=None) \
+        .materialize()  # supplier-key cardinality: dim-sized by construction
+    mx = rev.max("total_revenue")
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b["total_revenue"],
+                                    pa.scalar(float(mx)))),
+        batch_format="pyarrow", batch_size=None)
+    out = lookup_join(
+        winners,
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "l_suppkey", "s_suppkey", how="inner")
+    return out.map_batches(
+        lambda b: pa.table({"s_suppkey": b["l_suppkey"],
+                            "s_name": b["s_name"],
+                            "total_revenue": b["total_revenue"]}),
+        batch_format="pyarrow", batch_size=None).sort("s_suppkey")
+
+
+Q17_BRAND = "Brand#4"
+Q17_QTY_FRACTION = 0.2
+
+
+def small_quantity_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q17 shape: weekly-averaged revenue lost to small-quantity
+    orders of one brand.  The brand filter collapses part to a broadcast
+    key set that prunes the lineitem stream at the probe; per-part mean
+    quantity folds on the pruned stream (partial sum+count -> groupby)
+    into a second dim-sized broadcast; the same pruned stream then probes
+    the means and a one-row global sum comes off the per-block partials.
+    Output one row (avg_yearly)."""
+    from ..stages.joins import lookup_join
+
+    brand_parts = read_table(sf_dir, "part",
+                             columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["p_brand"], Q17_BRAND)).select(["p_partkey"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+    li = lookup_join(li, brand_parts, "l_partkey", "p_partkey",
+                     how="inner")
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array(
+            np.ones(b.num_rows, np.int64)))
+    stats = li.map_batches(pre, batch_format="pyarrow", batch_size=None) \
+        .map_batches(_partial_sums(["l_partkey"],
+                                   {"l_quantity": "sum", "one": "sum"}),
+                     batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(
+            Sum("l_quantity_sum", alias_name="qty_sum"),
+            Sum("one_sum", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty_cut": pc.multiply(
+                pc.divide(b["qty_sum"].cast(pa.float64()),
+                          b["n"].cast(pa.float64())),
+                pa.scalar(Q17_QTY_FRACTION))}),
+            batch_format="pyarrow", batch_size=None) \
+        .materialize()  # one row per brand part: dim-sized by construction
+
+    j = lookup_join(li, stats, "l_partkey", "l_partkey")
+    small = j.map_batches(
+        lambda b: (lambda f: pa.table({
+            "price_sum": pa.array(
+                [float(pc.sum(f["l_extendedprice"]).as_py() or 0.0)]),
+            "n": pa.array([f.num_rows], pa.int64())}))(
+            b.filter(pc.less(b["l_quantity"], b["qty_cut"]))),
+        batch_format="pyarrow")
+    agg = small.to_pandas()  # one row per block
+    total = float(agg["price_sum"].sum()) if int(agg["n"].sum()) else None
+    val = None if total is None else \
+        float(round_half_up(np.array([total / 7.0]), 2)[0])
+    return pd.DataFrame({"avg_yearly": pd.array([val], dtype="float64")})
+
+
+Q18_QTY_THRESHOLD = 300.0
+
+
+def large_volume_customers(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """TPC-H Q18 shape: customers behind orders whose total quantity
+    exceeds a threshold.  Per-order quantity folds with an in-block
+    partial before the orderkey shuffle; the surviving key set is tiny
+    (HAVING > threshold), so orders and then customers attach by
+    broadcast probe, never a fact-fact exchange.  Output (c_name,
+    c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty) sorted
+    o_totalprice desc, o_orderdate, o_orderkey, limit k."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity"])
+    nparts = _num_partitions(li)
+    partial = li.map_batches(_partial_sums(["l_orderkey"],
+                                           {"l_quantity": "sum"}),
+                             batch_format="pyarrow")
+    big = partial.groupby("l_orderkey").aggregate(
+        Sum("l_quantity_sum", alias_name="total_qty")) \
+        .map_batches(lambda b: b.filter(pc.greater(
+            b["total_qty"], pa.scalar(Q18_QTY_THRESHOLD))),
+            batch_format="pyarrow", batch_size=None) \
+        .materialize()  # HAVING >threshold: tiny by construction
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    j = lookup_join(orders, big, "o_orderkey", "l_orderkey",
+                    nparts=nparts, how="inner")
+    j = lookup_join(j, read_table(sf_dir, "customer",
+                                  columns=["c_custkey", "c_name"]),
+                    "o_custkey", "c_custkey", nparts=nparts, how="inner")
+    out = j.map_batches(
+        lambda b: pa.table({
+            "c_name": b["c_name"], "c_custkey": b["o_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_totalprice": b["o_totalprice"],
+            "total_qty": b["total_qty"]}),
+        batch_format="pyarrow", batch_size=None)
+    return out.sort(["o_totalprice", "o_orderdate", "o_orderkey"],
+                    descending=[True, False, False]).limit(k)
+
+
+Q21_LATE_DAYS = 365
+
+
+def waiting_suppliers(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """TPC-H Q21 shape, adapted to this schema's columns: blame the SOLE
+    late supplier of finished multi-supplier orders ("late" =
+    shipped > orderdate + 365d; the reference schema's
+    commitdate/receiptdate pair doesn't exist here).  The EXISTS /
+    NOT-EXISTS pair becomes two grouped folds: per (order, supplier)
+    any-late, then per order (supplier count, late-supplier count);
+    qualifying orders form a broadcast key set that pulls back the one
+    late supplier each.  Output (s_name, numwait) sorted numwait desc,
+    s_name, limit k."""
+    from ray.data.aggregate import Max
+
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderstatus"]) \
+        .map_batches(lambda b: b.filter(pc.equal(
+            b["o_orderstatus"], "F")).select(["o_orderkey", "o_orderdate"]),
+            batch_format="pyarrow", batch_size=None)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    nparts = _num_partitions(li)
+    j = lookup_join(li, orders, "l_orderkey", "o_orderkey",
+                    nparts=nparts, how="inner")
+
+    def tag(b: pa.Table) -> pa.Table:
+        cutoff = pc.add(b["o_orderdate"],
+                        pa.scalar(pd.Timedelta(days=Q21_LATE_DAYS)))
+        late = pc.cast(pc.greater(b["l_shipdate"], cutoff), pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "l_suppkey": b["l_suppkey"], "late": late})
+        # in-block partial of the (order, supplier) any-late fold
+        return t.group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("late", "max")]) \
+            .rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+    per_supp = j.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "l_suppkey"]) \
+        .aggregate(Max("late", alias_name="late"))
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        t = b.append_column("one", pa.array(np.ones(b.num_rows, np.int64)))
+        return t.group_by(["l_orderkey"]) \
+            .aggregate([("one", "sum"), ("late", "sum")]) \
+            .rename_columns(["l_orderkey", "nsupp", "nlate"])
+
+    per_order = per_supp.map_batches(order_partial,
+                                     batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(
+            Sum("nsupp", alias_name="nsupp"),
+            Sum("nlate", alias_name="nlate"))
+    blamed_orders = per_order.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater(b["nsupp"], pa.scalar(1)),
+                                   pc.equal(b["nlate"], pa.scalar(1))))
+        .select(["l_orderkey"]),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    late_rows = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["late"], pa.scalar(1)))
+        .select(["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow", batch_size=None)
+    blamed = lookup_join(late_rows, blamed_orders,
+                         "l_orderkey", "l_orderkey",
+                         nparts=nparts, how="inner")
+    named = lookup_join(
+        blamed,
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "l_suppkey", "s_suppkey", how="inner")
+    partial = named.map_batches(
+        lambda b: pa.table({
+            "s_name": b["s_name"],
+            "one": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None) \
+        .map_batches(_partial_sums(["s_name"], {"one": "sum"}),
+                     batch_format="pyarrow")
+    out = partial.groupby("s_name").aggregate(
+        Sum("one_sum", alias_name="numwait"))
+    return out.sort(["numwait", "s_name"],
+                    descending=[True, False]).limit(k)
