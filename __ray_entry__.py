@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": REL.small_quantity_revenue,
         "large_volume_customers": REL.large_volume_customers,
         "waiting_suppliers": REL.waiting_suppliers,
+        "nation_market_share": REL.nation_market_share,
+        "product_type_profit": REL.product_type_profit,
+        "disjunctive_revenue": REL.disjunctive_revenue,
+        "dominant_part_suppliers": REL.dominant_part_suppliers,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2034,6 +2038,54 @@ def oracle_sql() -> dict[str, str]:
         "JOIN supplier s ON s.s_suppkey = lo.l_suppkey "
         "WHERE lo.late = 1 GROUP BY s.s_name "
         "ORDER BY numwait DESC, s.s_name LIMIT 20")
+    out["nation_market_share"] = (
+        "SELECT o_year, round(sum(CASE WHEN supp_nation ="
+        f" '{REL.Q8_NATION}' THEN volume ELSE 0 END) / sum(volume), 6)"
+        " AS mkt_share FROM ("
+        "SELECT year(o.o_orderdate) AS o_year,"
+        " l.l_extendedprice * (1 - l.l_discount) AS volume,"
+        " n1.n_name AS supp_nation"
+        " FROM part pt JOIN lineitem l ON pt.p_partkey = l.l_partkey"
+        " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+        " JOIN nation n1 ON s.s_nationkey = n1.n_nationkey"
+        " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+        " JOIN customer c ON c.c_custkey = o.o_custkey"
+        " JOIN nation n2 ON c.c_nationkey = n2.n_nationkey"
+        " JOIN region r ON n2.n_regionkey = r.r_regionkey"
+        f" WHERE r.r_name = '{REL.Q8_REGION}'"
+        f" AND pt.p_type = '{REL.Q8_TYPE}'"
+        f" AND o.o_orderdate >= DATE '{REL.Q8_DATE_LO}'"
+        f" AND o.o_orderdate < DATE '{REL.Q8_DATE_HI}') "
+        "GROUP BY o_year ORDER BY o_year")
+    out["product_type_profit"] = (
+        "SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,"
+        " round(sum(l.l_extendedprice * (1 - l.l_discount)"
+        f" - {REL.Q9_COST_FACTOR} * pt.p_retailprice * l.l_quantity), 2)"
+        " AS sum_profit"
+        " FROM part pt JOIN lineitem l ON pt.p_partkey = l.l_partkey"
+        " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+        " JOIN nation n ON s.s_nationkey = n.n_nationkey"
+        " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+        f" WHERE pt.p_name LIKE '%{REL.Q9_NAME_SUBSTR}%'"
+        " GROUP BY 1, 2 ORDER BY nation, o_year DESC")
+    out["disjunctive_revenue"] = (
+        "SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)"
+        " AS revenue"
+        " FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+        " WHERE " + " OR ".join(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+            f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+            for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["dominant_part_suppliers"] = (
+        "WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q"
+        " FROM lineitem GROUP BY 1, 2),\n"
+        "top AS (SELECT l_partkey, l_suppkey FROM ps"
+        " QUALIFY row_number() OVER (PARTITION BY l_partkey"
+        " ORDER BY q DESC, l_suppkey) = 1)\n"
+        "SELECT s.s_suppkey, s.s_name,"
+        " CAST(count(*) AS BIGINT) AS n_dominated "
+        "FROM top JOIN supplier s ON s.s_suppkey = top.l_suppkey "
+        "GROUP BY 1, 2 ORDER BY n_dominated DESC, s_suppkey")
     out["events_user_bands"] = (
         "WITH bands AS (SELECT n_name AS band,"
         " CAST(n_nationkey*n_nationkey*4 AS BIGINT) AS lo,"

@@ -2566,3 +2566,259 @@ def waiting_suppliers(sf_dir: str, k: int = 20) -> rd.Dataset:
         Sum("one_sum", alias_name="numwait"))
     return out.sort(["numwait", "s_name"],
                     descending=[True, False]).limit(k)
+
+
+Q8_REGION = "EUROPE"
+Q8_TYPE = "STANDARD"
+Q8_NATION = "NATION_8"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def nation_market_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8 shape: one nation's market share, by order year, of a
+    part type sold to customers of one region.  Both CASE sums of the
+    share ratio fold per block against ONE joined stream: parts collapse
+    to a broadcast key probe, the supplier side to a broadcast
+    (s_suppkey -> nation) map, and only orders (date-pruned, region-
+    member customers only) meet lineitem in a hash exchange.  Output
+    (o_year, mkt_share) sorted by year."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    lo, hi = pd.Timestamp(Q8_DATE_LO), pd.Timestamp(Q8_DATE_HI)
+
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["r_name"], Q8_REGION)).select(["r_regionkey"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    eur_nations = lookup_join(nation, region, "n_regionkey", "r_regionkey",
+                              how="inner") \
+        .map_batches(lambda b: b.select(["n_nationkey"]),
+                     batch_format="pyarrow", batch_size=None).materialize()
+    supp_map = lookup_join(
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation.map_batches(
+            lambda b: b.select(["n_nationkey", "n_name"]),
+            batch_format="pyarrow", batch_size=None).materialize(),
+        "s_nationkey", "n_nationkey", how="inner",
+        rename={"n_name": "supp_nation"}) \
+        .map_batches(lambda b: b.select(["s_suppkey", "supp_nation"]),
+                     batch_format="pyarrow", batch_size=None).materialize()
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_type"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["p_type"], Q8_TYPE)).select(["p_partkey"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    cust = lookup_join(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        eur_nations, "c_nationkey", "n_nationkey", how="inner") \
+        .map_batches(lambda b: b.select(["c_custkey"]),
+                     batch_format="pyarrow", batch_size=None)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi)))),
+            batch_format="pyarrow", batch_size=None)
+    nparts = _num_partitions(orders)
+    orders = lookup_join(orders, cust, "o_custkey", "c_custkey",
+                         nparts=nparts, how="inner") \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.year(b["o_orderdate"])}),
+            batch_format="pyarrow", batch_size=None)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    li = lookup_join(li, parts, "l_partkey", "p_partkey", how="inner")
+    li = lookup_join(li, supp_map, "l_suppkey", "s_suppkey", how="inner")
+    j = lookup_join(li, orders, "l_orderkey", "o_orderkey",
+                    nparts=nparts, how="inner")
+
+    def derive(b: pa.Table) -> pa.Table:
+        vol = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        flag = pc.cast(pc.equal(b["supp_nation"], Q8_NATION), pa.float64())
+        return pa.table({"o_year": b["o_year"], "volume": vol,
+                         "nation_volume": pc.multiply(vol, flag)})
+
+    ds = j.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    partial = ds.map_batches(
+        _partial_sums(["o_year"], {"volume": "sum", "nation_volume": "sum"}),
+        batch_format="pyarrow")
+    out = partial.groupby("o_year").aggregate(
+        Sum("volume_sum", alias_name="tot"),
+        Sum("nation_volume_sum", alias_name="nat"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        share = b["nat"].to_numpy() / b["tot"].to_numpy()
+        return pa.table({"o_year": b["o_year"],
+                         "mkt_share": pa.array(round_half_up(share, 6))})
+    return out.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+Q9_NAME_SUBSTR = "red"
+Q9_COST_FACTOR = 0.6
+
+
+def product_type_profit(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q9 shape, adapted to this schema (no partsupp: unit cost =
+    0.6 x p_retailprice): profit on one product family by supplier
+    nation and order year.  Parts (name-filtered, with retail price) and
+    the supplier->nation map ride broadcast probes; orders meet the
+    pruned lineitem stream in the one hash exchange; (nation, year)
+    profit folds per block first.  Output (nation, o_year, sum_profit)
+    sorted nation asc, o_year desc."""
+    from ..stages.dedup import _num_partitions
+    from ..stages.joins import lookup_join
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_name", "p_retailprice"]) \
+        .map_batches(lambda b: b.filter(pc.match_substring(
+            b["p_name"], Q9_NAME_SUBSTR))
+            .select(["p_partkey", "p_retailprice"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).materialize()
+    supp_map = lookup_join(
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation, "s_nationkey", "n_nationkey", how="inner",
+        rename={"n_name": "nation"}) \
+        .map_batches(lambda b: b.select(["s_suppkey", "nation"]),
+                     batch_format="pyarrow", batch_size=None).materialize()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+    nparts = _num_partitions(li)
+    li = lookup_join(li, parts, "l_partkey", "p_partkey", how="inner")
+    li = lookup_join(li, supp_map, "l_suppkey", "s_suppkey", how="inner")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.year(b["o_orderdate"])}),
+            batch_format="pyarrow", batch_size=None)
+    j = lookup_join(li, orders, "l_orderkey", "o_orderkey",
+                    nparts=nparts, how="inner")
+
+    def derive(b: pa.Table) -> pa.Table:
+        revenue = pc.multiply(b["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cost = pc.multiply(pc.multiply(b["p_retailprice"], b["l_quantity"]),
+                           pa.scalar(Q9_COST_FACTOR))
+        return pa.table({"nation": b["nation"], "o_year": b["o_year"],
+                         "amount": pc.subtract(revenue, cost)})
+
+    ds = j.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    partial = ds.map_batches(
+        _partial_sums(["nation", "o_year"], {"amount": "sum"}),
+        batch_format="pyarrow")
+    out = partial.groupby(["nation", "o_year"]).aggregate(
+        Sum("amount_sum", alias_name="profit_f"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": b["nation"], "o_year": b["o_year"],
+            "sum_profit": pa.array(
+                round_half_up(b["profit_f"].to_numpy(), 2))})
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["nation", "o_year"], descending=[False, True])
+
+
+Q19_CASES = (("Brand#1", 1, 5, 1.0, 11.0),
+             ("Brand#2", 1, 10, 10.0, 20.0),
+             ("Brand#3", 1, 15, 20.0, 30.0))
+
+
+def disjunctive_revenue(sf_dir: str) -> Any:
+    """TPC-H Q19 shape: revenue under an OR of per-brand (size x
+    quantity) windows.  The part side prunes to the union of the brand/
+    size windows BEFORE broadcasting (brand + size travel as probe
+    payload), the disjunction evaluates vectorized per block, and only
+    one (sum) row per block reaches the driver.  Output one row
+    (revenue)."""
+    from ..stages.joins import lookup_join
+
+    brands = pa.array([c[0] for c in Q19_CASES])
+    max_size = max(c[2] for c in Q19_CASES)
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.is_in(b["p_brand"], value_set=brands),
+            pc.less_equal(b["p_size"], pa.scalar(max_size)))),
+            batch_format="pyarrow", batch_size=None).materialize()
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+    j = lookup_join(li, parts, "l_partkey", "p_partkey", how="inner")
+
+    def fold(b: pa.Table) -> pa.Table:
+        keep = None
+        for brand, s_lo, s_hi, q_lo, q_hi in Q19_CASES:
+            cond = pc.and_(
+                pc.and_(pc.equal(b["p_brand"], brand),
+                        pc.and_(pc.greater_equal(b["p_size"],
+                                                 pa.scalar(s_lo)),
+                                pc.less_equal(b["p_size"],
+                                              pa.scalar(s_hi)))),
+                pc.and_(pc.greater_equal(b["l_quantity"], pa.scalar(q_lo)),
+                        pc.less_equal(b["l_quantity"], pa.scalar(q_hi))))
+            keep = cond if keep is None else pc.or_(keep, cond)
+        f = b.filter(keep)
+        rev = pc.multiply(f["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        return pa.table({
+            "rev": pa.array([float(pc.sum(rev).as_py() or 0.0)]),
+            "n": pa.array([f.num_rows], pa.int64())})
+
+    agg = j.map_batches(fold, batch_format="pyarrow").to_pandas()
+    val = float(round_half_up(np.array([agg["rev"].sum()]), 2)[0]) \
+        if int(agg["n"].sum()) else None
+    return pd.DataFrame({"revenue": pd.array([val], dtype="float64")})
+
+
+def dominant_part_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q20 shape, adapted (no partsupp availqty here): for every
+    part, the supplier that shipped the largest total quantity, then the
+    league table of parts dominated per supplier.  Two grouped folds —
+    per (part, supplier) quantity, then the exact distributed grouped
+    top-1 (partial per-block head -> one hash exchange -> final head) —
+    and a broadcast name probe; output stays supplier-cardinality.
+    Output (s_suppkey, s_name, n_dominated) sorted desc, key."""
+    from ..stages.aggregate import grouped_top_k
+    from ..stages.joins import lookup_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"])
+    partial = li.map_batches(
+        _partial_sums(["l_partkey", "l_suppkey"], {"l_quantity": "sum"}),
+        batch_format="pyarrow")
+    ps = partial.groupby(["l_partkey", "l_suppkey"]).aggregate(
+        Sum("l_quantity_sum", alias_name="q"))
+    top = grouped_top_k(ps, ["l_partkey"], "q", 1,
+                        descending=True, tie_cols=["l_suppkey"])
+    counted = top.map_batches(
+        lambda b: pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "one": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None) \
+        .map_batches(_partial_sums(["l_suppkey"], {"one": "sum"}),
+                     batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("one_sum",
+                                            alias_name="n_dominated"))
+    named = lookup_join(
+        counted,
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "l_suppkey", "s_suppkey", how="inner")
+    return named.map_batches(
+        lambda b: pa.table({"s_suppkey": b["l_suppkey"],
+                            "s_name": b["s_name"],
+                            "n_dominated": b["n_dominated"]}),
+        batch_format="pyarrow", batch_size=None) \
+        .sort(["n_dominated", "s_suppkey"], descending=[True, False])
