@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_type_profit": REL.product_type_profit,
         "disjunctive_revenue": REL.disjunctive_revenue,
         "dominant_part_suppliers": REL.dominant_part_suppliers,
+        "forecast_revenue_change": REL.forecast_revenue_change,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2076,6 +2077,13 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["forecast_revenue_change"] = (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue"
+        " FROM lineitem"
+        f" WHERE l_shipdate >= DATE '{REL.Q6_DATE_LO}'"
+        f" AND l_shipdate < DATE '{REL.Q6_DATE_HI}'"
+        f" AND l_discount BETWEEN {REL.Q6_DISC_LO} AND {REL.Q6_DISC_HI}"
+        f" AND l_quantity < {REL.Q6_QTY_MAX}")
     out["dominant_part_suppliers"] = (
         "WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q"
         " FROM lineitem GROUP BY 1, 2),\n"

@@ -2822,3 +2822,42 @@ def dominant_part_suppliers(sf_dir: str) -> rd.Dataset:
                             "n_dominated": b["n_dominated"]}),
         batch_format="pyarrow", batch_size=None) \
         .sort(["n_dominated", "s_suppkey"], descending=[True, False])
+
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24.0
+
+
+def forecast_revenue_change(sf_dir: str) -> Any:
+    """TPC-H Q6 shape: revenue delta from a what-if discount change — a
+    pure filtered global sum, no join.  All four predicates evaluate
+    vectorized per block on a 4-column pruned scan; one (sum, count) row
+    per block reaches the driver.  Output one row (revenue)."""
+    lo, hi = pd.Timestamp(Q6_DATE_LO), pd.Timestamp(Q6_DATE_HI)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount",
+                             "l_quantity", "l_extendedprice"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(b["l_discount"],
+                                         pa.scalar(Q6_DISC_LO)),
+                        pc.less_equal(b["l_discount"],
+                                      pa.scalar(Q6_DISC_HI))),
+                pc.less(b["l_quantity"], pa.scalar(Q6_QTY_MAX))))
+        f = b.filter(keep)
+        rev = pc.multiply(f["l_extendedprice"], f["l_discount"])
+        return pa.table({
+            "rev": pa.array([float(pc.sum(rev).as_py() or 0.0)]),
+            "n": pa.array([f.num_rows], pa.int64())})
+
+    agg = li.map_batches(fold, batch_format="pyarrow").to_pandas()
+    val = float(round_half_up(np.array([agg["rev"].sum()]), 2)[0]) \
+        if int(agg["n"].sum()) else None
+    return pd.DataFrame({"revenue": pd.array([val], dtype="float64")})
