@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": REL.disjunctive_revenue,
         "dominant_part_suppliers": REL.dominant_part_suppliers,
         "forecast_revenue_change": REL.forecast_revenue_change,
+        "doc_weighted_sample": D.doc_weighted_sample,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2077,6 +2078,13 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["doc_weighted_sample"] = (
+        "SELECT doc_id, n_chars FROM ("
+        "SELECT doc_id, n_chars,"
+        f" ln((((doc_id % {D.AES_MOD}) * {D.AES_MUL}) % {D.AES_MOD} + 1)"
+        f" / {D.AES_MOD + 1}.0) / greatest(n_chars, 1) AS score"
+        " FROM documents"
+        f" ORDER BY score DESC, doc_id LIMIT {D.AES_K})")
     out["forecast_revenue_change"] = (
         "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue"
         " FROM lineitem"

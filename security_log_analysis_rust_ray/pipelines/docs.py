@@ -3732,3 +3732,39 @@ def corpus_dedup_funnel(sf_dir: str) -> rd.Dataset:
         "stage": pa.array(["0_raw", "1_exact_dedup", "2_near_dedup"],
                           pa.string()),
         "n_docs": pa.array([raw, exact, near], pa.int64())}))
+
+
+# Efraimidis–Spirakis weighted sampling without replacement: key each item
+# with ln(u_i)/w_i (u_i uniform from a deterministic integer hash, so the
+# draw is reproducible AND oracle-checkable) and take the global top-k.
+# One pass, no shuffle of the corpus: each block keeps its own top-k
+# (a correct combiner — a global winner is a block winner), then one tiny
+# exchange of <= k rows per block finishes exactly.
+AES_MOD = 1000003            # prime; u = (hash in [1, MOD]) / (MOD + 1)
+AES_MUL = 2654435761         # Knuth multiplicative constant
+AES_K = 200
+
+
+def doc_weighted_sample(sf_dir: str, k: int = AES_K) -> "rd.Dataset":
+    """Weighted sample WITHOUT replacement (A-ES), weight = n_chars: long
+    documents are proportionally more likely, but no document repeats —
+    the sampling mode ``doc_weighted_mix`` (with-replacement epochs) can't
+    provide.  Output (doc_id, n_chars) of the k winners."""
+    from ..stages.aggregate import grouped_top_k
+
+    def score(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy()
+        u = ((did % AES_MOD) * AES_MUL % AES_MOD + 1) / float(AES_MOD + 1)
+        w = np.maximum(b["n_chars"].to_numpy().astype(np.float64), 1.0)
+        return pa.table({
+            "doc_id": b["doc_id"], "n_chars": b["n_chars"],
+            "g": pa.array(np.zeros(b.num_rows, np.int8)),
+            "score": pa.array(np.log(u) / w)})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .map_batches(score, batch_format="pyarrow", batch_size=None)
+    top = grouped_top_k(ds, ["g"], "score", k,
+                        descending=True, tie_cols=["doc_id"])
+    return top.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]),
+        batch_format="pyarrow", batch_size=None)

@@ -843,3 +843,21 @@ def test_dedup_funnel_matches_oracle_and_monotone(oracle_smoke):
                           mod.oracle_sql()["corpus_dedup_funnel"])
     df = to_pandas(corpus_dedup_funnel(SF_SMOKE)).sort_values("stage")
     assert df["n_docs"].is_monotonic_decreasing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_biases_toward_long_docs():
+    """A-ES with weight = n_chars must overselect long documents: the
+    sample's mean length beats the corpus mean, every winner is unique
+    (without replacement), and the draw is deterministic across runs."""
+    from .conftest import to_pandas
+    import pyarrow.parquet as pq
+
+    s1 = to_pandas(D.doc_weighted_sample(SF_SMOKE))
+    s2 = to_pandas(D.doc_weighted_sample(SF_SMOKE))
+    assert len(s1) == D.AES_K
+    assert s1["doc_id"].is_unique
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    corpus = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                           columns=["n_chars"]).to_pandas()
+    assert s1["n_chars"].mean() > corpus["n_chars"].mean()
