@@ -53,7 +53,7 @@ def _zorder_lookup(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries (observed in CORRECTNESS_r01/r02 — both stopped at entry 50 in
-    # dict order).  The surface is now 124 queries, so the top 50 holds ONLY
+    # dict order).  The surface is now ~212 queries, so the top 50 holds ONLY
     # oracle-backed queries, prioritizing (a) every query that has NEVER had
     # a driver row (41 of the 50), then (b) alert_batches (r02 FAIL was an
     # oracle HUGEINT cast, fixed — needs its green driver row) and the seven
@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and r02 with unchanged semantics, the remaining sweep-checked r03
     # oracle queries that don't fit the window, and the rows-only entries
     # (no oracle_sql key — approximate or hash-defined results, each covered
-    # by pytest invariants instead).  tools/parity_sweep.py checks ALL 124
+    # by pytest invariants instead).  tools/parity_sweep.py checks ALL ~212
     # every round regardless (CORRECTNESS_LOCAL_r03.json).
     return {
         # newest r03 additions (no driver row yet) lead the window
@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_part_suppliers": REL.dominant_part_suppliers,
         "forecast_revenue_change": REL.forecast_revenue_change,
         "doc_weighted_sample": D.doc_weighted_sample,
+        "events_value_trimmed_mean_by_type":
+            REL.events_value_trimmed_mean_by_type,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2078,6 +2080,16 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_value_trimmed_mean_by_type"] = (
+        "WITH ranked AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM events)\n"
+        "SELECT event_type, round(sum(value) / count(*), 4)"
+        " AS trimmed_mean FROM ranked"
+        f" WHERE rn > floor({REL.TRIM_FRACTION} * n)"
+        f" AND rn <= n - floor({REL.TRIM_FRACTION} * n)"
+        " GROUP BY event_type ORDER BY event_type")
     out["doc_weighted_sample"] = (
         "SELECT doc_id, n_chars FROM ("
         "SELECT doc_id, n_chars,"

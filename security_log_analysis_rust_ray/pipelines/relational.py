@@ -2861,3 +2861,108 @@ def forecast_revenue_change(sf_dir: str) -> Any:
     val = float(round_half_up(np.array([agg["rev"].sum()]), 2)[0]) \
         if int(agg["n"].sum()) else None
     return pd.DataFrame({"revenue": pd.array([val], dtype="float64")})
+
+
+TRIM_FRACTION = 0.1
+
+
+def events_value_trimmed_mean_by_type(sf_dir: str) -> rd.Dataset:
+    """EXACT per-group 10%-trimmed mean — a rank-WINDOW SUM per group,
+    the robust-statistics sibling of ``events_value_median_by_type``'s
+    single-rank selection.  Same O(blocks x |types|) driver plan: one
+    global sort, per-block type-segment summaries (count AND sum), then
+    the driver intersects each segment's global rank range with the
+    group's keep-window (lo, hi]: fully-inside segments contribute their
+    summary sum with NO second pass; only the <=2 boundary segments per
+    group need a slice-sum extract.  Groups are never collected; no
+    group ever has to fit a worker.  Output (event_type, trimmed_mean)
+    ordered by type."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]) \
+        .sort(["event_type", "value", "event_id"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        out = {"t0": [], "v0": [], "id0": [], "seg": [], "typ": [],
+               "cnt": [], "s": []}
+        if b.num_rows:
+            t = b["event_type"].to_numpy(zero_copy_only=False)
+            v = b["value"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+            ends = np.r_[starts[1:], len(t)]
+            for s_i, (s, e) in enumerate(zip(starts, ends)):
+                out["t0"].append(t[0])
+                out["v0"].append(b["value"][0].as_py())
+                out["id0"].append(b["event_id"][0].as_py())
+                out["seg"].append(s_i)
+                out["typ"].append(t[s])
+                out["cnt"].append(int(e - s))
+                out["s"].append(float(v[s:e].sum()))
+        return pa.table({"t0": pa.array(out["t0"], pa.string()),
+                         "v0": pa.array(out["v0"], pa.float64()),
+                         "id0": pa.array(out["id0"], pa.int64()),
+                         "seg": pa.array(out["seg"], pa.int64()),
+                         "typ": pa.array(out["typ"], pa.string()),
+                         "cnt": pa.array(out["cnt"], pa.int64()),
+                         "s": pa.array(out["s"], pa.float64())})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "trimmed_mean": pa.array([], pa.float64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    summ = summ.sort_values(["t0", "v0", "id0", "seg"]) \
+        .reset_index(drop=True)
+    seg_base = summ.groupby(["t0", "v0", "id0"], sort=False)["cnt"] \
+        .cumsum() - summ["cnt"]
+    prev = summ.groupby("typ", sort=False)["cnt"].cumsum() - summ["cnt"]
+    totals = summ.groupby("typ", sort=False)["cnt"].sum()
+    lo_t = (totals * TRIM_FRACTION).astype(np.int64)   # floor
+    hi_t = totals - lo_t
+    j = summ.join(lo_t.rename("lo"), on="typ") \
+            .join(hi_t.rename("hi"), on="typ")
+    # window sums per type from fully-covered segments; slice requests
+    # for the boundary segments
+    inside: dict[str, float] = {}
+    denom = {t: int(hi_t[t] - lo_t[t]) for t in totals.index}
+    picks: dict[tuple, list[tuple[int, int, str]]] = {}
+    pv, cv = prev.to_numpy(), j["cnt"].to_numpy()
+    ilo = np.maximum(pv, j["lo"].to_numpy())
+    ihi = np.minimum(pv + cv, j["hi"].to_numpy())
+    for i in np.flatnonzero(ihi > ilo):
+        typ = j["typ"].iat[i]
+        if ilo[i] == pv[i] and ihi[i] == pv[i] + cv[i]:
+            inside[typ] = inside.get(typ, 0.0) + float(j["s"].iat[i])
+            continue
+        key = (j["t0"].iat[i], float(j["v0"].iat[i]), int(j["id0"].iat[i]))
+        a = int(seg_base.iat[i] + (ilo[i] - pv[i]))
+        n = int(ihi[i] - ilo[i])
+        picks.setdefault(key, []).append((a, n, typ))
+
+    part_empty = pa.table({"typ": pa.array([], pa.string()),
+                           "ps": pa.array([], pa.float64())})
+
+    def extract(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_empty
+        key = (b["event_type"][0].as_py(), float(b["value"][0].as_py()),
+               int(b["event_id"][0].as_py()))
+        req = picks.get(key)
+        if not req:
+            return part_empty
+        v = b["value"].to_numpy()
+        return pa.table({
+            "typ": pa.array([t for _, _, t in req], pa.string()),
+            "ps": pa.array([float(v[a:a + n].sum()) for a, n, _ in req],
+                           pa.float64())})
+
+    partials = ds.map_batches(extract, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    for _, row in partials.iterrows():
+        inside[row["typ"]] = inside.get(row["typ"], 0.0) + float(row["ps"])
+    types = sorted(denom)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "trimmed_mean": pa.array(
+            round_half_up(np.array([inside.get(t, 0.0) / denom[t]
+                                    for t in types]), 4))}))

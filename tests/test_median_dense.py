@@ -213,3 +213,47 @@ def test_percentiles_exact_matches_oracle(oracle_smoke):
         + ", ".join(str(p) for p in PCTS_EXACT) + "]) AS pct) p"
         " JOIN r ON r.rn = CAST(ceil(p.pct * r.n) AS BIGINT)"
         " ORDER BY p.pct")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trimmed_mean_by_type_skewed_multiblock(tmp_path):
+    """Trimmed mean: one hot type spanning many sorted blocks (its keep
+    window crosses block boundaries, exercising both the fully-inside
+    summary path and the boundary slice-extract path) plus a tiny type
+    inside one block; exact vs the window-SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+
+    rng = np.random.default_rng(11)
+    n_big, n_small = 20_000, 9
+    t = pa.table({
+        "event_id": pa.array(np.arange(n_big + n_small), pa.int64()),
+        "event_type": pa.array(["hot"] * n_big + ["cold"] * n_small),
+        "value": pa.array(
+            np.round(rng.uniform(0, 100, n_big + n_small), 2),
+            pa.float64()),
+        "ts": pa.array([0] * (n_big + n_small), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n_big + n_small), pa.int64()),
+        "props": pa.array([""] * (n_big + n_small)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = REL.events_value_trimmed_mean_by_type(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    exp = con.execute(
+        "WITH ranked AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM events)\n"
+        "SELECT event_type, round(sum(value) / count(*), 4)"
+        " AS trimmed_mean FROM ranked"
+        f" WHERE rn > floor({REL.TRIM_FRACTION} * n)"
+        f" AND rn <= n - floor({REL.TRIM_FRACTION} * n)"
+        " GROUP BY event_type ORDER BY event_type").df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
