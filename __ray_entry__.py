@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": D.doc_weighted_sample,
         "events_value_trimmed_mean_by_type":
             REL.events_value_trimmed_mean_by_type,
+        "top_hosts_per_country_ties": R.top_hosts_per_country_ties,
+        "events_daily_metrics_long": REL.events_daily_metrics_long,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -520,6 +522,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN host_country hc ON p.host = hc.host "
             "JOIN country_code cc ON hc.code = cc.code "
             "GROUP BY cc.country, p.host) ranked WHERE rn <= 3 "
+            "ORDER BY country, cnt DESC, host",
+        "top_hosts_per_country_ties":
+            "SELECT country, host, cnt FROM ("
+            "SELECT cc.country AS country, p.host AS host,"
+            " count(*) AS cnt,"
+            " rank() OVER (PARTITION BY cc.country"
+            " ORDER BY count(*) DESC) AS rnk "
+            "FROM parsed p "
+            "JOIN host_country hc ON p.host = hc.host "
+            "JOIN country_code cc ON hc.code = cc.code "
+            "GROUP BY cc.country, p.host) ranked WHERE rnk <= 3 "
             "ORDER BY country, cnt DESC, host",
         "agg_conv_role_tool":
             "SELECT conv_id, role, tool, count(*) AS cnt FROM transcripts "
@@ -2080,6 +2093,14 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_daily_metrics_long"] = (
+        "WITH d AS (SELECT date_trunc('day', ts) AS day,"
+        " CAST(count(*) AS DOUBLE) AS n_events,"
+        " round(sum(value), 2) AS total_value,"
+        " max(value) AS max_value FROM events GROUP BY 1)\n"
+        "SELECT day, metric, value FROM (UNPIVOT d"
+        " ON n_events, total_value, max_value"
+        " INTO NAME metric VALUE value) ORDER BY day, metric")
     out["events_value_trimmed_mean_by_type"] = (
         "WITH ranked AS (SELECT event_type, value,"
         " row_number() OVER (PARTITION BY event_type"

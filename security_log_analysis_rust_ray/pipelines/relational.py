@@ -2966,3 +2966,46 @@ def events_value_trimmed_mean_by_type(sf_dir: str) -> rd.Dataset:
         "trimmed_mean": pa.array(
             round_half_up(np.array([inside.get(t, 0.0) / denom[t]
                                     for t in types]), 4))}))
+
+
+def events_daily_metrics_long(sf_dir: str) -> rd.Dataset:
+    """Wide->long UNPIVOT of a per-day metrics table (count / sum / max),
+    the melt half of the reshape family next to ``unit_level_pivot``.
+    The fold is partial-first (one in-block grouped (sum,sum,max) row
+    per day per block, one day-key exchange); the melt itself is a
+    per-block constant-fanout concat — three rows per day, no exchange.
+    Output (day, metric, value) sorted by (day, metric)."""
+    from ray.data.aggregate import Max, Sum
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "value": b["value"]})
+        return t.group_by(["day"]).aggregate(
+            [("one", "sum"), ("value", "sum"), ("value", "max")]) \
+            .rename_columns(["day", "n", "vs", "vm"])
+
+    agg_ds = read_table(sf_dir, "events", columns=["ts", "value"]) \
+        .map_batches(pre, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="n_events"),
+                                  Sum("vs", alias_name="total_value"),
+                                  Max("vm", alias_name="max_value"))
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = [
+            pa.table({"day": b["day"],
+                      "metric": pa.array(["n_events"] * n),
+                      "value": b["n_events"].cast(pa.float64())}),
+            pa.table({"day": b["day"],
+                      "metric": pa.array(["total_value"] * n),
+                      "value": pa.array(round_half_up(
+                          b["total_value"].to_numpy(), 2))}),
+            pa.table({"day": b["day"],
+                      "metric": pa.array(["max_value"] * n),
+                      "value": b["max_value"].cast(pa.float64())}),
+        ]
+        return pa.concat_tables(parts)
+
+    return agg_ds.map_batches(melt, batch_format="pyarrow",
+                              batch_size=None).sort(["day", "metric"])

@@ -1027,3 +1027,31 @@ def conversation_split_assign(sf_dir: str) -> rd.Dataset:
                                            pa.string())})
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def top_hosts_per_country_ties(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """RANK()-semantics sibling of ``top_hosts_per_country``: keep EVERY
+    host tied with the k-th busiest (SQL ``RANK() OVER (...) <= k``),
+    where ROW_NUMBER would cut ties arbitrarily.  Identity
+    ``cnt >= (k-th largest cnt)  <=>  rank <= k`` turns the window into
+    two bounded steps: the exact distributed top-k gives each group's
+    k-th count (min over its <=k survivors), the thresholds broadcast,
+    and one vectorized probe filters the (materialized once) count
+    table — the group's full extent never co-locates."""
+    from ray.data.aggregate import Min
+
+    from ..stages.joins import lookup_join
+
+    counts = agg.grouped_count(_host_counts_inner(sf_dir),
+                               ["country", "host"]).materialize()
+    top = agg.grouped_top_k(counts, ["country"], "cnt", k,
+                            tie_cols=["host"])
+    thresh = top.groupby("country").aggregate(
+        Min("cnt", alias_name="kth")).materialize()
+    j = lookup_join(counts, thresh, "country", "country", how="inner")
+    out = j.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], b["kth"]))
+        .drop_columns(["kth"]),
+        batch_format="pyarrow", batch_size=None)
+    return out.sort(["country", "cnt", "host"],
+                    descending=[False, True, False])
