@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             REL.events_value_trimmed_mean_by_type,
         "top_hosts_per_country_ties": R.top_hosts_per_country_ties,
         "events_daily_metrics_long": REL.events_daily_metrics_long,
+        "events_value_trend_by_type": REL.events_value_trend_by_type,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2093,6 +2094,12 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_value_trend_by_type"] = (
+        "SELECT event_type,"
+        " round(regr_slope(value, extract(hour FROM ts)), 6) AS slope,"
+        " round(regr_intercept(value, extract(hour FROM ts)), 6)"
+        " AS intercept, CAST(count(*) AS BIGINT) AS n"
+        " FROM events GROUP BY event_type ORDER BY event_type")
     out["events_daily_metrics_long"] = (
         "WITH d AS (SELECT date_trunc('day', ts) AS day,"
         " CAST(count(*) AS DOUBLE) AS n_events,"

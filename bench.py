@@ -182,6 +182,14 @@ def run_bench() -> dict:
     from security_log_analysis_rust_ray.pipelines import reports as rep
     timed("conversation_curated",
           lambda: rep.conversation_curated_corpus(SF_DIR).count())
+    # join-tier evidence: the heaviest relational shapes over the sf
+    # tables — Q5's 6-table snowflake (broadcast dims + one fact hash
+    # exchange) and Q21's double grouped fold + blame pullback
+    from security_log_analysis_rust_ray.pipelines import relational as rel
+    timed("tpch_q5_join",
+          lambda: rel.local_supplier_volume(SF_DIR).to_pandas())
+    timed("tpch_q21_blame",
+          lambda: rel.waiting_suppliers(SF_DIR).to_pandas())
 
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",
