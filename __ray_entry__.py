@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hosts_per_country_ties": R.top_hosts_per_country_ties,
         "events_daily_metrics_long": REL.events_daily_metrics_long,
         "events_value_trend_by_type": REL.events_value_trend_by_type,
+        "events_value_gini_by_type": REL.events_value_gini_by_type,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2094,6 +2095,14 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_value_gini_by_type"] = (
+        "WITH r AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS rn FROM events)\n"
+        "SELECT event_type,"
+        " round(2.0 * sum(rn * value) / (count(*) * sum(value))"
+        " - (count(*) + 1.0) / count(*), 6) AS gini"
+        " FROM r GROUP BY event_type ORDER BY event_type")
     out["events_value_trend_by_type"] = (
         "SELECT event_type,"
         " round(regr_slope(value, extract(hour FROM ts)), 6) AS slope,"

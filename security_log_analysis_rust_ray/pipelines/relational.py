@@ -3062,3 +3062,66 @@ def events_value_trend_by_type(sf_dir: str) -> rd.Dataset:
 
     return folded.map_batches(solve, batch_format="pyarrow",
                               batch_size=None).sort("event_type")
+
+
+def events_value_gini_by_type(sf_dir: str) -> rd.Dataset:
+    """Per-group Gini coefficient of the value distribution — a global
+    RANK-WEIGHTED sum (2·Σ rank·y / (n·Σy) − (n+1)/n), which needs every
+    row's global in-group rank yet never co-locates a group: after ONE
+    global sort, each block's type-segments report (count, Σy, Σ(local
+    rank·y)) — the local rank-weighted sum is computable in-block, and
+    the driver lifts it to global ranks with the per-type prefix offsets
+    alone (Σ(offset+local+1)·y = offset·Σy + Σlocal·y + Σy).  One pass,
+    O(blocks × |types|) driver state, no extract pass at all.  Output
+    (event_type, gini) ordered by type."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]) \
+        .sort(["event_type", "value", "event_id"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        out = {"t0": [], "v0": [], "id0": [], "seg": [], "typ": [],
+               "cnt": [], "s": [], "w": []}
+        if b.num_rows:
+            t = b["event_type"].to_numpy(zero_copy_only=False)
+            v = b["value"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+            ends = np.r_[starts[1:], len(t)]
+            for s_i, (s, e) in enumerate(zip(starts, ends)):
+                seg = v[s:e]
+                out["t0"].append(t[0])
+                out["v0"].append(b["value"][0].as_py())
+                out["id0"].append(b["event_id"][0].as_py())
+                out["seg"].append(s_i)
+                out["typ"].append(t[s])
+                out["cnt"].append(int(e - s))
+                out["s"].append(float(seg.sum()))
+                out["w"].append(float((np.arange(len(seg)) * seg).sum()))
+        return pa.table({"t0": pa.array(out["t0"], pa.string()),
+                         "v0": pa.array(out["v0"], pa.float64()),
+                         "id0": pa.array(out["id0"], pa.int64()),
+                         "seg": pa.array(out["seg"], pa.int64()),
+                         "typ": pa.array(out["typ"], pa.string()),
+                         "cnt": pa.array(out["cnt"], pa.int64()),
+                         "s": pa.array(out["s"], pa.float64()),
+                         "w": pa.array(out["w"], pa.float64())})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "gini": pa.array([], pa.float64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    summ = summ.sort_values(["t0", "v0", "id0", "seg"]) \
+        .reset_index(drop=True)
+    prev = summ.groupby("typ", sort=False)["cnt"].cumsum() - summ["cnt"]
+    # global 1-based rank-weighted sum per segment, lifted from local
+    rw = prev.to_numpy() * summ["s"].to_numpy() \
+        + summ["w"].to_numpy() + summ["s"].to_numpy()
+    g = pd.DataFrame({"typ": summ["typ"], "rw": rw, "s": summ["s"],
+                      "n": summ["cnt"]}).groupby("typ", sort=True).sum()
+    n = g["n"].to_numpy().astype(np.float64)
+    gini = 2.0 * g["rw"].to_numpy() / (n * g["s"].to_numpy()) \
+        - (n + 1.0) / n
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(g.index.to_numpy(), pa.string()),
+        "gini": pa.array(round_half_up(gini, 6))}))

@@ -257,3 +257,44 @@ def test_trimmed_mean_by_type_skewed_multiblock(tmp_path):
         " GROUP BY event_type ORDER BY event_type").df()
     con.close()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_by_type_skewed_multiblock(tmp_path):
+    """Gini: the hot type's segments span many sorted blocks, so the
+    global rank-weighted sum must be assembled from per-segment local
+    sums + prefix offsets; exact vs the window-SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+
+    rng = np.random.default_rng(13)
+    n_big, n_small = 20_000, 6
+    t = pa.table({
+        "event_id": pa.array(np.arange(n_big + n_small), pa.int64()),
+        "event_type": pa.array(["hot"] * n_big + ["cold"] * n_small),
+        "value": pa.array(
+            np.round(rng.uniform(0.01, 100, n_big + n_small), 2),
+            pa.float64()),
+        "ts": pa.array([0] * (n_big + n_small), pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n_big + n_small), pa.int64()),
+        "props": pa.array([""] * (n_big + n_small)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = REL.events_value_gini_by_type(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    exp = con.execute(
+        "WITH r AS (SELECT event_type, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS rn FROM events)\n"
+        "SELECT event_type,"
+        " round(2.0 * sum(rn * value) / (count(*) * sum(value))"
+        " - (count(*) + 1.0) / count(*), 6) AS gini"
+        " FROM r GROUP BY event_type ORDER BY event_type").df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
