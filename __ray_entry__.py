@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_metrics_long": REL.events_daily_metrics_long,
         "events_value_trend_by_type": REL.events_value_trend_by_type,
         "events_value_gini_by_type": REL.events_value_gini_by_type,
+        "events_value_means_by_type": REL.events_value_means_by_type,
+        "events_type_hour_chi2": REL.events_type_hour_chi2,
+        "events_ks_statistic": REL.events_ks_statistic,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2095,6 +2098,44 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_ks_statistic"] = (
+        "WITH ab AS (SELECT value, event_id,"
+        f" CAST(event_type = '{REL.KS_TYPE_A}' AS INT) AS ia,"
+        f" CAST(event_type = '{REL.KS_TYPE_B}' AS INT) AS ib"
+        " FROM events WHERE event_type IN"
+        f" ('{REL.KS_TYPE_A}', '{REL.KS_TYPE_B}')),\n"
+        "c AS (SELECT sum(ia) OVER (ORDER BY value, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS ca,"
+        " sum(ib) OVER (ORDER BY value, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS cb FROM ab),\n"
+        "n AS (SELECT sum(ia) AS na, sum(ib) AS nb FROM ab)\n"
+        "SELECT round(max(abs(ca / CAST(n.na AS DOUBLE)"
+        " - cb / CAST(n.nb AS DOUBLE))), 6) AS ks"
+        " FROM c CROSS JOIN n")
+    out["events_value_means_by_type"] = (
+        "SELECT event_type, round(avg(value), 6) AS mean,"
+        " round(exp(avg(ln(value))), 6) AS gmean,"
+        " round(count(*) / sum(1.0 / value), 6) AS hmean"
+        " FROM events GROUP BY event_type ORDER BY event_type")
+    out["events_type_hour_chi2"] = (
+        "WITH o AS (SELECT event_type, extract(hour FROM ts) AS hour,"
+        " CAST(count(*) AS DOUBLE) AS obs FROM events GROUP BY 1, 2),\n"
+        "grid AS (SELECT t.event_type, h.hour FROM"
+        " (SELECT DISTINCT event_type FROM o) t CROSS JOIN"
+        " (SELECT DISTINCT hour FROM o) h),\n"
+        "filled AS (SELECT g.event_type, g.hour,"
+        " COALESCE(o.obs, 0) AS obs FROM grid g"
+        " LEFT JOIN o ON o.event_type = g.event_type"
+        " AND o.hour = g.hour),\n"
+        "m AS (SELECT sum(obs) AS n FROM filled),\n"
+        "rt AS (SELECT event_type, sum(obs) AS r FROM filled GROUP BY 1),\n"
+        "ct AS (SELECT hour, sum(obs) AS c FROM filled GROUP BY 1)\n"
+        "SELECT round(sum(pow(f.obs - rt.r * ct.c / m.n, 2)"
+        " / (rt.r * ct.c / m.n)), 4) AS chi2,"
+        " CAST(((SELECT count(*) FROM rt) - 1)"
+        " * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof"
+        " FROM filled f JOIN rt USING (event_type)"
+        " JOIN ct USING (hour) CROSS JOIN m")
     out["events_value_gini_by_type"] = (
         "WITH r AS (SELECT event_type, value,"
         " row_number() OVER (PARTITION BY event_type"
