@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_means_by_type": REL.events_value_means_by_type,
         "events_type_hour_chi2": REL.events_type_hour_chi2,
         "events_ks_statistic": REL.events_ks_statistic,
+        "conversation_decontaminate": R.conversation_decontaminate,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2098,6 +2099,19 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    _ng = D.NGRAM
+    out["conversation_decontaminate"] = oracle_query(
+        ", ct AS (SELECT conv_id, str_split(text, ' ') AS t"
+        " FROM transcripts),\n"
+        f"cg AS (SELECT DISTINCT conv_id,"
+        f" array_to_string(t[i:i+{_ng - 1}], ' ') AS g FROM ct,"
+        f" UNNEST(generate_series(1, len(t)-{_ng - 1})) AS u(i)),\n"
+        "eval_g AS (SELECT DISTINCT g FROM cg"
+        f" WHERE conv_id LIKE '%{R.EVAL_CONV_SUFFIX}')\n"
+        "SELECT cg.conv_id, CAST(count(*) AS BIGINT) AS n_shared"
+        " FROM cg JOIN eval_g USING (g)"
+        f" WHERE cg.conv_id NOT LIKE '%{R.EVAL_CONV_SUFFIX}'"
+        " GROUP BY cg.conv_id ORDER BY conv_id")
     out["events_ks_statistic"] = (
         "WITH ab AS (SELECT value, event_id,"
         f" CAST(event_type = '{REL.KS_TYPE_A}' AS INT) AS ia,"

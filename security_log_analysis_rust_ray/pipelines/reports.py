@@ -1055,3 +1055,59 @@ def top_hosts_per_country_ties(sf_dir: str, k: int = 3) -> rd.Dataset:
         batch_format="pyarrow", batch_size=None)
     return out.sort(["country", "cnt", "host"],
                     descending=[False, True, False])
+
+
+EVAL_CONV_SUFFIX = "0"   # conv_ids ending in this digit form the eval split
+
+
+def conversation_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Conversation-level decontamination: per TRAIN conversation, the
+    number of distinct word-5-grams it shares with the held-out eval
+    split (conv_ids ending in '0' — the leakage-safe split family of
+    ``conversation_split_assign``).  Transcript turns shingle with the
+    docs tier's Arrow window kernel keyed by conv_id; the (conv, gram)
+    stream needs a GLOBAL distinct (one conversation's turns span
+    blocks, unlike docs); eval grams prune the train stream through the
+    size-aware semi_join; the overlap count is then a plain grouped
+    count.  Output (conv_id, n_shared) sorted by conv_id."""
+    from ..pipelines.docs import NGRAM, _concat_aranges, _join_parts
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import semi_join
+
+    def conv_grams(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        flat = tk.values
+        offs = np.asarray(tk.offsets)
+        wins = np.maximum(np.diff(offs) - (NGRAM - 1), 0)
+        starts = np.repeat(offs[:-1], wins) + _concat_aranges(wins)
+        cols = [flat.take(pa.array(starts + s)) for s in range(NGRAM)]
+        g = pc.binary_join_element_wise(*cols, " ")
+        conv = b["conv_id"].combine_chunks() \
+            if isinstance(b["conv_id"], pa.ChunkedArray) else b["conv_id"]
+        rep = conv.take(pa.array(
+            np.repeat(np.arange(b.num_rows, dtype=np.int64), wins)))
+        t = pa.table({"conv_id": rep, "g": g})
+        return t.group_by(["conv_id", "g"]).aggregate([])
+
+    # materialized: both the eval-key extraction and the train probe
+    # consume this — unmaterialized the shingle+distinct lineage runs
+    # twice (object store holds it, spilling at scale)
+    grams = distinct_rows(
+        read_transcripts(sf_dir, columns=["conv_id", "text"])
+        .map_batches(conv_grams, batch_format="pyarrow"),
+        ["conv_id", "g"]).materialize()
+    is_eval = f"{EVAL_CONV_SUFFIX}$"
+    eval_g = grams.map_batches(
+        lambda b: b.filter(pc.match_substring_regex(b["conv_id"], is_eval))
+        .select(["g"]),
+        batch_format="pyarrow", batch_size=None)
+    train_g = grams.map_batches(
+        lambda b: b.filter(pc.invert(
+            pc.match_substring_regex(b["conv_id"], is_eval))),
+        batch_format="pyarrow", batch_size=None)
+    hits = semi_join(train_g, eval_g, "g", "g",
+                     nparts=_join_parts(sf_dir))
+    return agg.grouped_count(hits, ["conv_id"], alias="n_shared",
+                             high_cardinality=True).sort("conv_id")
