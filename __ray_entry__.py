@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hour_chi2": REL.events_type_hour_chi2,
         "events_ks_statistic": REL.events_ks_statistic,
         "conversation_decontaminate": R.conversation_decontaminate,
+        "events_rank_auc": REL.events_rank_auc,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2099,6 +2100,19 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_rank_auc"] = (
+        "WITH ab AS (SELECT value, event_id, event_type FROM events"
+        f" WHERE event_type IN ('{REL.KS_TYPE_A}', '{REL.KS_TYPE_B}')),\n"
+        "r AS (SELECT event_type, row_number() OVER"
+        " (ORDER BY value, event_id) AS rn FROM ab),\n"
+        "s AS (SELECT sum(rn) FILTER"
+        f" (WHERE event_type = '{REL.KS_TYPE_A}') AS ra,"
+        f" count(*) FILTER (WHERE event_type = '{REL.KS_TYPE_A}') AS na,"
+        f" count(*) FILTER (WHERE event_type = '{REL.KS_TYPE_B}') AS nb"
+        " FROM r)\n"
+        "SELECT round(ra - na * (na + 1) / 2.0, 2) AS u,"
+        " round((ra - na * (na + 1) / 2.0) / (na * nb), 6) AS auc"
+        " FROM s")
     _ng = D.NGRAM
     out["conversation_decontaminate"] = oracle_query(
         ", ct AS (SELECT conv_id, str_split(text, ' ') AS t"
