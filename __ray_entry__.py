@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_statistic": REL.events_ks_statistic,
         "conversation_decontaminate": R.conversation_decontaminate,
         "events_rank_auc": REL.events_rank_auc,
+        "tool_cooccurrence_pairs": R.tool_cooccurrence_pairs,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2113,6 +2114,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT round(ra - na * (na + 1) / 2.0, 2) AS u,"
         " round((ra - na * (na + 1) / 2.0) / (na * nb), 6) AS auc"
         " FROM s")
+    out["tool_cooccurrence_pairs"] = oracle_query(
+        ", tt AS (SELECT DISTINCT conv_id, tool FROM transcripts"
+        " WHERE tool IS NOT NULL)\n"
+        "SELECT a.tool AS tool_a, b.tool AS tool_b,"
+        " CAST(count(*) AS BIGINT) AS support"
+        " FROM tt a JOIN tt b ON a.conv_id = b.conv_id"
+        " AND a.tool < b.tool"
+        " GROUP BY 1, 2 ORDER BY support DESC, tool_a, tool_b LIMIT 20")
     _ng = D.NGRAM
     out["conversation_decontaminate"] = oracle_query(
         ", ct AS (SELECT conv_id, str_split(text, ' ') AS t"

@@ -1111,3 +1111,65 @@ def conversation_decontaminate(sf_dir: str) -> rd.Dataset:
                      nparts=_join_parts(sf_dir))
     return agg.grouped_count(hits, ["conv_id"], alias="n_shared",
                              high_cardinality=True).sort("conv_id")
+
+
+def tool_cooccurrence_pairs(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Market-basket 2-itemsets: the tool PAIRS that co-occur in the
+    same conversation, by support — the frequent-itemset primitive over
+    agent traces.  Plan: global (conv, tool) distinct (turns span
+    blocks), hash-repartition on conv_id so each block holds whole
+    conversations, per-block vectorized pair expansion (one sort +
+    boundary detection + one triu gather per DISTINCT basket size — the
+    docs-tier kernel shape; baskets are |tools|-bounded so no hot-group
+    cap is needed), then a grouped support count and top-k.  Output
+    (tool_a, tool_b, support), support desc, limit k."""
+    from ..stages.dedup import _num_partitions, distinct_rows
+
+    base = read_transcripts(sf_dir, columns=["conv_id", "tool"]) \
+        .map_batches(lambda b: b.filter(pc.is_valid(b["tool"])),
+                     batch_format="pyarrow", batch_size=None)
+    tt = distinct_rows(base, ["conv_id", "tool"])
+    tt = tt.repartition(num_blocks=_num_partitions(base),
+                        keys=["conv_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"tool_a": pa.array([], pa.string()),
+                          "tool_b": pa.array([], pa.string())})
+        if b.num_rows < 2:
+            return empty
+        srt = b.sort_by([("conv_id", "ascending"), ("tool", "ascending")])
+        conv = srt["conv_id"].combine_chunks() \
+            if isinstance(srt["conv_id"], pa.ChunkedArray) else srt["conv_id"]
+        tool = srt["tool"].combine_chunks() \
+            if isinstance(srt["tool"], pa.ChunkedArray) else srt["tool"]
+        n = len(conv)
+        change = ~pc.equal(conv.slice(1), conv.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+        counts = np.diff(np.append(starts, n))
+        out_a, out_b = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            gs = starts[counts == s]
+            iu, ju = np.triu_indices(int(s), 1)
+            ia = (gs[:, None] + iu[None, :]).ravel()
+            ib = (gs[:, None] + ju[None, :]).ravel()
+            out_a.append(tool.take(pa.array(ia)))
+            out_b.append(tool.take(pa.array(ib)))
+        if not out_a:
+            return empty
+        return pa.table({
+            "tool_a": pa.concat_arrays([a.combine_chunks()
+                                        if isinstance(a, pa.ChunkedArray)
+                                        else a for a in out_a]),
+            "tool_b": pa.concat_arrays([a.combine_chunks()
+                                        if isinstance(a, pa.ChunkedArray)
+                                        else a for a in out_b])})
+
+    pair_ds = tt.map_batches(pairs, batch_format="pyarrow",
+                             batch_size=None)
+    counted = agg.grouped_count(pair_ds, ["tool_a", "tool_b"],
+                                alias="support")
+    return counted.sort(["support", "tool_a", "tool_b"],
+                        descending=[True, False, False]).limit(k)
