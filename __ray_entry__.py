@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_decontaminate": R.conversation_decontaminate,
         "events_rank_auc": REL.events_rank_auc,
         "tool_cooccurrence_pairs": R.tool_cooccurrence_pairs,
+        "tool_association_rules": R.tool_association_rules,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2114,6 +2115,23 @@ def oracle_sql() -> dict[str, str]:
         "SELECT round(ra - na * (na + 1) / 2.0, 2) AS u,"
         " round((ra - na * (na + 1) / 2.0) / (na * nb), 6) AS auc"
         " FROM s")
+    out["tool_association_rules"] = oracle_query(
+        ", tt AS (SELECT DISTINCT conv_id, tool FROM transcripts"
+        " WHERE tool IS NOT NULL),\n"
+        "pc2 AS (SELECT a.tool AS tool_a, b.tool AS tool_b,"
+        " count(*) AS s2 FROM tt a JOIN tt b"
+        " ON a.conv_id = b.conv_id AND a.tool < b.tool GROUP BY 1, 2),\n"
+        "s1 AS (SELECT tool, count(*) AS s1 FROM tt GROUP BY 1),\n"
+        "rules AS ("
+        " SELECT tool_a AS antecedent, tool_b AS consequent, s2 FROM pc2"
+        " UNION ALL"
+        " SELECT tool_b, tool_a, s2 FROM pc2)\n"
+        "SELECT r.antecedent, r.consequent,"
+        " CAST(r.s2 AS BIGINT) AS support,"
+        " round(CAST(r.s2 AS DOUBLE) / s1.s1, 6) AS confidence"
+        " FROM rules r JOIN s1 ON s1.tool = r.antecedent"
+        f" WHERE r.s2 >= {R.RULE_MIN_SUPPORT}"
+        " ORDER BY confidence DESC, antecedent, consequent LIMIT 10")
     out["tool_cooccurrence_pairs"] = oracle_query(
         ", tt AS (SELECT DISTINCT conv_id, tool FROM transcripts"
         " WHERE tool IS NOT NULL)\n"

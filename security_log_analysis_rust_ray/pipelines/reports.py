@@ -1129,8 +1129,69 @@ def tool_cooccurrence_pairs(sf_dir: str, k: int = 20) -> rd.Dataset:
         .map_batches(lambda b: b.filter(pc.is_valid(b["tool"])),
                      batch_format="pyarrow", batch_size=None)
     tt = distinct_rows(base, ["conv_id", "tool"])
-    tt = tt.repartition(num_blocks=_num_partitions(base),
-                        keys=["conv_id"])
+    counted = _tool_pair_counts(tt, _num_partitions(base))
+    return counted.sort(["support", "tool_a", "tool_b"],
+                        descending=[True, False, False]).limit(k)
+
+
+RULE_MIN_SUPPORT = 3
+
+
+def tool_association_rules(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Association rules over the tool baskets: for every co-occurring
+    pair, the two directed rules a=>b and b=>a with confidence
+    support(ab)/support(a).  Pair and singleton supports are both
+    grouped count folds; the singleton table is |tools|-bounded, so it
+    broadcasts into the pair stream and the rules emit per block — the
+    classic Apriori step with no extra exchange.  Output (antecedent,
+    consequent, support, confidence) conf desc, support>=floor,
+    limit k."""
+    from ..stages.dedup import _num_partitions, distinct_rows
+    from ..stages.joins import lookup_join
+
+    base = read_transcripts(sf_dir, columns=["conv_id", "tool"]) \
+        .map_batches(lambda b: b.filter(pc.is_valid(b["tool"])),
+                     batch_format="pyarrow", batch_size=None)
+    tt = distinct_rows(base, ["conv_id", "tool"]).materialize()
+    singles = agg.grouped_count(tt, ["tool"], alias="s1",
+                                small_keyspace=True).materialize()
+    pair_counts = _tool_pair_counts(tt, _num_partitions(base))
+
+    def emit(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"antecedent": b["tool_a"],
+                        "consequent": b["tool_b"],
+                        "support": b["support"]})
+        rev = pa.table({"antecedent": b["tool_b"],
+                        "consequent": b["tool_a"],
+                        "support": b["support"]})
+        return pa.concat_tables([fwd, rev])
+
+    rules = pair_counts.map_batches(emit, batch_format="pyarrow",
+                                    batch_size=None)
+    rules = lookup_join(rules, singles, "antecedent", "tool")
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..functions.util import round_half_up
+        b = b.filter(pc.greater_equal(b["support"],
+                                      pa.scalar(RULE_MIN_SUPPORT)))
+        conf = b["support"].to_numpy().astype(np.float64) \
+            / b["s1"].to_numpy().astype(np.float64)
+        return pa.table({"antecedent": b["antecedent"],
+                         "consequent": b["consequent"],
+                         "support": b["support"],
+                         "confidence": pa.array(round_half_up(conf, 6))})
+
+    return rules.map_batches(finish, batch_format="pyarrow",
+                             batch_size=None) \
+        .sort(["confidence", "antecedent", "consequent"],
+              descending=[True, False, False]).limit(k)
+
+
+def _tool_pair_counts(tt: rd.Dataset, nparts: int) -> rd.Dataset:
+    """(tool_a, tool_b, support) over whole-conversation blocks — the
+    pair-expansion core shared by ``tool_cooccurrence_pairs`` and the
+    rule miner."""
+    tt = tt.repartition(num_blocks=nparts, keys=["conv_id"])
 
     def pairs(b: pa.Table) -> pa.Table:
         empty = pa.table({"tool_a": pa.array([], pa.string()),
@@ -1159,17 +1220,14 @@ def tool_cooccurrence_pairs(sf_dir: str, k: int = 20) -> rd.Dataset:
             out_b.append(tool.take(pa.array(ib)))
         if not out_a:
             return empty
-        return pa.table({
-            "tool_a": pa.concat_arrays([a.combine_chunks()
-                                        if isinstance(a, pa.ChunkedArray)
-                                        else a for a in out_a]),
-            "tool_b": pa.concat_arrays([a.combine_chunks()
-                                        if isinstance(a, pa.ChunkedArray)
-                                        else a for a in out_b])})
+        cat = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+               for a in out_a]
+        catb = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in out_b]
+        return pa.table({"tool_a": pa.concat_arrays(cat),
+                         "tool_b": pa.concat_arrays(catb)})
 
     pair_ds = tt.map_batches(pairs, batch_format="pyarrow",
                              batch_size=None)
-    counted = agg.grouped_count(pair_ds, ["tool_a", "tool_b"],
-                                alias="support")
-    return counted.sort(["support", "tool_a", "tool_b"],
-                        descending=[True, False, False]).limit(k)
+    return agg.grouped_count(pair_ds, ["tool_a", "tool_b"],
+                             alias="support")
