@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_auc": REL.events_rank_auc,
         "tool_cooccurrence_pairs": R.tool_cooccurrence_pairs,
         "tool_association_rules": R.tool_association_rules,
+        "events_drift_report": REL.events_drift_report,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2102,6 +2103,30 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_drift_report"] = (
+        "WITH lab AS (SELECT event_id, event_type, value,"
+        f" ts < TIMESTAMP '{REL.DRIFT_CUTOFF}' AS isa FROM events),\n"
+        "nn AS (SELECT count(*) FILTER (WHERE isa) AS nb,"
+        " count(*) FILTER (WHERE NOT isa) AS na,"
+        " avg(value) FILTER (WHERE NOT isa)"
+        " - avg(value) FILTER (WHERE isa) AS shift FROM lab),\n"
+        "tp AS (SELECT event_type,"
+        " count(*) FILTER (WHERE isa) AS cb,"
+        " count(*) FILTER (WHERE NOT isa) AS ca FROM lab GROUP BY 1),\n"
+        "l1 AS (SELECT sum(abs(CAST(cb AS DOUBLE) / nn.nb"
+        " - CAST(ca AS DOUBLE) / nn.na)) AS v FROM tp CROSS JOIN nn),\n"
+        "c AS (SELECT isa, sum(CASE WHEN isa THEN 1 ELSE 0 END)"
+        " OVER (ORDER BY value, event_id) AS ca,"
+        " sum(CASE WHEN isa THEN 0 ELSE 1 END)"
+        " OVER (ORDER BY value, event_id) AS cb FROM lab),\n"
+        "ks AS (SELECT max(abs(ca / CAST(nn.nb AS DOUBLE)"
+        " - cb / CAST(nn.na AS DOUBLE))) AS v FROM c CROSS JOIN nn)\n"
+        "SELECT 'ks_value' AS metric, round(ks.v, 6) AS value FROM ks"
+        " UNION ALL SELECT 'l1_type_shift', round(l1.v, 6) FROM l1"
+        " UNION ALL SELECT 'mean_shift', round(nn.shift, 6) FROM nn"
+        " UNION ALL SELECT 'n_after', CAST(nn.na AS DOUBLE) FROM nn"
+        " UNION ALL SELECT 'n_before', CAST(nn.nb AS DOUBLE) FROM nn"
+        " ORDER BY metric")
     out["events_rank_auc"] = (
         "WITH ab AS (SELECT value, event_id, event_type FROM events"
         f" WHERE event_type IN ('{REL.KS_TYPE_A}', '{REL.KS_TYPE_B}')),\n"

@@ -3205,6 +3205,161 @@ KS_TYPE_A = "click"
 KS_TYPE_B = "view"
 
 
+def _ks_two_sample(ds) -> float | None:
+    """Exact two-sample KS over a (value, event_id, isa) Dataset — the
+    label-agnostic core shared by ``events_ks_statistic`` (type vs type)
+    and ``events_drift_report`` (before vs after).  One global sort;
+    blocks report (nA, nB); driver prefix offsets; per-block local
+    CDF-gap max; driver max.  Returns None when either sample is
+    empty."""
+    ds = ds.sort(["value", "event_id"]).materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        na = int(pc.sum(pc.cast(b["isa"], pa.int64())).as_py())
+        return pa.table({
+            "v0": b["value"].slice(0, 1),
+            "id0": b["event_id"].slice(0, 1),
+            "na": pa.array([na], pa.int64()),
+            "nb": pa.array([b.num_rows - na], pa.int64())})
+
+    summ = ds.map_batches(counts, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if not len(summ):
+        return None
+    summ = summ.sort_values(["v0", "id0"]).reset_index(drop=True)
+    n_a, n_b = int(summ["na"].sum()), int(summ["nb"].sum())
+    if n_a == 0 or n_b == 0:
+        return None
+    offs = {}
+    ca = cb = 0
+    for _, r in summ.iterrows():
+        offs[(float(r["v0"]), int(r["id0"]))] = (ca, cb)
+        ca += int(r["na"])
+        cb += int(r["nb"])
+
+    def block_max(b: pa.Table) -> pa.Table:
+        empty = pa.table({"ks": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        oa, ob = offs[(float(b["value"][0].as_py()),
+                       int(b["event_id"][0].as_py()))]
+        isa = b["isa"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_a = oa + np.cumsum(isa)
+        cum_b = ob + np.cumsum(1 - isa)
+        d = np.abs(cum_a / n_a - cum_b / n_b).max()
+        return pa.table({"ks": pa.array([float(d)])})
+
+    folded = ds.map_batches(block_max, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    return float(folded["ks"].max())
+
+
+def events_ks_statistic(sf_dir: str) -> rd.Dataset:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two event
+    types' value distributions — the drift detector a 100-TB pipeline
+    runs between corpus snapshots.  Distribution plan in
+    ``_ks_two_sample``; ties resolve in (value, event_id) order —
+    identical in engine and oracle, equal to classical KS for
+    continuous data.  Output one row (ks)."""
+    pair = pa.array([KS_TYPE_A, KS_TYPE_B])
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]) \
+        .map_batches(lambda b: (lambda f: pa.table({
+            "value": f["value"], "event_id": f["event_id"],
+            "isa": pc.equal(f["event_type"], KS_TYPE_A)}))(
+            b.filter(pc.is_in(b["event_type"], value_set=pair))),
+            batch_format="pyarrow", batch_size=None)
+    d = _ks_two_sample(ds)
+    empty = pa.table({"ks": pa.array([], pa.float64())})
+    if d is None:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({"ks": pa.array(
+        round_half_up(np.array([d]), 6))}))
+
+
+def events_value_means_by_type(sf_dir: str) -> rd.Dataset:
+    """Arithmetic / geometric / harmonic mean per group in ONE fold: all
+    three are monoid sums (Σy, Σln y, Σ1/y) plus a count, so the whole
+    op is a per-block grouped partial -> one tiny exchange -> vectorized
+    finish.  (value > 0 by the events generator's construction; a zero
+    would poison gmean/hmean in any engine.)  Output (event_type, mean,
+    gmean, hmean) round-6, ordered by type."""
+    def fold(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy()
+        t = pa.table({"event_type": b["event_type"],
+                      "n1": pa.array(np.ones(b.num_rows, np.int64)),
+                      "s": b["value"],
+                      "sl": pa.array(np.log(v)),
+                      "si": pa.array(1.0 / v)})
+        return t.group_by(["event_type"]).aggregate(
+            [("n1", "sum"), ("s", "sum"), ("sl", "sum"), ("si", "sum")]) \
+            .rename_columns(["event_type", "n1", "s", "sl", "si"])
+
+    folded = read_table(sf_dir, "events",
+                        columns=["event_type", "value"]) \
+        .map_batches(fold, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n1", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("sl", alias_name="sl"), Sum("si", alias_name="si"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.float64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "mean": pa.array(round_half_up(b["s"].to_numpy() / n, 6)),
+            "gmean": pa.array(round_half_up(
+                np.exp(b["sl"].to_numpy() / n), 6)),
+            "hmean": pa.array(round_half_up(
+                n / b["si"].to_numpy(), 6))})
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None).sort("event_type")
+
+
+def events_type_hour_chi2(sf_dir: str) -> Any:
+    """Chi-square independence statistic for event_type x hour-of-day —
+    the screening test for "does traffic shape differ by type".  The
+    contingency table is a grouped count fold (|types| x 24 cells — tiny
+    by construction however large the fact stream), so margins,
+    expectations and the statistic all finish on the folded result.
+    Output one row (chi2, dof) round-4."""
+    def cells(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"],
+                      "hour": pc.hour(b["ts"]),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("one", "sum")]).rename_columns(["event_type", "hour", "c"])
+
+    folded = read_table(sf_dir, "events",
+                        columns=["event_type", "ts"]) \
+        .map_batches(cells, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("c", alias_name="obs")).to_pandas()
+    if not len(folded):
+        return pd.DataFrame({"chi2": pd.array([None], dtype="float64"),
+                             "dof": pd.array([None], dtype="Int64")})
+    piv = folded.pivot_table(index="event_type", columns="hour",
+                             values="obs", fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy().astype(np.float64)
+    n = obs.sum()
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi2 = float(np.where(exp > 0, (obs - exp) ** 2 / exp, 0.0).sum())
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pd.DataFrame({
+        "chi2": pd.array([float(round_half_up(np.array([chi2]), 4)[0])],
+                         dtype="float64"),
+        "dof": pd.array([dof], dtype="int64")})
+
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "view"
+
+
 def events_ks_statistic(sf_dir: str) -> rd.Dataset:
     """EXACT two-sample Kolmogorov–Smirnov statistic between two event
     types' value distributions — the drift detector a 100-TB pipeline
@@ -3326,3 +3481,63 @@ def events_rank_auc(sf_dir: str) -> rd.Dataset:
         "u": pa.array([float(round_half_up(np.array([u]), 2)[0])]),
         "auc": pa.array(round_half_up(
             np.array([u / (n_a * n_b)]), 6))}))
+
+
+DRIFT_CUTOFF = "2024-01-16 00:00:00"
+
+
+def events_drift_report(sf_dir: str) -> rd.Dataset:
+    """Snapshot drift report between the event stream BEFORE and AFTER a
+    cutoff — the one-shot health check a pipeline runs between corpus
+    versions.  Four signals in tidy (metric, value) rows: sample sizes,
+    mean-value shift, the L1 distance between the two event-type
+    distributions (a grouped count fold — |types| rows), and the exact
+    two-sample KS on value (the ``_ks_two_sample`` core).  Everything
+    except the KS sort is a per-block fold; nothing corpus-sized reaches
+    the driver."""
+    cut = pd.Timestamp(DRIFT_CUTOFF)
+
+    def label(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"], "value": b["value"],
+                         "event_type": b["event_type"],
+                         "isa": pc.less(b["ts"], pa.scalar(cut))})
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "ts", "value"]) \
+        .map_batches(label, batch_format="pyarrow", batch_size=None) \
+        .materialize()
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"], "isa": b["isa"],
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "v": b["value"]})
+        return t.group_by(["event_type", "isa"]).aggregate(
+            [("one", "sum"), ("v", "sum")]) \
+            .rename_columns(["event_type", "isa", "n", "v"])
+
+    cells = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby(["event_type", "isa"]).aggregate(
+            Sum("n", alias_name="n"), Sum("v", alias_name="v")) \
+        .to_pandas()          # <= 2 x |types| rows by construction
+    empty = pa.table({"metric": pa.array([], pa.string()),
+                      "value": pa.array([], pa.float64())})
+    if not len(cells):
+        return rd.from_arrow(empty)
+    before = cells[cells["isa"]]
+    after = cells[~cells["isa"]]
+    n_b, n_a = int(before["n"].sum()), int(after["n"].sum())
+    if n_b == 0 or n_a == 0:
+        return rd.from_arrow(empty)
+    mean_shift = after["v"].sum() / n_a - before["v"].sum() / n_b
+    pb = before.set_index("event_type")["n"] / n_b
+    pa_ = after.set_index("event_type")["n"] / n_a
+    l1 = float(pb.sub(pa_, fill_value=0.0).abs().sum())
+    ks = _ks_two_sample(ds.select_columns(["value", "event_id", "isa"]))
+    return rd.from_arrow(pa.table({
+        "metric": pa.array(["ks_value", "l1_type_shift", "mean_shift",
+                            "n_after", "n_before"]),
+        "value": pa.array([
+            float(round_half_up(np.array([ks]), 6)[0]),
+            float(round_half_up(np.array([l1]), 6)[0]),
+            float(round_half_up(np.array([mean_shift]), 6)[0]),
+            float(n_a), float(n_b)])}))
