@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_cooccurrence_pairs": R.tool_cooccurrence_pairs,
         "tool_association_rules": R.tool_association_rules,
         "events_drift_report": REL.events_drift_report,
+        "session_path_trigrams": STR.session_path_trigrams,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2103,6 +2104,28 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["session_path_trigrams"] = (
+        "WITH lagged AS (SELECT user_id, event_id, ts, event_type,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS prev FROM events),\n"
+        "flags AS (SELECT *, CASE WHEN prev IS NULL OR"
+        f" date_diff('microsecond', prev, ts)"
+        f" > {STR.SESSION_GAP_S} * 1000000"
+        " THEN 1 ELSE 0 END AS new_s FROM lagged),\n"
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session"
+        " FROM flags),\n"
+        "seq AS (SELECT user_id, session, event_type,"
+        " row_number() OVER (PARTITION BY user_id, session"
+        " ORDER BY ts, event_id) AS rn FROM sess),\n"
+        "tri AS (SELECT a.event_type || '>' || b.event_type || '>'"
+        " || c.event_type AS path FROM seq a"
+        " JOIN seq b ON b.user_id = a.user_id AND b.session = a.session"
+        " AND b.rn = a.rn + 1"
+        " JOIN seq c ON c.user_id = a.user_id AND c.session = a.session"
+        " AND c.rn = a.rn + 2)\n"
+        "SELECT path, CAST(count(*) AS BIGINT) AS support FROM tri"
+        f" GROUP BY path ORDER BY support DESC, path LIMIT {STR.PATH_K}")
     out["events_drift_report"] = (
         "WITH lab AS (SELECT event_id, event_type, value,"
         f" ts < TIMESTAMP '{REL.DRIFT_CUTOFF}' AS isa FROM events),\n"

@@ -594,3 +594,44 @@ def events_snapshot_diff(sf_dir: str) -> rd.Dataset:
         return out.filter(pa.array(keep))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+PATH_K = 20
+
+
+def session_path_trigrams(sf_dir: str, k: int = PATH_K) -> rd.Dataset:
+    """Clickstream path mining: the top-k event-type TRIGRAMS inside
+    session windows — which 3-step journeys dominate.  Same whole-user
+    blocks and gap rule as ``sessionize``; the trigram emit is three
+    shifted array compares per block (no Python per row), then a grouped
+    support count and top-k.  Output (path, support), support desc,
+    path asc, limit k."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def block_paths(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype="string")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].to_numpy()
+        user = df["user_id"].to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        new_session = np.concatenate(
+            [[True], (user[1:] != user[:-1])
+             | (gaps > SESSION_GAP_S * 1_000_000)])
+        sid = np.cumsum(new_session)
+        et = df["event_type"].to_numpy()
+        ok = (sid[:-2] == sid[1:-1]) & (sid[1:-1] == sid[2:])
+        if not ok.any():
+            return pd.DataFrame({"path": pd.Series([], dtype="string")})
+        a, b, c = et[:-2][ok], et[1:-1][ok], et[2:][ok]
+        path = np.char.add(np.char.add(
+            np.char.add(a.astype(str), ">"),
+            np.char.add(b.astype(str), ">")), c.astype(str))
+        return pd.DataFrame({"path": pd.Series(path, dtype="string")})
+
+    from ..stages import aggregate as agg
+    paths = _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_paths, batch_format="pandas", batch_size=None)
+    return agg.grouped_count(paths, ["path"], alias="support") \
+        .sort(["support", "path"], descending=[True, False]).limit(k)
