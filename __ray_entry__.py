@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_association_rules": R.tool_association_rules,
         "events_drift_report": REL.events_drift_report,
         "session_path_trigrams": STR.session_path_trigrams,
+        "events_k_anonymity": REL.events_k_anonymity,
+        "events_value_zscore": REL.events_value_zscore,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2104,6 +2106,18 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_k_anonymity"] = (
+        "SELECT event_type, extract(hour FROM ts) AS hour,"
+        " CAST(user_id // 100 AS BIGINT) AS user_band,"
+        " CAST(count(*) AS BIGINT) AS n"
+        " FROM events GROUP BY 1, 2, 3"
+        f" HAVING count(*) < {REL.KANON_K}"
+        " ORDER BY event_type, hour, user_band")
+    out["events_value_zscore"] = (
+        "SELECT event_id, event_type,"
+        " round((value - avg(value) OVER (PARTITION BY event_type))"
+        " / stddev_pop(value) OVER (PARTITION BY event_type), 6) AS z"
+        " FROM events")
     out["session_path_trigrams"] = (
         "WITH lagged AS (SELECT user_id, event_id, ts, event_type,"
         " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"

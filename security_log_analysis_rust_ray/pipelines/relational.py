@@ -3541,3 +3541,94 @@ def events_drift_report(sf_dir: str) -> rd.Dataset:
             float(round_half_up(np.array([l1]), 6)[0]),
             float(round_half_up(np.array([mean_shift]), 6)[0]),
             float(n_a), float(n_b)])}))
+
+
+KANON_K = 5
+
+
+def events_k_anonymity(sf_dir: str, k: int = KANON_K) -> rd.Dataset:
+    """k-anonymity audit over the quasi-identifier (event_type,
+    hour-of-day, user band): the data-governance gate before a corpus
+    export.  Grouped count fold -> the rare combinations (support < k)
+    plus the rows-at-risk total.  Output (event_type, hour, user_band,
+    n) for every violating combination, ordered."""
+    def qi(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b["event_type"],
+            "hour": pc.hour(b["ts"]),
+            "user_band": pc.cast(
+                pc.divide(b["user_id"], pa.scalar(100)), pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["event_type", "hour", "user_band"]).aggregate(
+            [("one", "sum")]).rename_columns(
+            ["event_type", "hour", "user_band", "c"])
+
+    folded = read_table(sf_dir, "events",
+                        columns=["event_type", "ts", "user_id"]) \
+        .map_batches(qi, batch_format="pyarrow") \
+        .groupby(["event_type", "hour", "user_band"]).aggregate(
+            Sum("c", alias_name="n"))
+    # the violating set is tiny by definition (< k rows per combo); a
+    # fully-clean corpus yields an EMPTY result whose schema a sort of
+    # zero blocks would drop — pin it explicitly
+    schema = pa.schema([("event_type", pa.string()),
+                        ("hour", pa.int64()),
+                        ("user_band", pa.int64()),
+                        ("n", pa.int64())])
+    viol = folded.map_batches(
+        lambda b: b.filter(pc.less(b["n"], pa.scalar(k))),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(viol):
+        return rd.from_arrow(schema.empty_table())
+    viol = viol.sort_values(["event_type", "hour", "user_band"])
+    return rd.from_arrow(pa.Table.from_pandas(
+        viol.reset_index(drop=True), schema=schema,
+        preserve_index=False))
+
+
+def events_value_zscore(sf_dir: str) -> rd.Dataset:
+    """Per-group z-score normalization — the feature-engineering
+    transform that needs global statistics per group on every row: one
+    grouped (n, Σy, Σy²) fold gives population mean/std per type (a
+    |types|-rows broadcast), then a stateless vectorized map rewrites
+    the fact stream.  Output (event_id, event_type, z) — fact-scale,
+    streaming, nothing big on the driver."""
+    from ..stages.joins import lookup_join
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"],
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "s": b["value"],
+                      "ss": pc.multiply(b["value"], b["value"])})
+        return t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("s", "sum"), ("ss", "sum")]) \
+            .rename_columns(["event_type", "n", "s", "ss"])
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    stats = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss")) \
+        .map_batches(lambda b: (lambda n, s, ss: pa.table({
+            "event_type": b["event_type"],
+            "mu": pa.array(s / n),
+            "sigma": pa.array(np.sqrt(np.maximum(ss / n - (s / n) ** 2,
+                                                 0.0)))}))(
+            b["n"].to_numpy().astype(np.float64),
+            b["s"].to_numpy(), b["ss"].to_numpy()),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    j = lookup_join(ds, stats, "event_type", "event_type")
+
+    def z(b: pa.Table) -> pa.Table:
+        sigma = b["sigma"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zv = np.where(sigma > 0,
+                          (b["value"].to_numpy() - b["mu"].to_numpy())
+                          / sigma, 0.0)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "z": pa.array(round_half_up(zv, 6))})
+
+    return j.map_batches(z, batch_format="pyarrow", batch_size=None)
