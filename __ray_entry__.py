@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_path_trigrams": STR.session_path_trigrams,
         "events_k_anonymity": REL.events_k_anonymity,
         "events_value_zscore": REL.events_value_zscore,
+        "events_value_percent_rank": REL.events_value_percent_rank,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2106,6 +2107,9 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_value_percent_rank"] = (
+        "SELECT event_id, round(percent_rank() OVER"
+        " (ORDER BY value, event_id), 6) AS pct_rank FROM events")
     out["events_k_anonymity"] = (
         "SELECT event_type, extract(hour FROM ts) AS hour,"
         " CAST(user_id // 100 AS BIGINT) AS user_band,"

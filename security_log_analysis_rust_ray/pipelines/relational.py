@@ -3632,3 +3632,50 @@ def events_value_zscore(sf_dir: str) -> rd.Dataset:
                          "z": pa.array(round_half_up(zv, 6))})
 
     return j.map_batches(z, batch_format="pyarrow", batch_size=None)
+
+
+def events_value_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Global rank NORMALIZATION: every event's value mapped to its
+    percent rank (rank-1)/(n-1) — the quantile-transform feature
+    encoder.  Unlike the driver-collected selection ops, the OUTPUT here
+    is the full fact stream: one global sort, blocks report row counts,
+    the driver hands each block only its entering offset, and every
+    block ranks its own rows vectorized.  Ties break on (value,
+    event_id) in engine and oracle alike.  Output (event_id, pct_rank)
+    round-6, fact-scale, streaming."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"]) \
+        .sort(["value", "event_id"]).materialize()
+
+    def counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"v0": b["value"].slice(0, 1),
+                         "id0": b["event_id"].slice(0, 1),
+                         "cnt": pa.array([b.num_rows], pa.int64())})
+
+    summ = ds.map_batches(counts, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "pct_rank": pa.array([], pa.float64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    summ = summ.sort_values(["v0", "id0"]).reset_index(drop=True)
+    n = int(summ["cnt"].sum())
+    entering = np.r_[0, np.cumsum(summ["cnt"].to_numpy())[:-1]]
+    offs = {(float(v), int(i)): int(o) for v, i, o in
+            zip(summ["v0"], summ["id0"], entering)}
+    denom = float(n - 1) if n > 1 else 1.0
+
+    def rank(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        off = offs[(float(b["value"][0].as_py()),
+                    int(b["event_id"][0].as_py()))]
+        r = off + np.arange(b.num_rows, dtype=np.float64)
+        return pa.table({"event_id": b["event_id"],
+                         "pct_rank": pa.array(
+                             round_half_up(r / denom, 6))})
+
+    return ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
