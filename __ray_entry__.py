@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_anonymity": REL.events_k_anonymity,
         "events_value_zscore": REL.events_value_zscore,
         "events_value_percent_rank": REL.events_value_percent_rank,
+        "important_stock": REL.important_stock,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2107,6 +2108,15 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["important_stock"] = (
+        "WITH pv AS (SELECT l.l_partkey,"
+        " sum(l.l_extendedprice * l.l_quantity) AS v"
+        " FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+        " JOIN nation n ON n.n_nationkey = s.s_nationkey"
+        f" WHERE n.n_name = '{REL.Q11_NATION}' GROUP BY 1)\n"
+        "SELECT l_partkey AS p_partkey, round(v, 2) AS stock_value"
+        f" FROM pv WHERE v > {REL.Q11_FRACTION} * (SELECT sum(v) FROM pv)"
+        " ORDER BY stock_value DESC, p_partkey")
     out["events_value_percent_rank"] = (
         "SELECT event_id, round(percent_rank() OVER"
         " (ORDER BY value, event_id), 6) AS pct_rank FROM events")

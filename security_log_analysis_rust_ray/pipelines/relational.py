@@ -3679,3 +3679,56 @@ def events_value_percent_rank(sf_dir: str) -> rd.Dataset:
                              round_half_up(r / denom, 6))})
 
     return ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
+
+
+Q11_NATION = "NATION_8"
+Q11_FRACTION = 0.001
+
+
+def important_stock(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q11 shape, adapted (no partsupp: stock value = shipped
+    extendedprice x quantity from one nation's suppliers): parts whose
+    value share beats a global-fraction gate.  The supplier-nation
+    filter collapses to a broadcast key probe before the fact scan;
+    per-part value folds partial-first; the scalar gate comes off the
+    materialized (part-cardinality) fold — the HAVING > scalar-subquery
+    plan.  Output (p_partkey, stock_value) desc."""
+    from ..stages.joins import lookup_join
+
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["n_name"], Q11_NATION)).select(["n_nationkey"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+    supp = lookup_join(
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation, "s_nationkey", "n_nationkey", how="inner") \
+        .map_batches(lambda b: b.select(["s_suppkey"]),
+                     batch_format="pyarrow", batch_size=None).materialize()
+    empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "stock_value": pa.array([], pa.float64())})
+    if supp.count() == 0:      # nation with no suppliers at this sf
+        return rd.from_arrow(empty)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_quantity"])
+    li = lookup_join(li, supp, "l_suppkey", "s_suppkey", how="inner") \
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b["l_partkey"],
+            "v": pc.multiply(b["l_extendedprice"], b["l_quantity"])}),
+            batch_format="pyarrow", batch_size=None)
+    pv = li.map_batches(_partial_sums(["l_partkey"], {"v": "sum"}),
+                        batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("v_sum", alias_name="v")) \
+        .materialize()   # part-cardinality fold
+    total = pv.sum("v")
+    gate = float(total) * Q11_FRACTION
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["v"], pa.scalar(gate)))
+        return pa.table({
+            "p_partkey": b["l_partkey"],
+            "stock_value": pa.array(round_half_up(b["v"].to_numpy(), 2))})
+    return pv.map_batches(finish, batch_format="pyarrow",
+                          batch_size=None) \
+        .sort(["stock_value", "p_partkey"], descending=[True, False])
