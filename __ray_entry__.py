@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": REL.events_value_zscore,
         "events_value_percent_rank": REL.events_value_percent_rank,
         "important_stock": REL.important_stock,
+        "events_value_weighted_median_by_type":
+            REL.events_value_weighted_median_by_type,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2108,6 +2110,14 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_value_weighted_median_by_type"] = (
+        "WITH w AS (SELECT event_type, value, event_id,"
+        f" (user_id % {REL.WMED_WEIGHT_MOD}) + 1 AS wt FROM events),\n"
+        "c AS (SELECT *, sum(wt) OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS cw,"
+        " sum(wt) OVER (PARTITION BY event_type) AS tw FROM w)\n"
+        "SELECT event_type, min(value) AS wmedian FROM c"
+        " WHERE 2 * cw >= tw GROUP BY event_type ORDER BY event_type")
     out["important_stock"] = (
         "WITH pv AS (SELECT l.l_partkey,"
         " sum(l.l_extendedprice * l.l_quantity) AS v"

@@ -3732,3 +3732,98 @@ def important_stock(sf_dir: str) -> rd.Dataset:
     return pv.map_batches(finish, batch_format="pyarrow",
                           batch_size=None) \
         .sort(["stock_value", "p_partkey"], descending=[True, False])
+
+
+WMED_WEIGHT_MOD = 7
+
+
+def events_value_weighted_median_by_type(sf_dir: str) -> rd.Dataset:
+    """EXACT per-group WEIGHTED median (weight = user_id % 7 + 1 — the
+    sample-weighting a curriculum/mixture pipeline attaches to rows):
+    the smallest value whose cumulative weight reaches half the group
+    total, under (value, event_id) order.  The selection target is a
+    WEIGHT sum, not a row count, so the grouped-median plan folds
+    per-segment weight sums instead: driver walks per-type segment
+    prefixes to find each group's crossing segment, and one extract pass
+    scans only those segments' in-block weight cumsums.  Output
+    (event_type, wmedian) ordered by type."""
+    def add_w(b: pa.Table) -> pa.Table:
+        wt = b["user_id"].to_numpy() % WMED_WEIGHT_MOD + 1
+        return pa.table({
+            "event_id": b["event_id"], "event_type": b["event_type"],
+            "value": b["value"],
+            "wt": pa.array(wt.astype(np.int64))})
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id",
+                             "value"]) \
+        .map_batches(add_w, batch_format="pyarrow", batch_size=None) \
+        .sort(["event_type", "value", "event_id"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        out = {"t0": [], "v0": [], "id0": [], "seg": [], "typ": [],
+               "cnt": [], "w": []}
+        if b.num_rows:
+            t = b["event_type"].to_numpy(zero_copy_only=False)
+            w = b["wt"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+            ends = np.r_[starts[1:], len(t)]
+            for s_i, (s, e) in enumerate(zip(starts, ends)):
+                out["t0"].append(t[0])
+                out["v0"].append(b["value"][0].as_py())
+                out["id0"].append(b["event_id"][0].as_py())
+                out["seg"].append(s_i)
+                out["typ"].append(t[s])
+                out["cnt"].append(int(e - s))
+                out["w"].append(int(w[s:e].sum()))
+        return pa.table({"t0": pa.array(out["t0"], pa.string()),
+                         "v0": pa.array(out["v0"], pa.float64()),
+                         "id0": pa.array(out["id0"], pa.int64()),
+                         "seg": pa.array(out["seg"], pa.int64()),
+                         "typ": pa.array(out["typ"], pa.string()),
+                         "cnt": pa.array(out["cnt"], pa.int64()),
+                         "w": pa.array(out["w"], pa.int64())})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "wmedian": pa.array([], pa.float64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    summ = summ.sort_values(["t0", "v0", "id0", "seg"]) \
+        .reset_index(drop=True)
+    seg_base = summ.groupby(["t0", "v0", "id0"], sort=False)["cnt"] \
+        .cumsum() - summ["cnt"]
+    prev_w = summ.groupby("typ", sort=False)["w"].cumsum() - summ["w"]
+    totals = summ.groupby("typ", sort=False)["w"].sum()
+    j = summ.join(totals.rename("tw"), on="typ")
+    # the crossing segment: first where 2*(prev_w + seg_w) >= total_w
+    hit = (2 * (prev_w + j["w"]) >= j["tw"]) & (2 * prev_w < j["tw"])
+    picks: dict[tuple, list[tuple[int, int, int]]] = {}
+    for i in np.flatnonzero(hit.to_numpy()):
+        key = (j["t0"].iat[i], float(j["v0"].iat[i]), int(j["id0"].iat[i]))
+        # remaining doubled-weight target inside this segment
+        rem = int(j["tw"].iat[i]) - 2 * int(prev_w.iat[i])
+        picks.setdefault(key, []).append(
+            (int(seg_base.iat[i]), int(j["cnt"].iat[i]), rem))
+
+    def extract(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        key = (b["event_type"][0].as_py(), float(b["value"][0].as_py()),
+               int(b["event_id"][0].as_py()))
+        req = picks.get(key)
+        if not req:
+            return empty
+        w = b["wt"].to_numpy()
+        vals, typs = [], []
+        for base, cnt, rem in req:
+            cw = 2 * np.cumsum(w[base:base + cnt])
+            k = int(np.searchsorted(cw, rem))
+            vals.append(b["value"][base + k].as_py())
+            typs.append(b["event_type"][base + k].as_py())
+        return pa.table({"event_type": pa.array(typs, pa.string()),
+                         "wmedian": pa.array(vals, pa.float64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=None).sort("event_type")

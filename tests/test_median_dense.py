@@ -298,3 +298,45 @@ def test_gini_by_type_skewed_multiblock(tmp_path):
         " FROM r GROUP BY event_type ORDER BY event_type").df()
     con.close()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_median_by_type_skewed_multiblock(tmp_path):
+    """Weighted median: hot type spans blocks so the crossing segment's
+    in-block weight cumsum must compose with driver prefix weights."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+
+    rng = np.random.default_rng(17)
+    n_big, n_small = 20_000, 8
+    t = pa.table({
+        "event_id": pa.array(np.arange(n_big + n_small), pa.int64()),
+        "event_type": pa.array(["hot"] * n_big + ["cold"] * n_small),
+        "value": pa.array(
+            np.round(rng.uniform(0, 100, n_big + n_small), 2),
+            pa.float64()),
+        "ts": pa.array([0] * (n_big + n_small), pa.timestamp("us")),
+        "user_id": pa.array(
+            rng.integers(0, 1000, n_big + n_small), pa.int64()),
+        "props": pa.array([""] * (n_big + n_small)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = REL.events_value_weighted_median_by_type(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    exp = con.execute(
+        "WITH w AS (SELECT event_type, value, event_id,"
+        f" (user_id % {REL.WMED_WEIGHT_MOD}) + 1 AS wt FROM events),\n"
+        "c AS (SELECT *, sum(wt) OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS cw,"
+        " sum(wt) OVER (PARTITION BY event_type) AS tw FROM w)\n"
+        "SELECT event_type, min(value) AS wmedian FROM c"
+        " WHERE 2 * cw >= tw GROUP BY event_type"
+        " ORDER BY event_type").df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
