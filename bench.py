@@ -190,6 +190,11 @@ def run_bench() -> dict:
           lambda: rel.local_supplier_volume(SF_DIR).to_pandas())
     timed("tpch_q21_blame",
           lambda: rel.waiting_suppliers(SF_DIR).to_pandas())
+    # pure all-to-all exchange evidence: one global key sort of the full
+    # corpus (the primitive under the exact-selection tier: median /
+    # percentiles / Gini / KS all ride this sort + block summaries)
+    timed("global_sort",
+          lambda: read().sort(["conv_id", "turn_idx"]).count())
 
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",
