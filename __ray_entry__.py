@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_stock": REL.important_stock,
         "events_value_weighted_median_by_type":
             REL.events_value_weighted_median_by_type,
+        "events_daily_ewma": REL.events_daily_ewma,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2110,6 +2111,16 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_daily_ewma"] = (
+        "WITH d AS (SELECT date_trunc('day', ts) AS day,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),\n"
+        "r AS (SELECT *, row_number() OVER (ORDER BY day) AS t FROM d)\n"
+        "SELECT a.day, a.cnt, round(sum(b.cnt * CASE WHEN b.t = 1"
+        f" THEN pow(1 - {REL.EWMA_ALPHA}, a.t - 1)"
+        f" ELSE {REL.EWMA_ALPHA} * pow(1 - {REL.EWMA_ALPHA}, a.t - b.t)"
+        " END), 4) AS ewma"
+        " FROM r a JOIN r b ON b.t <= a.t"
+        " GROUP BY a.day, a.cnt, a.t ORDER BY a.day")
     out["events_value_weighted_median_by_type"] = (
         "WITH w AS (SELECT event_type, value, event_id,"
         f" (user_id % {REL.WMED_WEIGHT_MOD}) + 1 AS wt FROM events),\n"

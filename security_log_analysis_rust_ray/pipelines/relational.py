@@ -3827,3 +3827,40 @@ def events_value_weighted_median_by_type(sf_dir: str) -> rd.Dataset:
 
     return ds.map_batches(extract, batch_format="pyarrow",
                           batch_size=None).sort("event_type")
+
+
+EWMA_ALPHA = 0.3
+
+
+def events_daily_ewma(sf_dir: str) -> rd.Dataset:
+    """Daily event-count EWMA (alpha=0.3, s_1 = x_1) — the smoothing
+    curve an ops dashboard draws over the raw series.  The fact stream
+    folds to per-day counts (partial-first; the series is
+    calendar-bounded — ~30 rows per month whatever the fact scale), and
+    the recursion runs on that tiny fold.  Output (day, cnt, ewma)
+    round-4, by day."""
+    def day(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["day"]).aggregate([("one", "sum")]) \
+            .rename_columns(["day", "c"])
+
+    daily = read_table(sf_dir, "events", columns=["ts"]) \
+        .map_batches(day, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("c", alias_name="cnt")) \
+        .to_pandas()   # calendar-bounded: ~#days rows
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "cnt": pa.array([], pa.int64()),
+                      "ewma": pa.array([], pa.float64())})
+    if not len(daily):
+        return rd.from_arrow(empty)
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = daily["cnt"].to_numpy().astype(np.float64)
+    s = np.empty_like(x)
+    s[0] = x[0]
+    for i in range(1, len(x)):
+        s[i] = EWMA_ALPHA * x[i] + (1 - EWMA_ALPHA) * s[i - 1]
+    return rd.from_arrow(pa.table({
+        "day": pa.array(daily["day"].astype("datetime64[us]")),
+        "cnt": pa.array(daily["cnt"].to_numpy(), pa.int64()),
+        "ewma": pa.array(round_half_up(s, 4))}))
