@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_weighted_median_by_type":
             REL.events_value_weighted_median_by_type,
         "events_daily_ewma": REL.events_daily_ewma,
+        "events_distinct_users_by_type":
+            REL.events_distinct_users_by_type,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2111,6 +2113,9 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_distinct_users_by_type"] = (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users"
+        " FROM events GROUP BY event_type ORDER BY event_type")
     out["events_daily_ewma"] = (
         "WITH d AS (SELECT date_trunc('day', ts) AS day,"
         " CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),\n"

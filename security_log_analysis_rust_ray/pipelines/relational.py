@@ -3864,3 +3864,19 @@ def events_daily_ewma(sf_dir: str) -> rd.Dataset:
         "day": pa.array(daily["day"].astype("datetime64[us]")),
         "cnt": pa.array(daily["cnt"].to_numpy(), pa.int64()),
         "ewma": pa.array(round_half_up(s, 4))}))
+
+
+def events_distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    """Grouped COUNT DISTINCT — at fact scale THE shuffle-heavy
+    aggregate: distinct (type, user) pairs first (per-block pre-distinct
+    combiner collapses repeat pairs BEFORE the exchange), then the
+    per-type count is a plain grouped fold over the already-unique
+    pairs.  Output (event_type, n_users) ordered by type."""
+    from ..stages.dedup import distinct_rows
+
+    pairs = distinct_rows(
+        read_table(sf_dir, "events", columns=["event_type", "user_id"]),
+        ["event_type", "user_id"])
+    from ..stages import aggregate as agg
+    return agg.grouped_count(pairs, ["event_type"], alias="n_users",
+                             small_keyspace=True).sort("event_type")
