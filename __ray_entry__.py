@@ -53,7 +53,7 @@ def _zorder_lookup(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries (observed in CORRECTNESS_r01/r02 — both stopped at entry 50 in
-    # dict order).  The surface is now ~212 queries, so the top 50 holds ONLY
+    # dict order).  The surface is now ~232 queries, so the top 50 holds ONLY
     # oracle-backed queries, prioritizing (a) every query that has NEVER had
     # a driver row (41 of the 50), then (b) alert_batches (r02 FAIL was an
     # oracle HUGEINT cast, fixed — needs its green driver row) and the seven
@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and r02 with unchanged semantics, the remaining sweep-checked r03
     # oracle queries that don't fit the window, and the rows-only entries
     # (no oracle_sql key — approximate or hash-defined results, each covered
-    # by pytest invariants instead).  tools/parity_sweep.py checks ALL ~212
+    # by pytest invariants instead).  tools/parity_sweep.py checks ALL ~232
     # every round regardless (CORRECTNESS_LOCAL_r03.json).
     return {
         # newest r03 additions (no driver row yet) lead the window
