@@ -192,9 +192,14 @@ def run_bench() -> dict:
           lambda: rel.waiting_suppliers(SF_DIR).to_pandas())
     # pure all-to-all exchange evidence: one global key sort of the full
     # corpus (the primitive under the exact-selection tier: median /
-    # percentiles / Gini / KS all ride this sort + block summaries)
+    # percentiles / Gini / KS all ride this sort + block summaries).
+    # count() alone would let Ray skip the sort (row count is derivable
+    # from input metadata) — fold a row per sorted block instead.
     timed("global_sort",
-          lambda: read().sort(["conv_id", "turn_idx"]).count())
+          lambda: read().sort(["conv_id", "turn_idx"]).map_batches(
+              lambda b: pa.table({"n": pa.array([b.num_rows],
+                                                pa.int64())}),
+              batch_format="pyarrow", batch_size=None).sum("n"))
 
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",
