@@ -340,3 +340,79 @@ def test_weighted_median_by_type_skewed_multiblock(tmp_path):
         " ORDER BY event_type").df()
     con.close()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_two_sample_multiblock(tmp_path):
+    """KS over a 20k-row two-type stream (samples interleave across many
+    sorted blocks, so per-block CDF gaps must compose through the
+    entering offsets); exact vs the windowed-SQL oracle, plus the
+    identical-distribution sanity (KS ~ 0 when A == B)."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+
+    rng = np.random.default_rng(19)
+    n = 20_000
+    vals = np.concatenate([rng.uniform(0, 100, n // 2),        # click
+                           rng.uniform(20, 120, n // 2)])       # view
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array([REL.KS_TYPE_A] * (n // 2)
+                               + [REL.KS_TYPE_B] * (n // 2)),
+        "value": pa.array(np.round(vals, 3), pa.float64()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n), pa.int64()),
+        "props": pa.array([""] * n),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = REL.events_ks_statistic(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    import __ray_entry__ as mod
+    exp = con.execute(mod.oracle_sql()["events_ks_statistic"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    # shifted distributions: KS must be large
+    assert got["ks"].iloc[0] > 0.1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_auc_properties(tmp_path):
+    """AUC sanity: a strictly-shifted sample B gives AUC near 0 (A's
+    values rank lower), and AUC stays in [0, 1]; exact vs oracle."""
+    import pyarrow.parquet as pq
+
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+
+    rng = np.random.default_rng(23)
+    n = 10_000
+    vals = np.concatenate([rng.uniform(0, 10, n // 2),     # A low
+                           rng.uniform(20, 30, n // 2)])    # B high
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array([REL.KS_TYPE_A] * (n // 2)
+                               + [REL.KS_TYPE_B] * (n // 2)),
+        "value": pa.array(np.round(vals, 3), pa.float64()),
+        "ts": pa.array([0] * n, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n), pa.int64()),
+        "props": pa.array([""] * n),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = REL.events_rank_auc(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    import __ray_entry__ as mod
+    exp = con.execute(mod.oracle_sql()["events_rank_auc"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    auc = got["auc"].iloc[0]
+    assert 0.0 <= auc <= 1.0 and auc < 0.05  # A strictly below B
