@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_ewma": REL.events_daily_ewma,
         "events_distinct_users_by_type":
             REL.events_distinct_users_by_type,
+        "doc_compression_ratio": D.doc_compression_ratio,  # rows-only
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03

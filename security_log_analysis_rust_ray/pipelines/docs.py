@@ -3768,3 +3768,30 @@ def doc_weighted_sample(sf_dir: str, k: int = AES_K) -> "rd.Dataset":
     return top.map_batches(
         lambda b: b.select(["doc_id", "n_chars"]),
         batch_format="pyarrow", batch_size=None)
+
+
+def doc_compression_ratio(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style compression-ratio quality signal: zlib-compressed
+    bytes / raw bytes per document — low ratios expose boilerplate and
+    repetition that n-gram heuristics miss.  Compression is inherently
+    per-item (like media decode), so the loop lives inside an
+    actor-pool-friendly map_batches over binary buffers; everything
+    around it streams.  No SQL oracle (DuckDB has no zlib) — covered by
+    pytest invariants (determinism; repetitive text compresses FAR
+    below random text).  Output (doc_id, ratio) round-6."""
+    import zlib
+
+    def ratio(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks() \
+            if isinstance(b["text"], pa.ChunkedArray) else b["text"]
+        out = np.empty(b.num_rows, np.float64)
+        for i in range(b.num_rows):
+            raw = txt[i].as_buffer()
+            n = raw.size
+            out[i] = len(zlib.compress(raw.to_pybytes(), 6)) / n \
+                if n else 1.0
+        return pa.table({"doc_id": b["doc_id"],
+                         "ratio": pa.array(np.round(out, 6))})
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(ratio, batch_format="pyarrow")

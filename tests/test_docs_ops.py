@@ -861,3 +861,30 @@ def test_weighted_sample_biases_toward_long_docs():
     corpus = pq.read_table(f"{SF_SMOKE}/documents.parquet",
                            columns=["n_chars"]).to_pandas()
     assert s1["n_chars"].mean() > corpus["n_chars"].mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compression_ratio_invariants(tmp_path):
+    """Repetitive text compresses far below random text; the signal is
+    deterministic across runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from .conftest import to_pandas
+
+    rng = np.random.default_rng(29)
+    rand = " ".join("".join(rng.choice(list("abcdefghij"), 8))
+                    for _ in range(200))
+    rep = "the same phrase again " * 200
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([rand, rep]),
+                  "lang": pa.array(["en", "en"]),
+                  "source": pa.array(["s", "s"]),
+                  "n_chars": pa.array([len(rand), len(rep)], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    r1 = to_pandas(D.doc_compression_ratio(str(d))).set_index("doc_id")
+    r2 = to_pandas(D.doc_compression_ratio(str(d))).set_index("doc_id")
+    assert (r1["ratio"] == r2["ratio"]).all()
+    assert r1.loc[2, "ratio"] < 0.1 < r1.loc[1, "ratio"]
