@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_by_type":
             REL.events_distinct_users_by_type,
         "doc_compression_ratio": D.doc_compression_ratio,  # rows-only
+        "events_value_mad_by_type": REL.events_value_mad_by_type,
         "events_user_bands": REL.events_user_bands,  # oracle, new r03
         "doc_search_and": SRCH.search_docs_and,      # oracle, new r03
         "events_in_session": REL.events_in_session,  # range join, new r03
@@ -2114,6 +2115,19 @@ def oracle_sql() -> dict[str, str]:
             f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
             f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
             for b, slo, shi, qlo, qhi in REL.Q19_CASES))
+    out["events_value_mad_by_type"] = (
+        "WITH med AS (SELECT event_type, value AS m FROM"
+        " (SELECT event_type, value, row_number() OVER"
+        " (PARTITION BY event_type ORDER BY value, event_id) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM events)"
+        " WHERE rn = (n + 1) // 2),\n"
+        "dev AS (SELECT e.event_type, abs(e.value - med.m) AS value,"
+        " e.event_id FROM events e JOIN med USING (event_type))\n"
+        "SELECT event_type, value AS mad FROM"
+        " (SELECT event_type, value, row_number() OVER"
+        " (PARTITION BY event_type ORDER BY value, event_id) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM dev)"
+        " WHERE rn = (n + 1) // 2 ORDER BY event_type")
     out["events_distinct_users_by_type"] = (
         "SELECT event_type, count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY event_type ORDER BY event_type")

@@ -1963,31 +1963,19 @@ def events_value_median_exact(sf_dir: str) -> rd.Dataset:
                           batch_size=None)
 
 
-def events_value_median_by_type(sf_dir: str) -> rd.Dataset:
-    """EXACT per-group median (lower: rank ceil(n_g/2) under (value,
-    event_id) order within each event_type) — distributed PER-GROUP
-    selection, the op a per-group collect can't survive at scale because
-    one group routinely outweighs a worker.
-
-    Groups are never collected: ONE global sort on (event_type, value,
-    event_id); each block reports one row PER TYPE-SEGMENT it holds
-    (type, segment count, block-first key, in-block segment order) —
-    driver state is O(blocks × |types|), independent of row count.  The
-    driver folds per-type exclusive prefix counts across segments in
-    block order, locates the (block, in-block position) of every group's
-    target rank, and one final map extracts those rows — each block does
-    one first-key tuple check and at most |types| takes.  Output
-    (event_type, median_value), ordered by type."""
-    ds = read_table(sf_dir, "events",
-                    columns=["event_id", "event_type", "value"]) \
-        .sort(["event_type", "value", "event_id"]).materialize()
+def _grouped_lower_median(ds: rd.Dataset, out_col: str) -> rd.Dataset:
+    """EXACT per-group lower median over a (event_type, value, event_id)
+    Dataset — the reusable selection core under
+    ``events_value_median_by_type`` and the MAD composition: one global
+    sort, per-block type-segment summaries, driver rank plan, one
+    extract pass.  Output (event_type, <out_col>) unsorted."""
+    ds = ds.sort(["event_type", "value", "event_id"]).materialize()
 
     def summary(b: pa.Table) -> pa.Table:
         out = {"t0": [], "v0": [], "id0": [], "seg": [], "typ": [],
                "cnt": []}
         if b.num_rows:
             t = b["event_type"].to_numpy(zero_copy_only=False)
-            # segment boundaries: type changes within the sorted block
             starts = np.flatnonzero(
                 np.r_[True, t[1:] != t[:-1]])
             ends = np.r_[starts[1:], len(t)]
@@ -2008,7 +1996,7 @@ def events_value_median_by_type(sf_dir: str) -> rd.Dataset:
     summ = ds.map_batches(summary, batch_format="pyarrow",
                           batch_size=None).to_pandas()
     empty = pa.table({"event_type": pa.array([], pa.string()),
-                      "median_value": pa.array([], pa.float64())})
+                      out_col: pa.array([], pa.float64())})
     if not len(summ):
         return rd.from_arrow(empty)
     # global segment order = (block first key, in-block segment index)
@@ -2041,10 +2029,45 @@ def events_value_median_by_type(sf_dir: str) -> rd.Dataset:
             return empty
         idx = pa.array(sorted(pos), pa.int64())
         return pa.table({"event_type": b["event_type"].take(idx),
-                         "median_value": b["value"].take(idx)})
+                         out_col: b["value"].take(idx)})
 
     return ds.map_batches(extract, batch_format="pyarrow",
-                          batch_size=None).sort("event_type")
+                          batch_size=None)
+
+
+def events_value_median_by_type(sf_dir: str) -> rd.Dataset:
+    """EXACT per-group median (lower: rank ceil(n_g/2) under (value,
+    event_id) order within each event_type) — distributed PER-GROUP
+    selection, the op a per-group collect can't survive at scale because
+    one group routinely outweighs a worker.  Plan in
+    ``_grouped_lower_median``: groups are never collected; driver state
+    is O(blocks x |types|), independent of row count.  Output
+    (event_type, median_value), ordered by type."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    return _grouped_lower_median(ds, "median_value").sort("event_type")
+
+
+def events_value_mad_by_type(sf_dir: str) -> rd.Dataset:
+    """Per-group MEDIAN ABSOLUTE DEVIATION — the robust scale estimator,
+    composed as TWO grouped selections: the per-type median (tiny table)
+    broadcasts back into the stream, a stateless map derives
+    |value - median|, and the same selection core picks the deviation
+    median.  Each pass is one sort + summaries + extract; nothing
+    group-sized ever co-locates.  Deviation ties keep (event_id) order
+    — identical in the oracle.  Output (event_type, mad) by type."""
+    from ..stages.joins import lookup_join
+
+    base = read_table(sf_dir, "events",
+                      columns=["event_id", "event_type", "value"])
+    med = _grouped_lower_median(base, "m").materialize()  # |types| rows
+    j = lookup_join(base, med, "event_type", "event_type")
+    dev = j.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"], "event_type": b["event_type"],
+            "value": pc.abs(pc.subtract(b["value"], b["m"]))}),
+        batch_format="pyarrow", batch_size=None)
+    return _grouped_lower_median(dev, "mad").sort("event_type")
 
 
 def events_daily_dense(sf_dir: str) -> rd.Dataset:
