@@ -17,8 +17,10 @@ import struct
 
 import numpy as np
 
-_FILE_HEADER = struct.Struct("<2sIHHI")   # magic, file size, res, res, off
-_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+# format strings, not struct.Struct instances: Struct objects are not
+# picklable, which breaks by-value worker shipping (shipping.py)
+_FILE_HEADER = "<2sIHHI"   # magic, file size, res, res, off
+_INFO_HEADER = "<IiiHHIIiiII"
 
 HEADER_BYTES = 54
 
@@ -37,8 +39,8 @@ def encode_gray(img: np.ndarray) -> bytes:
     rows[:, : w * 3] = bgr.reshape(h, w * 3)
     body = rows[::-1].tobytes()                          # bottom-up rows
     size = HEADER_BYTES + len(body)
-    head = _FILE_HEADER.pack(b"BM", size, 0, 0, HEADER_BYTES) + \
-        _INFO_HEADER.pack(40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    head = struct.pack(_FILE_HEADER, b"BM", size, 0, 0, HEADER_BYTES) + \
+        struct.pack(_INFO_HEADER, 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     return head + body
 
 
@@ -48,9 +50,9 @@ def decode(payload: bytes) -> np.ndarray:
     ``ValueError`` on anything but an uncompressed 24-bit bottom-up BMP."""
     if len(payload) < HEADER_BYTES or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    magic, _size, _r1, _r2, off = _FILE_HEADER.unpack_from(payload, 0)
+    magic, _size, _r1, _r2, off = struct.unpack_from(_FILE_HEADER, payload, 0)
     (hdr, w, h, _planes, bpp, comp, _img_size,
-     _xp, _yp, _cu, _ci) = _INFO_HEADER.unpack_from(payload, 14)
+     _xp, _yp, _cu, _ci) = struct.unpack_from(_INFO_HEADER, payload, 14)
     if hdr != 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
         raise ValueError("unsupported BMP variant")
     bottom_up = h > 0

@@ -13,6 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..functions import grok
+from ..functions.util import round_half_up
 from ..sources.readers import read_transcripts
 from ..stages import aggregate as agg
 from ..stages import dedup as dd
@@ -431,7 +433,6 @@ def assistant_latency_stats(sf_dir: str) -> rd.Dataset:
             .astype("timedelta64[us]").astype(np.int64)
         # server shard of the conversation — the shared stream key
         # (grok.server_from_conv, same rule as the alert scans)
-        from ..functions import grok
         srv = grok.server_from_conv(pa.array(df["conv_id"][keep],
                                              pa.string()))
         return pa.table({
@@ -1171,7 +1172,6 @@ def tool_association_rules(sf_dir: str, k: int = 10) -> rd.Dataset:
     rules = lookup_join(rules, singles, "antecedent", "tool")
 
     def finish(b: pa.Table) -> pa.Table:
-        from ..functions.util import round_half_up
         b = b.filter(pc.greater_equal(b["support"],
                                       pa.scalar(RULE_MIN_SUPPORT)))
         conf = b["support"].to_numpy().astype(np.float64) \

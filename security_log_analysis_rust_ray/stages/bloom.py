@@ -43,7 +43,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, mix64
 
 _SEED1 = 0x51ED270B
 _SEED2 = 0xD24F7F2E
@@ -62,7 +62,6 @@ def _as_hash_input(col) -> pa.Array:
 def _key_hashes(cols: list, seed: int) -> np.ndarray:
     """uint64 hash per row over one or more key columns (composite keys
     mix per-column hashes, matching ``functions.hashing.mix64``'s shape)."""
-    from ..functions.hashing import mix64
     hs = [hash64(_as_hash_input(c), seed=seed) for c in cols]
     return hs[0] if len(hs) == 1 else mix64(hs, seed=seed)
 

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, hash64_stable, mix64
 
 HLL_P = 12
 HLL_M = 1 << HLL_P
@@ -285,7 +285,6 @@ def cms_partial(keys: pa.Array, w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
     """(d, w) count-min partial for one block of keys — d vectorized hash
     rows over the shared stable FNV base hash (so partials from any worker
     merge by plain addition)."""
-    from ..functions.hashing import hash64_stable, mix64
     sk = np.zeros((d, w), dtype=np.int64)
     if len(keys) == 0:
         return sk
@@ -299,7 +298,6 @@ def cms_partial(keys: pa.Array, w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
 def cms_query(sk: np.ndarray, keys: pa.Array) -> np.ndarray:
     """Point estimates for ``keys`` from a merged sketch: min over the d
     rows — always >= the true count (one-sided error)."""
-    from ..functions.hashing import hash64_stable, mix64
     d, w = sk.shape
     if len(keys) == 0:
         return np.zeros(0, dtype=np.int64)
