@@ -1,12 +1,22 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
-decoded/feature-extracted by an actor-pool stage.
+decoded/feature-extracted by actor-pool stages.
 
-The image/audio codec libraries are not available in this environment, so
-``DecodeStub`` is a CLEARLY-MARKED deterministic fake decoder — but all of
-the Ray-side plumbing is real and tested: binary Arrow columns through the
-object store, small batch sizes for wide rows, actor-pool stage signature,
-typed metadata schema, and the output layout a real decoder would produce.
-Swap ``DecodeStub._decode`` for PIL/ffmpeg in production.
+Every decode path in this module is GENUINE, using the dependency-free
+codecs in ``functions/`` (no codec libraries exist in this container):
+
+- BMP (``functions/bmp.py``)  -> ``media_bmp_features``
+- PPM (``functions/ppm.py``)  -> ``media_features`` / ``media_thumbnails``
+- y4m (``functions/y4m.py``)  -> ``media_frames`` / ``media_frame_stats``
+- WAV (``functions/wav.py``)  -> ``media_wav_features``
+
+Each manifest synthesizes deterministic payloads from a pixel/sample
+formula an oracle can restate in SQL, so the decoded values are checked
+end-to-end.  ``DecodeStub`` remains only as the fallback feature extractor
+for opaque (unknown-format) payloads — the ``media_stats`` /
+``media_checksums`` byte-accounting path — and tries the real codecs
+first.  A production deployment swaps PIL/ffmpeg into the same actor-pool
+stage seam (binary in, fixed-width features out, setup in ``__init__``,
+small batches).
 """
 
 from __future__ import annotations
@@ -16,15 +26,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..functions.bmp import decode as _bmp_decode
+from ..functions.ppm import decode as _ppm_decode
+from ..functions.ppm import encode_gray as _ppm_encode
+from ..functions.wav import decode as _wav_decode
+from ..functions.y4m import decode as _y4m_decode
+from ..functions.y4m import encode_gray as _y4m_encode
 from ..sources.readers import read_table
 
 MEDIA_BATCH = 256  # wide binary rows -> small batches (memory-aware)
 
-# production decode seam: when an image codec lands in the environment the
-# actor-pool stage picks it up without any pipeline change (the stage
-# contract — binary in, fixed-width features out, setup in __init__ — is
-# identical); this container has no codec libs, so the deterministic stub
-# below is what runs (clearly marked)
+# production decode seam: when a richer image codec lands in the
+# environment the actor-pool stages pick it up without any pipeline change
 try:  # pragma: no cover - PIL absent in this container
     from PIL import Image as _PILImage
     HAVE_PIL = True
@@ -36,13 +49,15 @@ except ImportError:
 def media_manifest_ds(sf_dir: str) -> rd.Dataset:
     """documents -> (doc_id, payload:binary, media_type, n_bytes): the shape
     a crawl manifest of opaque media blobs has.  Payload = utf8 bytes of the
-    text (deterministic stand-in for real image bytes)."""
+    text (deterministic stand-in for unknown-format bytes; the typed
+    manifests below carry real image/video containers)."""
     def to_media(b: pa.Table) -> pa.Table:
         payload = b["text"].cast(pa.binary())
         return pa.table({
             "doc_id": b["doc_id"],
             "payload": payload,
-            "media_type": pa.array(["image/fake"] * len(b), pa.string()),
+            "media_type": pa.array(["application/octet-stream"] * len(b),
+                                   pa.string()),
             "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
         })
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
@@ -50,11 +65,12 @@ def media_manifest_ds(sf_dir: str) -> rd.Dataset:
 
 
 class DecodeStub:
-    """STUB decoder (no codec libs in this container).  Deterministic fake:
-    'width'/'height' derived from byte length, 'checksum' = uint64 sum of
-    payload bytes, 8-dim 'feature' = bucketed byte histogram.  A real
-    deployment replaces ``_decode`` only; the stage contract (binary in,
-    fixed-width features out, setup in __init__, small batches) is real."""
+    """Feature extractor for OPAQUE payloads: tries the real codecs (BMP,
+    PPM, then PIL when present); anything unrecognized falls back to a
+    deterministic byte-level feature (histogram + byte sum) — the honest
+    thing to compute for unknown bytes.  'width'/'height' for the fallback
+    derive from byte length (documented fake; the real-decode branches
+    return true dimensions)."""
 
     FEATURE_DIM = 8
 
@@ -62,18 +78,15 @@ class DecodeStub:
         self.buckets = np.linspace(0, 256, self.FEATURE_DIM + 1)
 
     def _decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
-        if payload[:2] == b"BM":
-            # REAL decode: dependency-free 24-bit BMP codec
-            # (functions/bmp.py) — this branch runs in CI, not a stub
+        for codec in (_bmp_decode, _ppm_decode):
             try:
-                from ..functions.bmp import decode as _bmp_decode
-                px = _bmp_decode(payload)
-                flat = px.reshape(-1)
-                hist, _ = np.histogram(flat, bins=self.buckets)
-                return (px.shape[1], px.shape[0], int(flat.sum()),
-                        hist / max(1, len(flat)))
+                px = codec(payload)
             except ValueError:
-                pass  # malformed BMP -> deterministic fallback below
+                continue
+            flat = px.reshape(-1)
+            hist, _ = np.histogram(flat, bins=self.buckets)
+            return (px.shape[1], px.shape[0], int(flat.sum()),
+                    hist / max(1, len(flat)))
         if HAVE_PIL:  # pragma: no cover - real decoder when codecs exist
             import io
             try:
@@ -114,118 +127,230 @@ class DecodeStub:
         })
 
 
-class ResizeStub:
-    """STUB resize stage (real impl: PIL thumbnail).  Deterministic fake:
-    truncate the payload to TARGET_BYTES — the stage contract (binary in,
-    smaller binary + dims out, actor pool, small batches) is real."""
-
-    TARGET_BYTES = 64
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        sliced = pc.binary_slice(b["payload"].cast(pa.binary()), 0,
-                                 self.TARGET_BYTES) \
-            if hasattr(pc, "binary_slice") else b["payload"]
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "thumb": sliced,
-            "thumb_bytes": pc.cast(pc.binary_length(sliced), pa.int64()),
-        })
-
-
-class FrameSampleStub:
-    """STUB frame sampler (real impl: ffmpeg keyframes).  Deterministic
-    fake: k evenly-spaced 16-byte windows of the payload, EXPLODED to one
-    row per frame (the flat_map shape a video pipeline needs).  The window
-    gather is vectorized over the Arrow binary buffer (offset arithmetic +
-    one fancy-index per frame slot — no per-payload Python slicing)."""
-
-    K = 4
-    WIN = 16
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "frame_idx": pa.array([], pa.int32()),
-                             "frame": pa.array([], pa.binary())})
-        col = b["payload"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        col = col.cast(pa.binary())
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
-                             count=len(col) + 1,
-                             offset=col.offset * 4).astype(np.int64)
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-        starts, n = offs[:-1], np.diff(offs)
-        doc = b["doc_id"].to_numpy()
-        step = np.maximum(1, n // self.K)
-        frames_parts, doc_parts, idx_parts, len_parts = [], [], [], []
-        for k in range(self.K):
-            off = np.minimum(k * step, np.maximum(0, n - self.WIN))
-            lens = np.minimum(self.WIN, n - off)
-            # gather each row's window: repeat starts, add per-window arange
-            tot = int(lens.sum())
-            ends = np.cumsum(lens)
-            local = np.arange(tot, dtype=np.int64) - np.repeat(ends - lens, lens)
-            src = np.repeat(starts + off, lens) + local
-            frames_parts.append(data[src])
-            len_parts.append(lens)
-            doc_parts.append(doc)
-            idx_parts.append(np.full(len(doc), k, dtype=np.int32))
-        values = np.concatenate(frames_parts)
-        lens_all = np.concatenate(len_parts)
-        out_offs = np.concatenate([[0], np.cumsum(lens_all)]).astype(np.int32)
-        frame_arr = pa.Array.from_buffers(
-            pa.binary(), len(lens_all),
-            [None, pa.py_buffer(out_offs.tobytes()),
-             pa.py_buffer(values.tobytes())])
-        return pa.table({
-            "doc_id": pa.array(np.concatenate(doc_parts), pa.int64()),
-            "frame_idx": pa.array(np.concatenate(idx_parts)),
-            "frame": frame_arr,
-        })
-
-
-def media_thumbnails(sf_dir: str) -> rd.Dataset:
-    """manifest -> resize stub (actor pool, small batches)."""
-    return media_manifest_ds(sf_dir).map_batches(
-        ResizeStub, batch_format="pyarrow",
-        concurrency=(1, 4), batch_size=MEDIA_BATCH)
-
-
-def media_frames(sf_dir: str) -> rd.Dataset:
-    """manifest -> frame-sample stub (one row per sampled frame)."""
-    return media_manifest_ds(sf_dir).map_batches(
-        FrameSampleStub, batch_format="pyarrow",
-        concurrency=(1, 4), batch_size=MEDIA_BATCH)
-
-
-def media_features(sf_dir: str) -> rd.Dataset:
-    """manifest -> actor-pool decode/feature-extract (small batches)."""
+def media_octet_features(sf_dir: str) -> rd.Dataset:
+    """opaque manifest -> actor-pool byte-feature extract (small batches);
+    feeds the byte-accounting oracles (``media_stats``/``media_checksums``)."""
     return media_manifest_ds(sf_dir).map_batches(
         DecodeStub, batch_format="pyarrow",
         concurrency=(1, 4), batch_size=MEDIA_BATCH)
 
 
 def media_stats(sf_dir: str) -> rd.Dataset:
-    """Oracle-checkable projection of the media path: (doc_id, n_bytes) —
-    byte-length accounting survives the stub boundary."""
-    return media_features(sf_dir).select_columns(["doc_id", "n_bytes"])
+    """Oracle-checkable projection of the opaque-media path:
+    (doc_id, n_bytes) — byte-length accounting through the stage."""
+    return media_octet_features(sf_dir).select_columns(["doc_id", "n_bytes"])
+
+
+def media_checksums(sf_dir: str) -> rd.Dataset:
+    """Oracle-checkable content digests through the decode stage:
+    (doc_id, checksum_md5) vs DuckDB md5() on the same payload bytes."""
+    return media_octet_features(sf_dir) \
+        .select_columns(["doc_id", "checksum_md5"])
+
+
+# ---------------------------------------------------------------------------
+# REAL image path: PPM (P6) encode on the manifest side, genuine pixel
+# decode in the feature/thumbnail stages.  Pixel formula mirrors the BMP
+# twin so the oracle can restate it: px(x, y) = (doc*31 + x*7 + y*13) % 256,
+# with a per-doc width so the header parse is exercised too.
+# ---------------------------------------------------------------------------
+
+PPM_H = 8
+PPM_W_BASE, PPM_W_MOD, PPM_W_STEP = 8, 8, 2   # w = 8 + (doc % 8) * 2
+FEATURE_BINS = 8                               # histogram bucket = px // 32
+THUMB_FACTOR = 2                               # 2x2 box mean (exact // 4)
+
+
+def media_ppm_manifest_ds(sf_dir: str) -> rd.Dataset:
+    """REAL image manifest: one deterministic P6 PPM per document."""
+    def to_ppm(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        y = np.arange(PPM_H, dtype=np.int64) * 13
+        payloads = []
+        for d in ids:
+            w = PPM_W_BASE + (int(d) % PPM_W_MOD) * PPM_W_STEP
+            x = np.arange(w, dtype=np.int64) * 7
+            px = ((int(d) * 31 + x[None, :] + y[:, None]) % 256) \
+                .astype(np.uint8)
+            payloads.append(_ppm_encode(px))
+        pay = pa.array(payloads, pa.binary())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "payload": pay,
+            "media_type": pa.array(["image/x-portable-pixmap"] * len(b),
+                                   pa.string()),
+            "n_bytes": pc.cast(pc.binary_length(pay), pa.int64()),
+        })
+    return read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(to_ppm, batch_format="pyarrow", batch_size=MEDIA_BATCH)
+
+
+class ImageFeatures:
+    """GENUINE image decode stage: parse the PPM container, return true
+    dimensions, the exact pixel-sum checksum, and an 8-bin intensity
+    histogram as plain int64 columns (b0..b7) — every output value is
+    SQL-restatable from the pixel formula, so the decode is value-checked
+    end-to-end."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        w, h, ck = [], [], []
+        hists = np.zeros((b.num_rows, FEATURE_BINS), dtype=np.int64)
+        for i, p in enumerate(b["payload"].to_pylist()):
+            px = _ppm_decode(p)
+            w.append(px.shape[1])
+            h.append(px.shape[0])
+            flat = px.reshape(-1)
+            ck.append(int(flat.sum()))
+            hists[i] = np.bincount(flat >> 5, minlength=FEATURE_BINS)
+        cols = {
+            "doc_id": b["doc_id"],
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "checksum": pa.array(ck, pa.int64()),
+        }
+        for j in range(FEATURE_BINS):
+            cols[f"b{j}"] = pa.array(hists[:, j], pa.int64())
+        return pa.table(cols)
+
+
+def media_features(sf_dir: str) -> rd.Dataset:
+    """PPM manifest -> actor-pool GENUINE decode -> dims + checksum +
+    intensity histogram (oracle-checked against the pixel formula)."""
+    return media_ppm_manifest_ds(sf_dir).map_batches(
+        ImageFeatures, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=MEDIA_BATCH)
+
+
+class Thumbnail:
+    """GENUINE resize stage: decode the PPM, 2x2 box-downsample with exact
+    integer mean (sum of the four pixels // 4), re-encode as PPM.  The
+    re-encoded payload length and the thumb pixel-sum checksum are both
+    SQL-restatable, proving decode -> resample -> encode ran for real."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        tw, th, tb, ck, thumbs = [], [], [], [], []
+        f = THUMB_FACTOR
+        for p in b["payload"].to_pylist():
+            px = _ppm_decode(p).astype(np.int64)
+            h2, w2 = px.shape[0] // f, px.shape[1] // f
+            small = (px[: h2 * f, : w2 * f]
+                     .reshape(h2, f, w2, f).sum(axis=(1, 3)) // (f * f)) \
+                .astype(np.uint8)
+            enc = _ppm_encode(small)
+            thumbs.append(enc)
+            tw.append(w2)
+            th.append(h2)
+            tb.append(len(enc))
+            ck.append(int(small.sum()))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "thumb": pa.array(thumbs, pa.binary()),
+            "thumb_w": pa.array(tw, pa.int32()),
+            "thumb_h": pa.array(th, pa.int32()),
+            "thumb_bytes": pa.array(tb, pa.int64()),
+            "thumb_checksum": pa.array(ck, pa.int64()),
+        })
+
+
+def media_thumbnails(sf_dir: str) -> rd.Dataset:
+    """PPM manifest -> actor-pool GENUINE decode + box-downsample +
+    re-encode.  The binary thumb column is dropped from the query result
+    (SQL cannot restate raw bytes); the dims / byte-length / checksum
+    columns prove it was produced."""
+    return media_ppm_manifest_ds(sf_dir).map_batches(
+        Thumbnail, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=MEDIA_BATCH) \
+        .select_columns(["doc_id", "thumb_w", "thumb_h",
+                         "thumb_bytes", "thumb_checksum"])
+
+
+# ---------------------------------------------------------------------------
+# REAL video path: YUV4MPEG2 container on the manifest side, genuine
+# container parse + frame sampling in the stage.  Frame-pixel formula:
+# px(t, x, y) = (doc*31 + t*17 + x*7 + y*13) % 256 over Y4M_W x Y4M_H,
+# n_frames = 3 + doc % 3.
+# ---------------------------------------------------------------------------
+
+Y4M_W, Y4M_H = 16, 8
+Y4M_FRAMES_BASE, Y4M_FRAMES_MOD = 3, 3   # n = 3 + doc % 3
+FRAME_K = 3                               # sample K frames: t = (k*n)//K
+
+
+def media_y4m_manifest_ds(sf_dir: str) -> rd.Dataset:
+    """REAL video manifest: one deterministic .y4m clip per document."""
+    x = np.arange(Y4M_W, dtype=np.int64) * 7
+    y = np.arange(Y4M_H, dtype=np.int64) * 13
+    grid = x[None, :] + y[:, None]                       # (h, w)
+
+    def to_y4m(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = []
+        for d in ids:
+            n = Y4M_FRAMES_BASE + int(d) % Y4M_FRAMES_MOD
+            t = np.arange(n, dtype=np.int64) * 17
+            cube = ((int(d) * 31 + t[:, None, None] + grid[None, :, :])
+                    % 256).astype(np.uint8)
+            payloads.append(_y4m_encode(cube))
+        pay = pa.array(payloads, pa.binary())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "payload": pay,
+            "media_type": pa.array(["video/x-yuv4mpeg2"] * len(b),
+                                   pa.string()),
+            "n_bytes": pc.cast(pc.binary_length(pay), pa.int64()),
+        })
+    return read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(to_y4m, batch_format="pyarrow", batch_size=MEDIA_BATCH)
+
+
+class FrameSample:
+    """GENUINE frame sampler: parse the y4m container, pick K evenly-spaced
+    frames (t = (k * n_frames) // K), emit one row per sampled frame with
+    the decoded luma plane's exact sum — the flat-map shape a video
+    pipeline needs, value-checked against the frame formula."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        doc, fidx, src, sums = [], [], [], []
+        for d, p in zip(b["doc_id"].to_pylist(),
+                        b["payload"].to_pylist()):
+            cube = _y4m_decode(p)
+            n = cube.shape[0]
+            for k in range(FRAME_K):
+                t = (k * n) // FRAME_K
+                doc.append(d)
+                fidx.append(k)
+                src.append(t)
+                sums.append(int(cube[t].astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "src_frame": pa.array(src, pa.int32()),
+            "luma_sum": pa.array(sums, pa.int64()),
+        })
+
+
+def media_frames(sf_dir: str) -> rd.Dataset:
+    """y4m manifest -> actor-pool GENUINE container parse + frame sample
+    (one row per sampled frame)."""
+    return media_y4m_manifest_ds(sf_dir).map_batches(
+        FrameSample, batch_format="pyarrow",
+        concurrency=(1, 4), batch_size=MEDIA_BATCH)
 
 
 def media_frame_stats(sf_dir: str) -> rd.Dataset:
-    """Oracle-checkable invariants of the frame sampler: exactly K frames
-    per doc, max frame length = min(WIN, payload bytes).  All K frames of a
-    doc are emitted in one output batch, so the per-batch Arrow group_by is
+    """Per-doc roll-up of the frame sampler: exactly FRAME_K sampled frames
+    per doc, total decoded luma across them.  All K frames of a doc are
+    emitted in one output batch, so the per-batch Arrow group_by is
     globally correct."""
     def stats(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_frames": pa.array([], pa.int64()),
-                             "max_frame_bytes": pa.array([], pa.int64())})
-        t = pa.table({"doc_id": b["doc_id"],
-                      "fb": pc.cast(pc.binary_length(b["frame"]), pa.int64())})
-        g = t.group_by(["doc_id"]).aggregate([([], "count_all"), ("fb", "max")])
-        return g.rename_columns(["doc_id", "n_frames", "max_frame_bytes"])
+                             "total_luma": pa.array([], pa.int64())})
+        t = pa.table({"doc_id": b["doc_id"], "ls": b["luma_sum"]})
+        g = t.group_by(["doc_id"]).aggregate(
+            [([], "count_all"), ("ls", "sum")])
+        return g.rename_columns(["doc_id", "n_frames", "total_luma"])
 
     # batch_size=None: operate on the sampler's whole output blocks (each
     # holds complete docs); a row-count re-batch could split a doc's frames
@@ -310,10 +435,9 @@ class WavDecode:
     samples, an exact energy measure) is the SQL-checkable decode proof."""
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        from ..functions.wav import decode
         rates, chans, nsamp, durs, sq = [], [], [], [], []
         for p in b["payload"].to_pylist():
-            rate, ch, data = decode(p)
+            rate, ch, data = _wav_decode(p)
             rates.append(rate)
             chans.append(ch)
             nsamp.append(len(data) // ch)
@@ -336,10 +460,3 @@ def media_wav_features(sf_dir: str) -> rd.Dataset:
     return media_wav_manifest_ds(sf_dir).map_batches(
         WavDecode, batch_format="pyarrow",
         concurrency=(1, 4), batch_size=MEDIA_BATCH)
-
-
-def media_checksums(sf_dir: str) -> rd.Dataset:
-    """Oracle-checkable content digests through the decode stage:
-    (doc_id, checksum_md5) vs DuckDB md5() on the same payload bytes —
-    moves the media pipeline's value check beyond rows-only."""
-    return media_features(sf_dir).select_columns(["doc_id", "checksum_md5"])

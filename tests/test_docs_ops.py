@@ -78,14 +78,46 @@ def test_pq_recall_vs_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_media_stub_deterministic():
-    a = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id")
-    b = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id")
+def test_media_features_real_ppm_decode():
+    a = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = M.media_features(SF_SMOKE).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
     assert (a["checksum"].values == b["checksum"].values).all()
-    assert (a["n_bytes"] > 0).all()
-    assert a["feature"].iloc[0].shape == (M.DecodeStub.FEATURE_DIM,)
-    # features are normalized byte histograms
-    assert abs(sum(a["feature"].iloc[0]) - 1.0) < 1e-9
+    # genuine decode: dims match the per-doc formula, the 8-bin histogram
+    # accounts for every pixel, and the checksum matches a local re-decode
+    ids = a["doc_id"].to_numpy()
+    assert (a["width"].to_numpy()
+            == M.PPM_W_BASE + (ids % M.PPM_W_MOD) * M.PPM_W_STEP).all()
+    assert (a["height"] == M.PPM_H).all()
+    bins = a[[f"b{j}" for j in range(M.FEATURE_BINS)]].to_numpy().sum(axis=1)
+    assert (bins == a["width"].to_numpy() * M.PPM_H).all()
+    import numpy as np
+    d = int(ids[0])
+    w = M.PPM_W_BASE + (d % M.PPM_W_MOD) * M.PPM_W_STEP
+    px = (d * 31 + np.arange(w)[None, :] * 7
+          + np.arange(M.PPM_H)[:, None] * 13) % 256
+    assert int(a["checksum"].iloc[0]) == int(px.sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppm_y4m_codec_roundtrip():
+    import numpy as np
+    from security_log_analysis_rust_ray.functions import ppm, y4m
+    img = (np.arange(15 * 7, dtype=np.uint8).reshape(7, 15) * 3) % 256
+    assert (ppm.decode(ppm.encode_gray(img)) == img).all()
+    # header with a comment parses per netpbm spec
+    pl = ppm.encode_gray(img)
+    commented = b"P6\n# made by a test\n15 7\n255\n" + pl.split(b"\n", 3)[3]
+    assert (ppm.decode(commented) == img).all()
+    cube = (np.arange(3 * 8 * 16, dtype=np.uint8).reshape(3, 8, 16) * 5) % 256
+    assert (y4m.decode(y4m.encode_gray(cube)) == cube).all()
+    for bad in (b"P5 1 1 255 x", b"YUV4MPEG2 W4 H4 C444\nFRAME\n"):
+        try:
+            ppm.decode(bad) if bad[:1] == b"P" else y4m.decode(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -100,12 +132,29 @@ def test_exact_dedup_removes_known_dups():
 
 @pytest.mark.usefixtures("ray_session")
 def test_media_resize_and_frames():
-    th = M.media_thumbnails(SF_SMOKE).to_pandas()
-    assert (th["thumb_bytes"] <= M.ResizeStub.TARGET_BYTES).all()
+    import numpy as np
+    th = M.media_thumbnails(SF_SMOKE).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    ids = th["doc_id"].to_numpy()
+    assert (th["thumb_w"].to_numpy()
+            == M.PPM_W_BASE // 2 + ids % M.PPM_W_MOD).all()
+    assert (th["thumb_h"] == M.PPM_H // 2).all()
+    # exact 2x2 box mean of the formula pixels for one doc
+    d = int(ids[0])
+    w = M.PPM_W_BASE + (d % M.PPM_W_MOD) * M.PPM_W_STEP
+    px = (d * 31 + np.arange(w)[None, :] * 7
+          + np.arange(M.PPM_H)[:, None] * 13) % 256
+    small = px.reshape(M.PPM_H // 2, 2, w // 2, 2).sum(axis=(1, 3)) // 4
+    assert int(th["thumb_checksum"].iloc[0]) == int(small.sum())
     fr = M.media_frames(SF_SMOKE).to_pandas()
-    assert set(fr["frame_idx"].unique()) == set(range(M.FrameSampleStub.K))
-    assert len(fr) == M.FrameSampleStub.K * th.shape[0]
-    assert fr["frame"].map(len).max() <= M.FrameSampleStub.WIN
+    assert set(fr["frame_idx"].unique()) == set(range(M.FRAME_K))
+    assert len(fr) == M.FRAME_K * th.shape[0]
+    # sampled frame luma matches the formula for one (doc, frame)
+    r = fr.sort_values(["doc_id", "frame_idx"]).iloc[0]
+    d, t = int(r["doc_id"]), int(r["src_frame"])
+    lum = (d * 31 + t * 17 + np.arange(M.Y4M_W)[None, :] * 7
+           + np.arange(M.Y4M_H)[:, None] * 13) % 256
+    assert int(r["luma_sum"]) == int(lum.sum())
 
 
 @pytest.mark.usefixtures("ray_session")
