@@ -402,57 +402,98 @@ def churned_users(sf_dir: str) -> rd.Dataset:
 def user_running_totals(sf_dir: str) -> rd.Dataset:
     """Per-user running cumulative `value` over time — the windowed
     cumulative-aggregate shape.  Hash-repartition by user, then ONE
-    vectorized pandas groupby-cumsum per block across all its users (no
-    per-group Python; oracle = SQL window SUM OVER)."""
+    Arrow-native kernel per block across all its users: sort, global
+    cumsum, subtract each user segment's entering offset (numpy over
+    zero-copy Arrow views — no pandas conversion, no per-group Python;
+    oracle = SQL window SUM OVER)."""
     from ..pipelines.streaming import _by_key_blocks
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "ts", "value"])
 
-    def block_cum(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "event_id": pd.Series([], dtype="int64"),
-                "running_value": pd.Series([], dtype="float64")})
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        df["running_value"] = round_half_up(
-            df.groupby("user_id", sort=False)["value"].cumsum().to_numpy(), 2)
-        return df[["user_id", "event_id", "running_value"]]
+    def block_cum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "running_value": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = b["user_id"].to_numpy()
+        v = b["value"].to_numpy().astype(np.float64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(u)])
+        c = np.cumsum(v)
+        base = np.where(starts == 0, 0.0, c[np.maximum(starts - 1, 0)])
+        run = c - np.repeat(base, lens)
+        return pa.table({"user_id": b["user_id"],
+                         "event_id": b["event_id"],
+                         "running_value": pa.array(round_half_up(run, 2))})
 
     return _by_key_blocks(ds, ["user_id"]).map_batches(
-        block_cum, batch_format="pandas", batch_size=None)
+        block_cum, batch_format="pyarrow", batch_size=None)
+
+
+def _asof_match_ts(u: np.ndarray, t: np.ndarray,
+                   is_match: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented backward as-of core over numpy views: for each row i of
+    arrays sorted with equal-``u`` rows contiguous and ``t`` ascending
+    within each segment, return (matched_t, found) where matched_t[i] is
+    the LARGEST t among match rows in i's segment with t[m] <= t[i].
+    Match-by-VALUE tie semantics (a same-t match sorted after row i still
+    counts), matching SQL RANGE frames / pandas merge_asof.  One
+    maximum.accumulate over segment-offset-encoded indices — no per-group
+    Python, no pandas."""
+    n = len(u)
+    first = np.r_[True, u[1:] != u[:-1]]
+    gid = np.cumsum(first) - 1
+    base = gid * np.int64(n + 1)   # strictly jumps at segment starts, so
+    # the running max can never carry a previous user's match across
+    val = base + np.where(is_match, np.arange(n, dtype=np.int64) + 1, 0)
+    run = np.maximum.accumulate(val)
+    # lift each row to the END of its (u, t) tie group so same-t matches
+    # anywhere in the group are visible (value semantics, not positional)
+    last = np.r_[(u[1:] != u[:-1]) | (t[1:] != t[:-1]), True]
+    lasts = np.flatnonzero(last)
+    cnt = np.diff(np.r_[np.int64(-1), lasts])
+    run = run[np.repeat(lasts, cnt)]
+    sig = run - base
+    found = sig > 0
+    return t[np.maximum(sig - 1, 0)], found
 
 
 def events_asof_signup(sf_dir: str) -> rd.Dataset:
     """AS-OF JOIN (custom operator — Ray Data has none): for every event,
     attach the timestamp of the user's most recent PRIOR-OR-EQUAL 'signup'
-    event.  Implementation: partition by user (groupby), sort by ts within
-    the group, pandas merge_asof — the guide's documented as-of pattern.
+    event.  Implementation: partition by user (groupby), sort within the
+    block, then the Arrow-native segmented scan ``_asof_match_ts`` (numpy
+    over zero-copy columns — no pandas conversion in the hot path).
     Partitioning assumption: the join key (user_id) co-locates both sides;
     skewed users are bounded by per-user event counts."""
     from ..pipelines.streaming import _by_key_blocks
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "ts", "event_type"])
 
-    def block_asof(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "event_id": pd.Series([], dtype="int64"),
-                "last_signup_ts": pd.Series([], dtype="datetime64[us]")})
-        # ONE merge_asof across every user in the block (by=user_id keeps
-        # the per-user semantics; both sides globally ts-sorted as the
-        # kernel requires) — no per-group Python
-        df = df.sort_values(["ts", "event_id"], kind="stable") \
-            .reset_index(drop=True)
-        signups = df[df["event_type"] == "signup"][["user_id", "ts"]] \
-            .rename(columns={"ts": "last_signup_ts"})
-        out = pd.merge_asof(df, signups, by="user_id", left_on="ts",
-                            right_on="last_signup_ts", direction="backward")
-        return out[["user_id", "event_id", "last_signup_ts"]]
+    def block_asof(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "last_signup_ts": pa.array([], pa.timestamp("us"))})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = b["user_id"].to_numpy()
+        t = b["ts"].cast(pa.int64()).to_numpy()
+        is_s = pc.equal(b["event_type"], "signup").to_numpy(
+            zero_copy_only=False)
+        ts_m, found = _asof_match_ts(u, t, is_s)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "last_signup_ts": pa.array(ts_m, pa.timestamp("us"),
+                                       mask=~found)})
 
     return _by_key_blocks(ds, ["user_id"]).map_batches(
-        block_asof, batch_format="pandas", batch_size=None)
+        block_asof, batch_format="pyarrow", batch_size=None)
 
 
 _IJ_MARK = "__slar_ij__"
@@ -992,30 +1033,39 @@ def events_next_purchase(sf_dir: str) -> rd.Dataset:
     attribution).  Same one-exchange plan as ``events_asof_signup`` —
     user_id co-location, ONE ts-sorted ``merge_asof`` per block — with
     direction='forward' + tolerance.  Tie semantics: a same-timestamp
-    purchase matches regardless of event_id order (merge_asof matches by
-    ts only), which the oracle mirrors with a RANGE window frame."""
+    purchase matches regardless of event_id order (match by ts value, not
+    position), which the oracle mirrors with a RANGE window frame.
+    Forward = the backward core ``_asof_match_ts`` run over the reversed
+    block with negated timestamps (min t >= t_i becomes max -t <= -t_i)."""
     from ..pipelines.streaming import _by_key_blocks
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "ts", "event_type"])
+    tol_us = 7 * 24 * 3600 * 1_000_000
 
-    def block_asof(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "event_id": pd.Series([], dtype="int64"),
-                "next_purchase_ts": pd.Series([], dtype="datetime64[us]")})
-        df = df.sort_values(["ts", "event_id"], kind="stable") \
-            .reset_index(drop=True)
-        buys = df[df["event_type"] == "purchase"][["user_id", "ts"]] \
-            .rename(columns={"ts": "next_purchase_ts"})
-        out = pd.merge_asof(df, buys, by="user_id", left_on="ts",
-                            right_on="next_purchase_ts",
-                            direction="forward",
-                            tolerance=pd.Timedelta(days=7))
-        return out[["user_id", "event_id", "next_purchase_ts"]]
+    def block_asof(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "next_purchase_ts": pa.array([], pa.timestamp("us"))})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = b["user_id"].to_numpy()
+        t = b["ts"].cast(pa.int64()).to_numpy()
+        is_p = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        neg_m, found = _asof_match_ts(u[::-1], -t[::-1], is_p[::-1])
+        ts_m, found = -neg_m[::-1], found[::-1]
+        found &= (ts_m - t) <= tol_us
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "next_purchase_ts": pa.array(
+                np.where(found, ts_m, 0), pa.timestamp("us"),
+                mask=~found)})
 
     return _by_key_blocks(ds, ["user_id"]).map_batches(
-        block_asof, batch_format="pandas", batch_size=None)
+        block_asof, batch_format="pyarrow", batch_size=None)
 
 
 def signup_to_purchase_stats(sf_dir: str) -> rd.Dataset:
@@ -1841,7 +1891,6 @@ def user_time_weighted_value(sf_dir: str) -> rd.Dataset:
         wsum = np.bincount(gid, weights=v * dt)
         wtot = np.bincount(gid, weights=dt)
         keep = wtot > 0
-        from ..functions.util import round_half_up
         return pa.table({
             "user_id": pa.array(u[np.flatnonzero(first)][keep], pa.int64()),
             "twap": pa.array(round_half_up(wsum[keep] / wtot[keep]),
@@ -1905,7 +1954,6 @@ def user_rolling_value_7d(sf_dir: str) -> rd.Dataset:
         lo = np.searchsorted(fused, fused - W, side="left")
         hi = np.searchsorted(fused, fused, side="right")
         csum = np.r_[0.0, np.cumsum(v)]
-        from ..functions.util import round_half_up
         return pa.table({
             "event_id": b["event_id"],
             "user_id": b["user_id"],
@@ -2384,6 +2432,11 @@ def top_supplier(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow", batch_size=None) \
         .materialize()  # supplier-key cardinality: dim-sized by construction
     mx = rev.max("total_revenue")
+    if mx is None:  # empty fold: no lineitem in the window
+        return rd.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue": pa.array([], pa.float64())}))
     winners = rev.map_batches(
         lambda b: b.filter(pc.equal(b["total_revenue"],
                                     pa.scalar(float(mx)))),
@@ -2403,7 +2456,7 @@ Q17_BRAND = "Brand#4"
 Q17_QTY_FRACTION = 0.2
 
 
-def small_quantity_revenue(sf_dir: str) -> rd.Dataset:
+def small_quantity_revenue(sf_dir: str) -> Any:
     """TPC-H Q17 shape: weekly-averaged revenue lost to small-quantity
     orders of one brand.  The brand filter collapses part to a broadcast
     key set that prunes the lineitem stream at the probe; per-part mean
@@ -3305,151 +3358,6 @@ def events_ks_statistic(sf_dir: str) -> rd.Dataset:
         round_half_up(np.array([d]), 6))}))
 
 
-def events_value_means_by_type(sf_dir: str) -> rd.Dataset:
-    """Arithmetic / geometric / harmonic mean per group in ONE fold: all
-    three are monoid sums (Σy, Σln y, Σ1/y) plus a count, so the whole
-    op is a per-block grouped partial -> one tiny exchange -> vectorized
-    finish.  (value > 0 by the events generator's construction; a zero
-    would poison gmean/hmean in any engine.)  Output (event_type, mean,
-    gmean, hmean) round-6, ordered by type."""
-    def fold(b: pa.Table) -> pa.Table:
-        v = b["value"].to_numpy()
-        t = pa.table({"event_type": b["event_type"],
-                      "n1": pa.array(np.ones(b.num_rows, np.int64)),
-                      "s": b["value"],
-                      "sl": pa.array(np.log(v)),
-                      "si": pa.array(1.0 / v)})
-        return t.group_by(["event_type"]).aggregate(
-            [("n1", "sum"), ("s", "sum"), ("sl", "sum"), ("si", "sum")]) \
-            .rename_columns(["event_type", "n1", "s", "sl", "si"])
-
-    folded = read_table(sf_dir, "events",
-                        columns=["event_type", "value"]) \
-        .map_batches(fold, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(
-            Sum("n1", alias_name="n"), Sum("s", alias_name="s"),
-            Sum("sl", alias_name="sl"), Sum("si", alias_name="si"))
-
-    def finish(b: pa.Table) -> pa.Table:
-        n = b["n"].to_numpy().astype(np.float64)
-        return pa.table({
-            "event_type": b["event_type"],
-            "mean": pa.array(round_half_up(b["s"].to_numpy() / n, 6)),
-            "gmean": pa.array(round_half_up(
-                np.exp(b["sl"].to_numpy() / n), 6)),
-            "hmean": pa.array(round_half_up(
-                n / b["si"].to_numpy(), 6))})
-    return folded.map_batches(finish, batch_format="pyarrow",
-                              batch_size=None).sort("event_type")
-
-
-def events_type_hour_chi2(sf_dir: str) -> Any:
-    """Chi-square independence statistic for event_type x hour-of-day —
-    the screening test for "does traffic shape differ by type".  The
-    contingency table is a grouped count fold (|types| x 24 cells — tiny
-    by construction however large the fact stream), so margins,
-    expectations and the statistic all finish on the folded result.
-    Output one row (chi2, dof) round-4."""
-    def cells(b: pa.Table) -> pa.Table:
-        t = pa.table({"event_type": b["event_type"],
-                      "hour": pc.hour(b["ts"]),
-                      "one": pa.array(np.ones(b.num_rows, np.int64))})
-        return t.group_by(["event_type", "hour"]).aggregate(
-            [("one", "sum")]).rename_columns(["event_type", "hour", "c"])
-
-    folded = read_table(sf_dir, "events",
-                        columns=["event_type", "ts"]) \
-        .map_batches(cells, batch_format="pyarrow") \
-        .groupby(["event_type", "hour"]).aggregate(
-            Sum("c", alias_name="obs")).to_pandas()
-    if not len(folded):
-        return pd.DataFrame({"chi2": pd.array([None], dtype="float64"),
-                             "dof": pd.array([None], dtype="Int64")})
-    piv = folded.pivot_table(index="event_type", columns="hour",
-                             values="obs", fill_value=0, aggfunc="sum")
-    obs = piv.to_numpy().astype(np.float64)
-    n = obs.sum()
-    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
-    with np.errstate(divide="ignore", invalid="ignore"):
-        chi2 = float(np.where(exp > 0, (obs - exp) ** 2 / exp, 0.0).sum())
-    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
-    return pd.DataFrame({
-        "chi2": pd.array([float(round_half_up(np.array([chi2]), 4)[0])],
-                         dtype="float64"),
-        "dof": pd.array([dof], dtype="int64")})
-
-
-KS_TYPE_A = "click"
-KS_TYPE_B = "view"
-
-
-def events_ks_statistic(sf_dir: str) -> rd.Dataset:
-    """EXACT two-sample Kolmogorov–Smirnov statistic between two event
-    types' value distributions — the drift detector a 100-TB pipeline
-    runs between corpus snapshots.  D = max |F_a - F_b| needs the merged
-    empirical CDFs at every point, yet distributes in two bounded
-    passes over ONE global sort: blocks report their (type-a, type-b)
-    row counts; the driver turns those into per-block ENTERING offsets;
-    each block then computes its local cumulative CDF gap given only its
-    two offsets, and the driver takes the max of one row per block.
-    Ties across samples resolve in (value, event_id) order — identical
-    in engine and oracle, and equal to classical KS for continuous data.
-    Output one row (ks)."""
-    pair = pa.array([KS_TYPE_A, KS_TYPE_B])
-    ds = read_table(sf_dir, "events",
-                    columns=["event_id", "event_type", "value"]) \
-        .map_batches(lambda b: b.filter(pc.is_in(b["event_type"],
-                                                 value_set=pair)),
-                     batch_format="pyarrow", batch_size=None) \
-        .sort(["value", "event_id"]).materialize()
-
-    def counts(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"v0": pa.array([], pa.float64()),
-                             "id0": pa.array([], pa.int64()),
-                             "na": pa.array([], pa.int64()),
-                             "nb": pa.array([], pa.int64())})
-        isa = pc.equal(b["event_type"], KS_TYPE_A)
-        return pa.table({
-            "v0": b["value"].slice(0, 1),
-            "id0": b["event_id"].slice(0, 1),
-            "na": pa.array([int(pc.sum(pc.cast(isa, pa.int64())).as_py())],
-                           pa.int64()),
-            "nb": pa.array([b.num_rows - int(
-                pc.sum(pc.cast(isa, pa.int64())).as_py())], pa.int64())})
-
-    summ = ds.map_batches(counts, batch_format="pyarrow",
-                          batch_size=None).to_pandas()
-    empty = pa.table({"ks": pa.array([], pa.float64())})
-    if not len(summ) or (summ["na"].sum() == 0 or summ["nb"].sum() == 0):
-        return rd.from_arrow(empty)
-    summ = summ.sort_values(["v0", "id0"]).reset_index(drop=True)
-    n_a, n_b = int(summ["na"].sum()), int(summ["nb"].sum())
-    offs = {}
-    ca = cb = 0
-    for _, r in summ.iterrows():
-        offs[(float(r["v0"]), int(r["id0"]))] = (ca, cb)
-        ca += int(r["na"])
-        cb += int(r["nb"])
-
-    def block_max(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return empty
-        oa, ob = offs[(float(b["value"][0].as_py()),
-                       int(b["event_id"][0].as_py()))]
-        isa = pc.equal(b["event_type"], KS_TYPE_A).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        cum_a = oa + np.cumsum(isa)
-        cum_b = ob + np.cumsum(1 - isa)
-        d = np.abs(cum_a / n_a - cum_b / n_b).max()
-        return pa.table({"ks": pa.array([float(d)])})
-
-    folded = ds.map_batches(block_max, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
-    return rd.from_arrow(pa.table({"ks": pa.array(
-        round_half_up(np.array([float(folded["ks"].max())]), 6))}))
-
-
 def events_rank_auc(sf_dir: str) -> rd.Dataset:
     """Mann-Whitney U / ROC-AUC between the two KS event types' value
     distributions — the separability score, computed in ONE summary pass
@@ -3745,6 +3653,8 @@ def important_stock(sf_dir: str) -> rd.Dataset:
         .groupby("l_partkey").aggregate(Sum("v_sum", alias_name="v")) \
         .materialize()   # part-cardinality fold
     total = pv.sum("v")
+    if total is None:  # suppliers exist but shipped nothing at this sf
+        return rd.from_arrow(empty)
     gate = float(total) * Q11_FRACTION
 
     def finish(b: pa.Table) -> pa.Table:

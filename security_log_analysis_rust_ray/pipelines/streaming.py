@@ -67,31 +67,31 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
     cumsum — the session-boundary mask ORs the user-change mask."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def block_sessions(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "session_start": pd.Series([], dtype="datetime64[us]"),
-                "session_end": pd.Series([], dtype="datetime64[us]"),
-                "n_events": pd.Series([], dtype="int64")})
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        ts = df["ts"].to_numpy()
-        user = df["user_id"].to_numpy()
+    def block_sessions(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        user = b["user_id"].to_numpy()
         # microsecond comparison on both engine and oracle sides (second
         # truncation at the boundary would diverge)
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        new_session = np.concatenate(
-            [[True], (user[1:] != user[:-1]) | (gaps > gap_s * 1_000_000)])
-        sid = np.cumsum(new_session)
-        out = df.assign(session=sid).groupby("session", sort=False).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"), session_end=("ts", "max"),
-            n_events=("event_id", "count")).reset_index(drop=True)
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_start", "session_end", "n_events"]]
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        new_session = np.r_[True, (user[1:] != user[:-1])
+                            | (np.diff(ts) > gap_s * 1_000_000)]
+        starts = np.flatnonzero(new_session)
+        ends = np.r_[starts[1:], len(user)] - 1
+        return pa.table({
+            "user_id": pa.array(user[starts], pa.int64()),
+            "session_start": pa.array(ts[starts], pa.timestamp("us")),
+            "session_end": pa.array(ts[ends], pa.timestamp("us")),
+            "n_events": pa.array(ends - starts + 1, pa.int64())})
 
     return _by_key_blocks(ds, ["user_id"]).map_batches(
-        block_sessions, batch_format="pandas", batch_size=None)
+        block_sessions, batch_format="pyarrow", batch_size=None)
 
 
 def _alert_eligible(sf_dir: str, threshold: str) -> rd.Dataset:
