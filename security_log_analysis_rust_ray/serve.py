@@ -93,6 +93,10 @@ class AppState:
             self.auth_cache.start_refresh(
                 auth_refresh_s if auth_refresh_s is not None
                 else REFRESH_INTERVAL_S)
+        # signed-bearer-token secret (logged_user.rs LoggedUser analog;
+        # persisted per deployment like the reference's get_random_key)
+        from .state.token_auth import load_or_create_secret
+        self.auth_secret = load_or_create_secret(state_dir)
 
     # ---- intrusion log (corpus + spool) --------------------------------
 
@@ -459,11 +463,40 @@ class _Handler(BaseHTTPRequestHandler):
                     "data": df.iloc[offset:offset + limit]
                     .to_dict("records")}, default=_json_default))
             elif path == "/security_log/user":
-                # T5: the principal (X-User-Email header stands in for the
-                # reference's JWT-extracted LoggedUser) is checked against
-                # the periodically refreshed auth cache; without a users
-                # store the route serves the fixed local principal
-                if st.auth_cache is not None:
+                # LoggedUser extraction (logged_user.rs:26-115 analog):
+                # a signed bearer token (Authorization header or ``jwt``
+                # cookie) + matching session-id -> 401 on any signature/
+                # expiry/session failure, 403 when the token verifies but
+                # the email is not in the refreshed auth cache (T5).
+                # Back-compat: X-User-Email (no token) keeps the r03
+                # cache-membership path; with neither and no users store,
+                # the route serves the fixed local principal.
+                cookies = self.headers.get("Cookie", "")
+                jar = dict(p.strip().split("=", 1)
+                           for p in cookies.split(";") if "=" in p)
+                authz = self.headers.get("Authorization", "")
+                tok = (authz[7:] if authz.startswith("Bearer ")
+                       else jar.get("jwt"))
+                if tok is not None:
+                    from .state.token_auth import verify_token
+                    claims = verify_token(tok, st.auth_secret)
+                    sid = (self.headers.get("X-Session-Id")
+                           or jar.get("session-id"))
+                    if claims is None or sid != claims["session"]:
+                        self._send(401, json.dumps(
+                            {"error": "unauthorized"}))
+                    elif st.auth_cache is not None and \
+                            not st.auth_cache.is_authorized(claims["email"]):
+                        self._send(403, json.dumps({"error": "forbidden"}))
+                    else:
+                        row = (st.auth_cache.get(claims["email"])
+                               if st.auth_cache is not None else
+                               {"email": claims["email"],
+                                "created_at": _DERIVED_CREATED_AT})
+                        row["session"] = claims["session"]
+                        self._send(200, json.dumps(row,
+                                                   default=_json_default))
+                elif st.auth_cache is not None:
                     email = self.headers.get("X-User-Email")
                     row = (st.auth_cache.get(email)
                            if st.auth_cache.is_authorized(email) else None)
