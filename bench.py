@@ -190,6 +190,13 @@ def run_bench() -> dict:
           lambda: rel.local_supplier_volume(SF_DIR).to_pandas())
     timed("tpch_q21_blame",
           lambda: rel.waiting_suppliers(SF_DIR).to_pandas())
+    # windowed-kernel tier (r04: ported from per-block pandas to numpy
+    # over zero-copy Arrow): session windows and running totals over the
+    # events stream — one key exchange + one vectorized block kernel each
+    from security_log_analysis_rust_ray.pipelines import streaming as stm
+    timed("sessionize", lambda: stm.sessionize(SF_DIR).count())
+    timed("user_running_totals",
+          lambda: rel.user_running_totals(SF_DIR).count())
     # pure all-to-all exchange evidence: one global key sort of the full
     # corpus (the primitive under the exact-selection tier: median /
     # percentiles / Gini / KS all ride this sort + block summaries).
