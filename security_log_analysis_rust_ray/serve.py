@@ -353,6 +353,109 @@ class AppState:
         return f"[['Country', 'Number'],{rows}]"
 
 
+
+def openapi_spec() -> dict:
+    """OpenAPI 3.1 description of the serving surface — parity with the
+    reference's generated spec (/root/reference/scripts/openapi.yaml, 9
+    paths / 11 operations, written by the security_log_http.rs:718-745
+    test from its /security_log/openapi/yaml route).  operationIds match
+    the reference's (including its 'intursion_log_get' typo) so the specs
+    diff cleanly."""
+    def resp(desc, ctype="application/json", schema=None):
+        return {"description": desc,
+                "content": {ctype: {"schema": schema or {"type": "object"}}}}
+
+    page = [{"name": "offset", "in": "query", "required": False,
+             "schema": {"type": "integer"}},
+            {"name": "limit", "in": "query", "required": False,
+             "schema": {"type": "integer"}}]
+    attempts_params = [
+        {"name": "service", "in": "query", "required": False,
+         "schema": {"type": "string"}},
+        {"name": "location", "in": "query", "required": False,
+         "schema": {"type": "string"}}]
+    return {
+        "openapi": "3.1.0",
+        "info": {"title": "Visualizations of Security Log Data",
+                 "description": "Ray-Data-native rebuild of the security"
+                                " log analysis serving surface",
+                 "version": "0.1.0"},
+        "paths": {
+            "/security_log/cleanup": {"post": {
+                "operationId": "host_country_cleanup",
+                "responses": {"200": resp("Host Country Cleanup")}}},
+            "/security_log/host_country": {
+                "get": {"operationId": "host_country_get",
+                        "parameters": page,
+                        "responses": {"200": resp("Host Countries")}},
+                "post": {"operationId": "host_country_post",
+                         "responses": {"201": resp("Inserted Host"
+                                                   " Countries",
+                                                   "text/html",
+                                                   {"type": "string"})}}},
+            "/security_log/intrusion_attempts": {"get": {
+                "operationId": "intrusion_attempts",
+                "parameters": attempts_params + [
+                    {"name": "ndays", "in": "query", "required": False,
+                     "schema": {"type": "integer"}}],
+                "responses": {"200": resp("Intrusion Attempts",
+                                          "text/html",
+                                          {"type": "string"})}}},
+            "/security_log/intrusion_attempts/all": {"get": {
+                "operationId": "intrusion_attempts_all",
+                "parameters": attempts_params,
+                "responses": {"200": resp("All Intrusion Attempts",
+                                          "text/html",
+                                          {"type": "string"})}}},
+            "/security_log/intrusion_log": {
+                "get": {"operationId": "intursion_log_get",
+                        "parameters": page + [
+                            {"name": "service", "in": "query",
+                             "required": False,
+                             "schema": {"type": "string"}},
+                            {"name": "server", "in": "query",
+                             "required": False,
+                             "schema": {"type": "string"}}],
+                        "responses": {"200": resp("Intrusion Log"
+                                                  " Entries")}},
+                "post": {"operationId": "intrusion_log_post",
+                         "responses": {"201": resp("Inserted Intrusion"
+                                                   " Log Entries",
+                                                   "text/html",
+                                                   {"type": "string"})}}},
+            "/security_log/log_messages": {"get": {
+                "operationId": "get_log_messages",
+                "parameters": page + [
+                    {"name": n, "in": "query", "required": False,
+                     "schema": {"type": "string"}}
+                    for n in ("log_level", "log_unit", "min_date",
+                              "max_date")],
+                "responses": {"200": resp("Log Messages")}}},
+            "/security_log/log_messages/{id}": {"delete": {
+                "operationId": "delete_log_message",
+                "parameters": [{"name": "id", "in": "path",
+                                "required": True,
+                                "schema": {"type": "integer"}}],
+                "responses": {"200": resp("Deleted Log Message",
+                                          "text/html",
+                                          {"type": "string"}),
+                              "204": resp("No Such Message",
+                                          "text/html",
+                                          {"type": "string"})}}},
+            "/security_log/map_script.js": {"get": {
+                "operationId": "map_script",
+                "responses": {"200": resp("Map Drawing Script",
+                                          "text/javascript",
+                                          {"type": "string"})}}},
+            "/security_log/user": {"get": {
+                "operationId": "user",
+                "responses": {"200": resp("Logged User"),
+                              "401": resp("Not Authorized"),
+                              "403": resp("Forbidden")}}},
+        },
+    }
+
+
 _MAP_SCRIPT = """function draw_map(input) {
     function drawRegionsMap() {
       var data = google.visualization.arrayToDataTable(input);
@@ -414,7 +517,13 @@ class _Handler(BaseHTTPRequestHandler):
         path, q = self._q()
         st = self.state
         try:
-            if path == "/security_log/map_script.js":
+            if path in ("/security_log/openapi/json",
+                        "/security_log/openapi/yaml"):
+                ctype = ("text/yaml" if path.endswith("yaml")
+                         else "application/json")
+                self._send(200, json.dumps(openapi_spec(), indent=1),
+                           ctype)
+            elif path == "/security_log/map_script.js":
                 self._send(200, _MAP_SCRIPT, "text/javascript")
             elif path in ("/security_log/intrusion_attempts",
                           "/security_log/intrusion_attempts/all"):

@@ -203,3 +203,35 @@ def test_attempts_empty_filter_with_ndays_serves_empty_chart(server):
                         "?service=ftp&ndays=7")
     assert status == 200 and "[['Country', 'Number']" in html
     assert "example.com" not in html   # and truly empty of data rows
+
+
+def test_openapi_spec_routes(server):
+    """OpenAPI parity (reference scripts/openapi.yaml, generated by its
+    security_log_http.rs test): same 9 paths, same 11 operationIds; the
+    /yaml route serves the same document (JSON is valid YAML 1.2)."""
+    status, body = _get(f"{server}/security_log/openapi/json")
+    assert status == 200
+    spec = json.loads(body)
+    assert spec["openapi"].startswith("3.")
+    ref_paths = {
+        "/security_log/cleanup": ["post"],
+        "/security_log/host_country": ["get", "post"],
+        "/security_log/intrusion_attempts": ["get"],
+        "/security_log/intrusion_attempts/all": ["get"],
+        "/security_log/intrusion_log": ["get", "post"],
+        "/security_log/log_messages": ["get"],
+        "/security_log/log_messages/{id}": ["delete"],
+        "/security_log/map_script.js": ["get"],
+        "/security_log/user": ["get"],
+    }
+    assert {p: sorted(ops) for p, ops in ref_paths.items()} == \
+        {p: sorted(ops) for p, ops in spec["paths"].items()}
+    op_ids = sorted(op["operationId"] for ops in spec["paths"].values()
+                    for op in ops.values())
+    assert op_ids == sorted([
+        "host_country_cleanup", "host_country_get", "host_country_post",
+        "intrusion_attempts", "intrusion_attempts_all",
+        "intursion_log_get", "intrusion_log_post", "get_log_messages",
+        "delete_log_message", "map_script", "user"])
+    status_y, body_y = _get(f"{server}/security_log/openapi/yaml")
+    assert status_y == 200 and json.loads(body_y) == spec
