@@ -804,11 +804,12 @@ def user_funnel_counts(sf_dir: str) -> rd.Dataset:
     non-increasing.
 
     Plan: ONE user_id hash exchange co-locates each user's events, a
-    single vectorized pandas kernel per block walks the 4 stages with
-    per-user groupby-min transforms (no per-user Python), and the
-    per-block (stage, n) partials fold through the tiny grouped_sum —
-    exactly 4 rows ever reach the driver.  The stage rule is pure
-    timestamp comparison, so the SQL oracle states it identically."""
+    single numpy-over-Arrow kernel per block walks the 4 stages with
+    scatter-min folds over the block's unique users (no per-user Python,
+    no pandas conversion), and the per-block (stage, n) partials fold
+    through the tiny grouped_sum — exactly 4 rows ever reach the driver.
+    The stage rule is pure timestamp comparison, so the SQL oracle
+    states it identically."""
     from ..pipelines.streaming import _by_key_blocks
     from ..stages.aggregate import grouped_sum
 
@@ -817,20 +818,27 @@ def user_funnel_counts(sf_dir: str) -> rd.Dataset:
     part_schema = pa.schema([pa.field("stage", pa.int64()),
                              pa.field("n", pa.int64())])
 
-    def stages(df) -> pa.Table:
-        if not len(df):
+    def stages(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return part_schema.empty_table()
+        u = b["user_id"].to_numpy()
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        uid, inv = np.unique(u, return_inverse=True)
+        none = np.iinfo(np.int64).max       # "stage not reached" marker
         counts = []
-        prev = None                      # per-user completion time so far
+        prev = None                          # per-user completion time
         for k, ev in enumerate(FUNNEL_STAGES, start=1):
-            sub = df[df["event_type"] == ev]
+            m = pc.equal(b["event_type"], ev).to_numpy(
+                zero_copy_only=False)
             if prev is not None:
-                t_prev = sub["user_id"].map(prev)
-                sub = sub[t_prev.notna() & (sub["ts"] > t_prev)]
-            cur = sub.groupby("user_id")["ts"].min()
-            counts.append((k, len(cur)))
+                p = prev[inv]
+                m &= (p != none) & (ts > p)
+            cur = np.full(len(uid), none, dtype=np.int64)
+            np.minimum.at(cur, inv[m], ts[m])
+            n = int((cur != none).sum())
+            counts.append((k, n))
             prev = cur
-            if not len(cur):
+            if n == 0:
                 break
         return pa.table({
             "stage": pa.array([k for k, _ in counts], pa.int64()),
@@ -838,7 +846,7 @@ def user_funnel_counts(sf_dir: str) -> rd.Dataset:
         })
 
     partials = _by_key_blocks(ds, ["user_id"]).map_batches(
-        stages, batch_format="pandas", batch_size=None)
+        stages, batch_format="pyarrow", batch_size=None)
     out = grouped_sum(partials, ["stage"], "n", alias="n_users",
                       small_keyspace=True)
     return out.sort("stage")
@@ -1405,9 +1413,9 @@ def user_retention_cohorts(sf_dir: str) -> rd.Dataset:
 
     Plan (one exchange): in-batch distinct (user, week) combiner shrinks
     the fact stream to active-cells; hash-exchange on user_id lands each
-    user's cells in one block; a single vectorized pandas kernel per
-    block finishes the distinct, takes per-user min week (cohort) via
-    transform, and emits per-cell partial counts; the bounded
+    user's cells in one block; a single numpy-over-Arrow kernel per
+    block finishes the distinct, takes per-user min week (cohort) via a
+    scatter-min, and emits per-cell partial counts; the bounded
     (weeks x offsets) keyspace folds through the guarded driver-side
     final.  Generalizes the reference's year/month histogram
     (src/security_log_http.rs A3) to per-entity relative time."""
@@ -1421,23 +1429,31 @@ def user_retention_cohorts(sf_dir: str) -> rd.Dataset:
         t = pa.table({"user_id": b["user_id"], "week": week})
         return t.group_by(["user_id", "week"]).aggregate([])
 
-    def fold(df: pd.DataFrame) -> pa.Table:
-        if not len(df):
-            return pa.schema([("cohort_week", pa.int64()),
-                              ("week_offset", pa.int64()),
-                              ("n_users", pa.int64())]).empty_table()
-        df = df.drop_duplicates()
-        cohort = df.groupby("user_id")["week"].transform("min")
-        out = pd.DataFrame({"cohort_week": cohort,
-                            "week_offset": df["week"] - cohort})
-        g = out.groupby(["cohort_week", "week_offset"]).size()
-        t = g.reset_index(name="n_users")
-        t["n_users"] = t["n_users"].astype(np.int64)
-        return pa.Table.from_pandas(t, preserve_index=False)
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.schema([("cohort_week", pa.int64()),
+                           ("week_offset", pa.int64()),
+                           ("n_users", pa.int64())]).empty_table()
+        if b.num_rows == 0:
+            return empty
+        # finish the cross-block distinct on (user, week)
+        t = b.group_by(["user_id", "week"]).aggregate([])
+        u = t["user_id"].to_numpy()
+        w = t["week"].to_numpy()
+        uid, inv = np.unique(u, return_inverse=True)
+        cohort_per_user = np.full(len(uid), np.iinfo(np.int64).max,
+                                  dtype=np.int64)
+        np.minimum.at(cohort_per_user, inv, w)
+        cohort = cohort_per_user[inv]
+        cell = pa.table({"cohort_week": pa.array(cohort),
+                         "week_offset": pa.array(w - cohort),
+                         "one": pa.array(np.ones(len(w), np.int64))})
+        g = cell.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["cohort_week", "week_offset", "n_users"])
 
     partials = _by_key_blocks(
         ds.map_batches(cells, batch_format="pyarrow"),
-        ["user_id"]).map_batches(fold, batch_format="pandas",
+        ["user_id"]).map_batches(fold, batch_format="pyarrow",
                                  batch_size=None)
     return agg.grouped_sum(partials, ["cohort_week", "week_offset"],
                            "n_users", alias="n_users",

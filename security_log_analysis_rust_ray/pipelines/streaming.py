@@ -609,29 +609,32 @@ def session_path_trigrams(sf_dir: str, k: int = PATH_K) -> rd.Dataset:
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "ts", "event_type"])
 
-    def block_paths(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 3:
-            return pd.DataFrame({"path": pd.Series([], dtype="string")})
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        ts = df["ts"].to_numpy()
-        user = df["user_id"].to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        new_session = np.concatenate(
-            [[True], (user[1:] != user[:-1])
-             | (gaps > SESSION_GAP_S * 1_000_000)])
+    def block_paths(b: pa.Table) -> pa.Table:
+        empty = pa.table({"path": pa.array([], pa.string())})
+        if b.num_rows < 3:
+            return empty
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        user = b["user_id"].to_numpy()
+        new_session = np.r_[True, (user[1:] != user[:-1])
+                            | (np.diff(ts) > SESSION_GAP_S * 1_000_000)]
         sid = np.cumsum(new_session)
-        et = df["event_type"].to_numpy()
         ok = (sid[:-2] == sid[1:-1]) & (sid[1:-1] == sid[2:])
         if not ok.any():
-            return pd.DataFrame({"path": pd.Series([], dtype="string")})
-        a, b, c = et[:-2][ok], et[1:-1][ok], et[2:][ok]
-        path = np.char.add(np.char.add(
-            np.char.add(a.astype(str), ">"),
-            np.char.add(b.astype(str), ">")), c.astype(str))
-        return pd.DataFrame({"path": pd.Series(path, dtype="string")})
+            return empty
+        et = b["event_type"].combine_chunks() \
+            if isinstance(b["event_type"], pa.ChunkedArray) \
+            else b["event_type"]
+        # three shifted slices joined with the Arrow kernel — no numpy
+        # str objects, no pandas
+        idx = np.flatnonzero(ok)
+        path = pc.binary_join_element_wise(
+            et.take(idx), et.take(idx + 1), et.take(idx + 2), ">")
+        return pa.table({"path": path})
 
     from ..stages import aggregate as agg
     paths = _by_key_blocks(ds, ["user_id"]).map_batches(
-        block_paths, batch_format="pandas", batch_size=None)
+        block_paths, batch_format="pyarrow", batch_size=None)
     return agg.grouped_count(paths, ["path"], alias="support") \
         .sort(["support", "path"], descending=[True, False]).limit(k)
