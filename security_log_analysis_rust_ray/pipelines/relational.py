@@ -433,17 +433,19 @@ def user_running_totals(sf_dir: str) -> rd.Dataset:
         block_cum, batch_format="pyarrow", batch_size=None)
 
 
-def _asof_match_ts(u: np.ndarray, t: np.ndarray,
-                   is_match: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _asof_match_idx(u: np.ndarray, t: np.ndarray,
+                    is_match: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Segmented backward as-of core over numpy views: for each row i of
     arrays sorted with equal-``u`` rows contiguous and ``t`` ascending
-    within each segment, return (matched_t, found) where matched_t[i] is
-    the LARGEST t among match rows in i's segment with t[m] <= t[i].
+    within each segment, return (idx, found) where idx[i] is the position
+    of the LATEST match row m in i's segment with t[m] <= t[i].
     Match-by-VALUE tie semantics (a same-t match sorted after row i still
     counts), matching SQL RANGE frames / pandas merge_asof.  One
     maximum.accumulate over segment-offset-encoded indices — no per-group
     Python, no pandas."""
     n = len(u)
+    if n == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool))
     first = np.r_[True, u[1:] != u[:-1]]
     gid = np.cumsum(first) - 1
     base = gid * np.int64(n + 1)   # strictly jumps at segment starts, so
@@ -458,7 +460,14 @@ def _asof_match_ts(u: np.ndarray, t: np.ndarray,
     run = run[np.repeat(lasts, cnt)]
     sig = run - base
     found = sig > 0
-    return t[np.maximum(sig - 1, 0)], found
+    return np.maximum(sig - 1, 0), found
+
+
+def _asof_match_ts(u: np.ndarray, t: np.ndarray,
+                   is_match: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``_asof_match_idx`` projected to the matched row's t value."""
+    idx, found = _asof_match_idx(u, t, is_match)
+    return t[idx], found
 
 
 def events_asof_signup(sf_dir: str) -> rd.Dataset:
@@ -509,121 +518,116 @@ def interval_join(left: rd.Dataset, right: rd.Dataset, key: str,
     Partitioning ASSUMPTION (documented, like the as-of join): intervals
     are NON-OVERLAPPING per key, so each left row matches at most one
     interval — then the match is exactly "the interval with the greatest
-    lo <= ts, if its hi >= ts", i.e. one vectorized ``merge_asof`` +
-    upper-bound mask per block.  Overlapping intervals would need the m:n
-    expansion of ``hash_join`` + a range filter instead.
+    lo <= ts, if its hi >= ts", i.e. the backward as-of core
+    (``_asof_match_idx``) over the tagged union plus an upper-bound mask.
+    Overlapping intervals would need the m:n expansion of ``hash_join`` +
+    a range filter instead.
 
-    Plan: tag both sides, ONE hash exchange on ``key`` (the same co-locate
-    exchange every windowed op here uses), then one pandas kernel per
-    block across all of its keys — no per-key Python, nothing
-    driver-side."""
-    import numpy as np
-
+    Plan: tag both sides into one NULL-PADDED common schema (typed
+    ``pa.nulls`` — no pandas NaN coercion anywhere), ONE hash exchange on
+    ``key`` (the same co-locate exchange every windowed op here uses),
+    then one numpy-over-Arrow kernel per block across all of its keys:
+    dictionary-encode the key to segment codes, lexsort once, run the
+    as-of scan, gather payload with a null-masked ``take`` — no per-key
+    Python, nothing driver-side, no pandas conversion."""
     from ..stages.joins import _arrow_schema
     assert how in ("inner", "left"), how
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
-    # the hash exchange partitions by VALUE+TYPE, and pandas materializes
-    # a nullable int64 key as float64 in blocks that CONTAIN a null and
-    # int64 in blocks that don't — so without normalization equal keys
-    # land in different partitions depending on which block they share
-    # with a null (r03 review).  Cast the key on BOTH sides to a
-    # null-stable dtype (pandas nullable Int64 round-trips to Arrow int64
-    # regardless of nulls); strings already round-trip null-stably.
+    # normalize integer keys to int64 on BOTH sides: the hash exchange
+    # partitions by value+type, so differing integer widths would land
+    # equal keys in different partitions (r03 review, now Arrow-level —
+    # nulls stay int64, the pandas float64-coercion problem is gone)
     kt = lsch.field(key).type
-    if pa.types.is_integer(kt):
-        key_dtype = pd.Int64Dtype()
-    elif pa.types.is_floating(kt):
-        key_dtype = np.float64
-    else:
-        key_dtype = None
+    key_cast = pa.int64() if pa.types.is_integer(kt) else None
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if key_dtype is not None:
-            df[key] = df[key].astype(key_dtype)
-        df[_IJ_MARK] = np.int8(0)
-        return df
-
-    # payload may name lo/hi themselves (e.g. emit the window start as the
-    # session id) — dedupe the right-side projection
+    left_cols = list(lsch.names)
     extra = [c for c in right_payload if c not in (key, lo_col, hi_col)]
+    right_cols = [key, lo_col, hi_col] + extra
+    # one common schema: left fields + the right-only fields, key cast
+    def _f(c, t):
+        return pa.field(c, pa.int64() if c == key and key_cast else t)
+    uni_fields = [_f(c, lsch.field(c).type) for c in left_cols] +         [_f(c, rsch.field(c).type) for c in right_cols
+         if c not in left_cols] + [pa.field(_IJ_MARK, pa.int8())]
+    uni_schema = pa.schema(uni_fields)
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[key, lo_col, hi_col] + extra].copy()
-        if key_dtype is not None:
-            df[key] = df[key].astype(key_dtype)
-        df[_IJ_MARK] = np.int8(1)
-        return df
+    def _tag(mark: int, present: list[str]):
+        def tag(b: pa.Table) -> pa.Table:
+            cols = {}
+            for f in uni_fields:
+                if f.name == _IJ_MARK:
+                    cols[f.name] = pa.nulls(b.num_rows, pa.int8()).fill_null(mark)
+                elif f.name in present:
+                    cols[f.name] = b[f.name].cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(b.num_rows, f.type)
+            return pa.table(cols).cast(uni_schema)
+        return tag
 
     from ..pipelines.streaming import _by_key_blocks
-    uni = left.map_batches(tag_left, batch_format="pandas",
-                           batch_size=None) \
-        .union(right.map_batches(tag_right, batch_format="pandas",
-                                 batch_size=None))
+    uni = left.map_batches(_tag(0, left_cols), batch_format="pyarrow",
+                           batch_size=None)         .union(right.map_batches(_tag(1, right_cols),
+                                 batch_format="pyarrow", batch_size=None))
 
-    left_cols = [c for c in left.schema().names]
-    out_cols = left_cols + right_payload
-
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
-        if _IJ_MARK not in df.columns or not len(df):
-            return pd.DataFrame(columns=out_cols)
-        # a hash partition can hold only ONE side's rows, arriving without
-        # the other side's columns — pad them so the split below is total
-        for c in set(left_cols + [key, lo_col, hi_col] + extra):
-            if c not in df.columns:
-                df = df.assign(**{c: pd.NA})
-        all_left = df[df[_IJ_MARK] == 0][left_cols]
-        # null left keys never match; a LEFT join still keeps them
-        lrows = all_left.dropna(subset=[key])
-        rrows = df[df[_IJ_MARK] == 1][[key, lo_col, hi_col] + extra] \
-            .dropna(subset=[key])   # null interval keys never match
-        if not len(lrows):
-            out = pd.DataFrame(columns=out_cols)
-        elif not len(rrows):
-            # one-sided partition (no intervals): inner drops everything,
-            # left keeps the rows with null payload — and skips merge_asof,
-            # whose dtype validation chokes on the NA-padded empty side
-            if how == "inner":
-                out = pd.DataFrame(columns=out_cols)
-            else:
-                out = lrows.assign(**{c: pd.NA for c in right_payload
-                                      if c not in left_cols})[out_cols]
-        else:
-            lrows = lrows.sort_values(left_ts, kind="stable") \
-                .reset_index(drop=True)
-            rrows = rrows.sort_values(lo_col, kind="stable") \
-                .reset_index(drop=True)
-            out = pd.merge_asof(lrows, rrows, by=key, left_on=left_ts,
-                                right_on=lo_col, direction="backward")
-            inside = out[hi_col].notna() & (out[left_ts] <= out[hi_col])
-            if how == "inner":
-                return out[inside][out_cols]
-            out.loc[~inside, right_payload] = pd.NA
-            out = out[out_cols]
-        nulls = all_left[all_left[key].isna()]
-        if how == "left" and len(nulls):
-            nulls = nulls.assign(**{c: pd.NA for c in right_payload
-                                    if c not in left_cols})
-            out = pd.concat([out, nulls[out_cols]], ignore_index=True)
-        return out
-
-    # the tagged-union block pads each side's missing columns with NaN,
-    # which coerces int64 left columns to float64 in pandas; cast the
-    # output back to the sides' original Arrow types (nullable, so a LEFT
-    # join's NA payload survives)
     fields = [lsch.field(c) for c in left_cols] + [
         pa.field(c, rsch.field(c).type) for c in right_payload
         if c not in left_cols]
     out_schema = pa.schema(fields)
 
-    def recast(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or t.num_columns == 0:
+    def _num(col: pa.ChunkedArray | pa.Array):
+        """(float64|int64 ndarray, validity ndarray) for numeric/temporal."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if pa.types.is_floating(col.type):
+            arr = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+        else:
+            arr = pc.fill_null(col.cast(pa.int64()), 0).to_numpy()
+        return arr, valid
+
+    def probe(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or _IJ_MARK not in b.column_names:
             return out_schema.empty_table()
-        return pa.table({f.name: t[f.name].cast(f.type) for f in fields})
+        is_right = pc.equal(b[_IJ_MARK], 1).to_numpy(zero_copy_only=False)
+        karr = b[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        kvalid = pc.is_valid(karr).to_numpy(zero_copy_only=False)
+        codes = pc.fill_null(
+            karr.dictionary_encode().indices.cast(pa.int64()), -1) \
+            .to_numpy()
+        ts_np, ts_valid = _num(b[left_ts])
+        lo_np, lo_valid = _num(b[lo_col])
+        hi_np, hi_valid = _num(b[hi_col])
+        t = np.where(is_right, lo_np, ts_np)
+        part = kvalid & np.where(is_right, lo_valid, ts_valid)
+        idx_part = np.flatnonzero(part)
+        perm = idx_part[np.lexsort((t[idx_part], codes[idx_part]))]
+        src_s, found_s = _asof_match_idx(codes[perm], t[perm],
+                                         is_right[perm])
+        rid = np.full(b.num_rows, -1, dtype=np.int64)
+        rid[perm] = np.where(found_s, perm[src_s], -1)
+        lmask = ~is_right
+        have = lmask & (rid >= 0)
+        hv = np.flatnonzero(have)
+        inside = hi_valid[rid[hv]] & (t[hv] <= hi_np[rid[hv]])
+        rid[hv[~inside]] = -1
+        lrows = np.flatnonzero(lmask if how == "left"
+                               else (lmask & (rid >= 0)))
+        if not len(lrows):
+            return out_schema.empty_table()
+        li = pa.array(lrows, pa.int64())
+        ridx = rid[lrows]
+        ri = pa.array(np.maximum(ridx, 0), pa.int64(),
+                      mask=ridx < 0)    # null index -> null payload row
+        cols = {c: b[c].take(li) for c in left_cols}
+        for c in right_payload:
+            if c not in left_cols:
+                cols[c] = b[c].take(ri)
+        return pa.table(cols).cast(out_schema)
 
     return _by_key_blocks(uni, [key]).map_batches(
-        probe, batch_format="pandas", batch_size=None) \
-        .map_batches(recast, batch_format="pyarrow", batch_size=None)
+        probe, batch_format="pyarrow", batch_size=None)
 
 
 def events_in_session(sf_dir: str) -> rd.Dataset:
@@ -639,8 +643,8 @@ def events_in_session(sf_dir: str) -> rd.Dataset:
                         lo_col="session_start", hi_col="session_end",
                         right_payload=["session_start"], how="inner")
     return out.map_batches(
-        lambda df: df[["user_id", "event_id", "session_start"]],
-        batch_format="pandas", batch_size=None)
+        lambda b: b.select(["user_id", "event_id", "session_start"]),
+        batch_format="pyarrow", batch_size=None)
 
 
 def events_semi_join_purchasers(sf_dir: str) -> rd.Dataset:
