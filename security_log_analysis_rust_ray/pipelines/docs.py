@@ -841,21 +841,28 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     rep = _use_hash_shuffle(scored, nparts).repartition(
         num_blocks=nparts, keys=["doc_id"])
 
-    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(pdf):
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "term": pd.Series([], dtype="object"),
-                                 "rank": pd.Series([], dtype="int32")})
-        pdf = pdf.copy()
-        pdf["score"] = pdf["tf"] * np.log(n_docs / pdf["df"].to_numpy())
-        pdf = pdf.sort_values(["doc_id", "score", "term"],
-                              ascending=[True, False, True], kind="stable")
-        top = pdf.groupby("doc_id", sort=False).head(k).copy()
-        top["rank"] = (top.groupby("doc_id", sort=False).cumcount() + 1) \
-            .astype("int32")
-        return top[["doc_id", "term", "rank"]]
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int32())})
+        score = b["tf"].to_numpy().astype(np.float64) \
+            * np.log(n_docs / b["df"].to_numpy())
+        b = b.append_column("score", pa.array(score))
+        b = b.sort_by([("doc_id", "ascending"), ("score", "descending"),
+                       ("term", "ascending")])
+        doc = b["doc_id"].to_numpy()
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(doc)])
+        pos = np.arange(len(doc)) - np.repeat(starts, lens)
+        ki = pa.array(np.flatnonzero(pos < k), pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"].take(ki),
+            "term": b["term"].take(ki),
+            "rank": pa.array((pos[pos < k] + 1).astype(np.int32))})
 
-    return rep.map_batches(block_topk, batch_format="pandas",
+    return rep.map_batches(block_topk, batch_format="pyarrow",
                            batch_size=None)
 
 
@@ -2962,23 +2969,30 @@ def doc_chunk_dedup_text(sf_dir: str) -> rd.Dataset:
     out_schema = pa.schema([pa.field("doc_id", pa.int64()),
                             pa.field("text", pa.string())])
 
-    def assemble(df) -> pa.Table:
-        if not len(df):
+    def assemble(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return out_schema.empty_table()
-        df = df.sort_values(["doc_id", "w"], kind="stable")
-        keep = df[df["piece"] != ""]
-        joined = keep.groupby("doc_id", sort=False)["piece"] \
-                     .agg(" ".join)
-        # every doc has a remainder row, so reindexing over the block's
-        # full doc set restores all-empty docs as ''
-        all_ids = df["doc_id"].unique()
-        joined = joined.reindex(all_ids, fill_value="").reset_index()
-        joined.columns = ["doc_id", "text"]
-        return pa.Table.from_pandas(joined, schema=out_schema,
-                                    preserve_index=False)
+        b = b.sort_by([("doc_id", "ascending"), ("w", "ascending")])
+        doc = b["doc_id"].to_numpy()
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        starts = np.flatnonzero(first)
+        keep = pc.not_equal(b["piece"], "").to_numpy(zero_copy_only=False)
+        # list<piece> per doc over the FILTERED rows; every doc has a
+        # remainder row so the all-docs segment walk restores all-empty
+        # docs as '' (binary_join of an empty list)
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), starts)
+        offsets = np.r_[0, np.cumsum(kept_per_doc)].astype(np.int32)
+        pieces = b["piece"]
+        if isinstance(pieces, pa.ChunkedArray):
+            pieces = pieces.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pieces.filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": b["doc_id"].take(pa.array(starts, pa.int64())),
+            "text": pc.binary_join(lists, " ")}).cast(out_schema)
 
     return _by_key_blocks(allp, ["doc_id"]).map_batches(
-        assemble, batch_format="pandas", batch_size=None)
+        assemble, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

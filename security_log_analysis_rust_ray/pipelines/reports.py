@@ -219,36 +219,62 @@ def parsed_page_offset(sf_dir: str, offset: int = 20, k: int = 20):
     return top.to_pandas().iloc[offset:offset + k].reset_index(drop=True)
 
 
+def _conv_sorted(b: pa.Table,
+                 keys: tuple[str, str] = ("conv_id", "turn_idx")
+                 ) -> tuple[pa.Table, np.ndarray]:
+    """Shared prelude of every per-block adjacency kernel: sort by
+    (group, order) and return the table plus the group-boundary mask
+    (True at each group's first row).  Keeps all the shifted-compare
+    kernels below on zero-copy Arrow + numpy — no pandas conversion."""
+    b = b.sort_by([(keys[0], "ascending"), (keys[1], "ascending")])
+    g = b[keys[0]]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    gv = g.to_numpy(zero_copy_only=False)
+    return b, np.r_[True, gv[1:] != gv[:-1]]
+
+
 _SFT_SCHEMA = pa.schema([("conv_id", pa.string()),
                          ("sft_text", pa.string()),
                          ("n_turns", pa.int64())])
 
 
-def _assemble_convs(df, max_boiler_quarters: int | None = None):
-    """Shared per-block conversation-assembly kernel (one vectorized pandas
-    pass across ALL conversations in the block): sort by (conv_id,
-    turn_idx), join ``role: text`` lines — the exact mirror of the oracle's
-    string_agg expression, kept in ONE place so engine/oracle parity cannot
-    drift between the plain and curated queries.  With
+def _assemble_convs(b: pa.Table,
+                    max_boiler_quarters: int | None = None) -> pa.Table:
+    """Shared per-block conversation-assembly kernel (one Arrow pass
+    across ALL conversations in the block — no pandas conversion): sort
+    by (conv_id, turn_idx), join ``role: text`` lines via a ListArray +
+    ``pc.binary_join`` group-concat — the exact mirror of the oracle's
+    string_agg expression, kept in ONE place so engine/oracle parity
+    cannot drift between the plain and curated queries.  With
     ``max_boiler_quarters`` set, rows carry an ``is_boiler`` mark and
-    conversations with >= 1/4 boilerplate turns are dropped.  Emits ARROW
-    (downstream joins read .schema().base_schema)."""
-    import pandas as pd
-
-    if not len(df):
+    conversations with >= 1/4 boilerplate turns are dropped."""
+    if b.num_rows == 0:
         return _SFT_SCHEMA.empty_table()
-    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-    cols = {"conv_id": df["conv_id"],
-            "line": df["role"].str.cat(df["text"], sep=": ")}
-    aggs = {"sft_text": ("line", "\n".join), "n_turns": ("line", "size")}
+    b = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = b["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    line = pc.binary_join_element_wise(b["role"], b["text"], ": ")
+    if isinstance(line, pa.ChunkedArray):
+        line = line.combine_chunks()
+    # conversation segment offsets -> list<string> -> vectorized join
+    cv = conv.to_numpy(zero_copy_only=False)
+    first = np.r_[True, cv[1:] != cv[:-1]]
+    starts = np.flatnonzero(first)
+    offsets = np.r_[starts, len(cv)].astype(np.int32)
+    lines_per_conv = pa.ListArray.from_arrays(pa.array(offsets), line)
+    sft = pc.binary_join(lines_per_conv, "\n")
+    n_turns = np.diff(offsets).astype(np.int64)
+    out = pa.table({"conv_id": conv.take(pa.array(starts, pa.int64())),
+                    "sft_text": sft,
+                    "n_turns": pa.array(n_turns)})
     if max_boiler_quarters is not None:
-        cols["is_boiler"] = df["is_boiler"].fillna(0).astype("int64")
-        aggs["n_boiler"] = ("is_boiler", "sum")
-    out = pd.DataFrame(cols).groupby("conv_id", sort=False)         .agg(**aggs).reset_index()
-    if max_boiler_quarters is not None:
-        out = out[out["n_boiler"] * 4 < out["n_turns"]]
-    return pa.Table.from_pandas(out[["conv_id", "sft_text", "n_turns"]],
-                                schema=_SFT_SCHEMA, preserve_index=False)
+        ib = pc.fill_null(pc.cast(b["is_boiler"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        n_boiler = np.add.reduceat(ib, starts)
+        out = out.filter(pa.array(n_boiler * 4 < n_turns))
+    return out.cast(_SFT_SCHEMA)
 
 
 def conversation_sft_text(sf_dir: str) -> rd.Dataset:
@@ -263,7 +289,7 @@ def conversation_sft_text(sf_dir: str) -> rd.Dataset:
     ds = read_transcripts(sf_dir,
                           columns=["conv_id", "turn_idx", "role", "text"])
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
-        _assemble_convs, batch_format="pandas", batch_size=None)
+        _assemble_convs, batch_format="pyarrow", batch_size=None)
 
 
 _CTX_SCHEMA = pa.schema([("conv_id", pa.string()),
@@ -294,29 +320,38 @@ def conversation_context_windows(sf_dir: str,
     ds = read_transcripts(sf_dir,
                           columns=["conv_id", "turn_idx", "role", "text"])
 
-    def block(df):
-        import pandas as pd
-        if not len(df):
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return _CTX_SCHEMA.empty_table()
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        line = df["role"].str.cat(df["text"], sep=": ")
-        grp = df["conv_id"]
-        ctx = None
+        b, first = _conv_sorted(b)
+        n = b.num_rows
+        line = pc.binary_join_element_wise(b["role"], b["text"], ": ")
+        if isinstance(line, pa.ChunkedArray):
+            line = line.combine_chunks()
+        starts = np.flatnonzero(first)
+        pos = np.arange(n) - np.repeat(starts,
+                                       np.diff(np.r_[starts, n]))
+        ar = np.arange(n)
+        parts = []
         for k in range(n_ctx, 0, -1):  # oldest turn first
-            part = line.groupby(grp, sort=False).shift(k).fillna("")
-            ctx = part if ctx is None else ctx.str.cat(part, sep="\n")
-        ctx = ctx.str.lstrip("\n")
-        keep = (df["role"].to_numpy() == "assistant") \
-            & (df["turn_idx"].to_numpy() >= 1)
-        out = pd.DataFrame({"conv_id": df["conv_id"],
-                            "turn_idx": df["turn_idx"],
-                            "context": ctx,
-                            "response": df["text"]})[keep]
-        return pa.Table.from_pandas(out, schema=_CTX_SCHEMA,
-                                    preserve_index=False)
+            ok = pos >= k
+            idxk = pa.array(np.where(ok, ar - k, 0), pa.int64(),
+                            mask=~ok)
+            parts.append(pc.fill_null(line.take(idxk), ""))
+        ctx = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "\n")
+        ctx = pc.utf8_ltrim(ctx, "\n")   # strip the missing-slot prefix
+        keep = pc.equal(b["role"], "assistant").to_numpy(
+            zero_copy_only=False) & (b["turn_idx"].to_numpy() >= 1)
+        ki = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({"conv_id": b["conv_id"].take(ki),
+                         "turn_idx": b["turn_idx"].take(ki),
+                         "context": ctx.take(ki),
+                         "response": b["text"].take(ki)}) \
+            .cast(_CTX_SCHEMA)
 
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
-        block, batch_format="pandas", batch_size=None)
+        block, batch_format="pyarrow", batch_size=None)
 
 
 _QA_SCHEMA = pa.schema([("conv_id", pa.string()),
@@ -337,23 +372,23 @@ def qa_pairs(sf_dir: str) -> rd.Dataset:
     ds = read_transcripts(sf_dir,
                           columns=["conv_id", "turn_idx", "role", "text"])
 
-    def block(df):
-        if not len(df):
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return _QA_SCHEMA.empty_table()
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        g = df.groupby("conv_id", sort=False)
-        prev_role = g["role"].shift(1)
-        prev_text = g["text"].shift(1)
-        keep = (df["role"].to_numpy() == "assistant") \
-            & (prev_role.to_numpy() == "user")
-        out = df.loc[keep, ["conv_id", "turn_idx"]].copy()
-        out["prompt"] = prev_text[keep]
-        out["response"] = df.loc[keep, "text"]
-        return pa.Table.from_pandas(out, schema=_QA_SCHEMA,
-                                    preserve_index=False)
+        b, first = _conv_sorted(b)
+        ia = pc.equal(b["role"], "assistant").to_numpy(zero_copy_only=False)
+        iu = pc.equal(b["role"], "user").to_numpy(zero_copy_only=False)
+        keep = ia & np.r_[False, iu[:-1]] & ~first
+        idx = np.flatnonzero(keep)
+        li = pa.array(idx, pa.int64())
+        pi = pa.array(idx - 1, pa.int64())
+        return pa.table({"conv_id": b["conv_id"].take(li),
+                         "turn_idx": b["turn_idx"].take(li),
+                         "prompt": b["text"].take(pi),
+                         "response": b["text"].take(li)}).cast(_QA_SCHEMA)
 
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
-        block, batch_format="pandas", batch_size=None)
+        block, batch_format="pyarrow", batch_size=None)
 
 
 def tool_call_runs(sf_dir: str) -> rd.Dataset:
@@ -367,30 +402,26 @@ def tool_call_runs(sf_dir: str) -> rd.Dataset:
     from ..pipelines.streaming import _by_key_blocks
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
 
-    def block(df):
-        import pandas as pd
-        if not len(df):
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({"conv_id": pa.array([], pa.string()),
                              "run_start_turn": pa.array([], pa.int32()),
                              "run_len": pa.array([], pa.int64())})
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        is_tool = (df["role"].to_numpy() == "tool")
-        conv = df["conv_id"].to_numpy()
-        new_grp = np.concatenate([[True], conv[1:] != conv[:-1]])
-        prev_tool = np.concatenate([[False], is_tool[:-1]])
-        boundary = new_grp | (is_tool & ~prev_tool)
-        run_id = np.cumsum(boundary)
-        sub = pd.DataFrame({"conv_id": conv, "turn_idx": df["turn_idx"],
-                            "run": run_id})[is_tool]
-        out = sub.groupby("run", sort=False).agg(
-            conv_id=("conv_id", "first"),
-            run_start_turn=("turn_idx", "min"),
-            run_len=("turn_idx", "size")).reset_index(drop=True)
-        out["run_len"] = out["run_len"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        b, first = _conv_sorted(b)
+        is_tool = pc.equal(b["role"], "tool").to_numpy(
+            zero_copy_only=False)
+        start = is_tool & (first | np.r_[True, ~is_tool[:-1]])
+        lab = np.cumsum(start)
+        counts = np.bincount(lab[is_tool],
+                             minlength=int(lab[-1]) + 1)
+        si = np.flatnonzero(start)
+        return pa.table({
+            "conv_id": b["conv_id"].take(pa.array(si, pa.int64())),
+            "run_start_turn": b["turn_idx"].take(pa.array(si, pa.int64())),
+            "run_len": pa.array(counts[lab[si]].astype(np.int64))})
 
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
-        block, batch_format="pandas", batch_size=None)
+        block, batch_format="pyarrow", batch_size=None)
 
 
 def conversation_dedup(sf_dir: str) -> rd.Dataset:
@@ -418,29 +449,27 @@ def assistant_latency_stats(sf_dir: str) -> rd.Dataset:
     ds = read_transcripts(
         sf_dir, columns=["conv_id", "turn_idx", "role", "ts"])
 
-    def block(df):
-        import pandas as pd
-        if not len(df):
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({"server": pa.array([], pa.string()),
                              "latency_us": pa.array([], pa.float64())})
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        g = df.groupby("conv_id", sort=False)
-        prev_role = g["role"].shift(1)
-        prev_ts = g["ts"].shift(1)
-        keep = (df["role"].to_numpy() == "assistant") \
-            & (prev_role.to_numpy() == "user")
-        lat = (df["ts"][keep].to_numpy() - prev_ts[keep].to_numpy()) \
-            .astype("timedelta64[us]").astype(np.int64)
+        b, first = _conv_sorted(b)
+        ia = pc.equal(b["role"], "assistant").to_numpy(zero_copy_only=False)
+        iu = pc.equal(b["role"], "user").to_numpy(zero_copy_only=False)
+        keep = ia & np.r_[False, iu[:-1]] & ~first
+        idx = np.flatnonzero(keep)
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        lat = (ts[idx] - ts[idx - 1]).astype(np.float64)
         # server shard of the conversation — the shared stream key
         # (grok.server_from_conv, same rule as the alert scans)
-        srv = grok.server_from_conv(pa.array(df["conv_id"][keep],
-                                             pa.string()))
-        return pa.table({
-            "server": srv,
-            "latency_us": pa.array(lat.astype(np.float64))})
+        conv = b["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        srv = grok.server_from_conv(conv.take(pa.array(idx, pa.int64())))
+        return pa.table({"server": srv, "latency_us": pa.array(lat)})
 
     pairs = _by_key_blocks(ds, ["conv_id"]).map_batches(
-        block, batch_format="pandas", batch_size=None)
+        block, batch_format="pyarrow", batch_size=None)
     return agg.grouped_stats(pairs, ["server"], "latency_us") \
         .sort("server")
 
@@ -455,19 +484,18 @@ def role_transition_matrix(sf_dir: str) -> rd.Dataset:
     from ..stages import aggregate as agg
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
 
-    def block(df):
-        if not len(df):
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({"prev_role": pa.array([], pa.string()),
                              "role": pa.array([], pa.string())})
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
-        keep = prev.notna().to_numpy()
+        b, first = _conv_sorted(b)
+        idx = np.flatnonzero(~first)
         return pa.table({
-            "prev_role": pa.array(prev[keep], pa.string()),
-            "role": pa.array(df["role"][keep], pa.string())})
+            "prev_role": b["role"].take(pa.array(idx - 1, pa.int64())),
+            "role": b["role"].take(pa.array(idx, pa.int64()))})
 
     pairs = _by_key_blocks(ds, ["conv_id"]).map_batches(
-        block, batch_format="pandas", batch_size=None)
+        block, batch_format="pyarrow", batch_size=None)
     return agg.grouped_count(pairs, ["prev_role", "role"],
                              small_keyspace=True)
 
@@ -488,44 +516,48 @@ def conversation_quality(sf_dir: str) -> rd.Dataset:
     ds = read_transcripts(
         sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
 
-    def block(df):
-        import pandas as pd
+    def block(b: pa.Table) -> pa.Table:
         cols = {"conv_id": pa.string(), "n_turns": pa.int64(),
                 "n_user": pa.int64(), "n_assistant": pa.int64(),
                 "n_tool": pa.int64(), "n_empty": pa.int64(),
                 "same_role_adj": pa.int64(), "keep": pa.int64()}
-        if not len(df):
+        if b.num_rows == 0:
             return pa.table({k: pa.array([], t) for k, t in cols.items()})
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        conv = df["conv_id"].to_numpy()
-        role = df["role"].to_numpy()
-        same_conv = np.concatenate([[False], conv[1:] == conv[:-1]])
-        same_role = np.concatenate([[False], role[1:] == role[:-1]])
-        g = pd.DataFrame({
-            "conv_id": conv,
-            "one": np.ones(len(df), dtype=np.int64),
-            "is_user": (role == "user").astype(np.int64),
-            "is_assistant": (role == "assistant").astype(np.int64),
-            "is_tool": (role == "tool").astype(np.int64),
-            "is_empty": (df["text"].to_numpy() == "").astype(np.int64),
-            "adj": (same_conv & same_role).astype(np.int64),
-        }).groupby("conv_id", sort=False, as_index=False).sum()
-        keep = ((g["one"] >= QUALITY_MIN_TURNS)
-                & (g["one"] <= QUALITY_MAX_TURNS)
-                & (g["is_user"] >= 1) & (g["is_assistant"] >= 1)
-                & (g["is_empty"] == 0)).astype(np.int64)
+        b, first = _conv_sorted(b)
+        starts = np.flatnonzero(first)
+
+        def seg_sum(mask: np.ndarray) -> np.ndarray:
+            return np.add.reduceat(mask.astype(np.int64), starts)
+
+        role = b["role"]
+        rv = (role.combine_chunks() if isinstance(role, pa.ChunkedArray)
+              else role).to_numpy(zero_copy_only=False)
+        n_turns = seg_sum(np.ones(b.num_rows, bool))
+        n_user = seg_sum(pc.equal(role, "user").to_numpy(
+            zero_copy_only=False))
+        n_assistant = seg_sum(pc.equal(role, "assistant").to_numpy(
+            zero_copy_only=False))
+        n_tool = seg_sum(pc.equal(role, "tool").to_numpy(
+            zero_copy_only=False))
+        n_empty = seg_sum(pc.equal(b["text"], "").to_numpy(
+            zero_copy_only=False))
+        adj = seg_sum(np.r_[False, (rv[1:] == rv[:-1])] & ~first)
+        keep = ((n_turns >= QUALITY_MIN_TURNS)
+                & (n_turns <= QUALITY_MAX_TURNS)
+                & (n_user >= 1) & (n_assistant >= 1)
+                & (n_empty == 0)).astype(np.int64)
         return pa.table({
-            "conv_id": pa.array(g["conv_id"], pa.string()),
-            "n_turns": pa.array(g["one"]),
-            "n_user": pa.array(g["is_user"]),
-            "n_assistant": pa.array(g["is_assistant"]),
-            "n_tool": pa.array(g["is_tool"]),
-            "n_empty": pa.array(g["is_empty"]),
-            "same_role_adj": pa.array(g["adj"]),
+            "conv_id": b["conv_id"].take(pa.array(starts, pa.int64())),
+            "n_turns": pa.array(n_turns),
+            "n_user": pa.array(n_user),
+            "n_assistant": pa.array(n_assistant),
+            "n_tool": pa.array(n_tool),
+            "n_empty": pa.array(n_empty),
+            "same_role_adj": pa.array(adj),
             "keep": pa.array(keep)})
 
     return _by_key_blocks(ds, ["conv_id"]).map_batches(
-        block, batch_format="pandas", batch_size=None)
+        block, batch_format="pyarrow", batch_size=None)
 
 
 def boilerplate_turns(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
@@ -583,8 +615,8 @@ def conversation_curated_corpus(sf_dir: str, min_convs: int = 3) -> rd.Dataset:
         marked = lookup_join(turns, boiler, "text", "text", how="left")
 
     kept = _by_key_blocks(marked, ["conv_id"]).map_batches(
-        lambda df: _assemble_convs(df, max_boiler_quarters=1),
-        batch_format="pandas", batch_size=None)
+        lambda b: _assemble_convs(b, max_boiler_quarters=1),
+        batch_format="pyarrow", batch_size=None)
 
     def partial_min(b: pa.Table) -> pa.Table:
         return b.group_by(["sft_text"]).aggregate(
@@ -637,23 +669,25 @@ def host_daily_anomalies(sf_dir: str, z: int = ANOMALY_Z) -> rd.Dataset:
                             pa.field("day", pa.timestamp("us")),
                             pa.field("cnt", pa.int64())])
 
-    def flag(df) -> pa.Table:
-        if not len(df):
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return out_schema.empty_table()
-        cnt = df["cnt"].to_numpy().astype(np.int64)
-        df = df.assign(_sq=cnt * cnt)
-        g = df.groupby("host", sort=False)
-        n = g["cnt"].transform("size").to_numpy().astype(np.int64)
-        s = g["cnt"].transform("sum").to_numpy().astype(np.int64)
-        ss = g["_sq"].transform("sum").to_numpy().astype(np.int64)
+        b, first = _conv_sorted(b, keys=("host", "day"))
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, b.num_rows])
+        cnt = b["cnt"].to_numpy().astype(np.int64)
+        n = np.repeat(lens.astype(np.int64), lens)
+        s = np.repeat(np.add.reduceat(cnt, starts), lens)
+        ss = np.repeat(np.add.reduceat(cnt * cnt, starts), lens)
         lhs = cnt * n - s
         keep = (lhs > 0) & (lhs * lhs > z * z * (ss * n - s * s))
-        out = df.loc[keep, ["host", "day", "cnt"]]
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+        ki = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({"host": b["host"].take(ki),
+                         "day": b["day"].take(ki),
+                         "cnt": b["cnt"].take(ki)}).cast(out_schema)
 
     return _by_key_blocks(counts, ["host"]).map_batches(
-        flag, batch_format="pandas", batch_size=None)
+        flag, batch_format="pyarrow", batch_size=None)
 
 
 PAGERANK_ITERS = 20
@@ -679,20 +713,21 @@ def host_transition_edges(sf_dir: str) -> rd.Dataset:
     edge_schema = pa.schema([pa.field("src", pa.string()),
                              pa.field("dst", pa.string())])
 
-    def shift(df) -> pa.Table:
-        if not len(df):
+    def shift(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return edge_schema.empty_table()
-        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-        conv = df["conv_id"].to_numpy()
-        host = df["host"].to_numpy()
-        same = conv[:-1] == conv[1:]
-        src, dst = host[:-1][same], host[1:][same]
-        m = src != dst
-        return pa.table({"src": pa.array(src[m], pa.string()),
-                         "dst": pa.array(dst[m], pa.string())})
+        b, first = _conv_sorted(b)
+        host = b["host"]
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        hv = host.to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(~first)
+        idx = idx[hv[idx] != hv[idx - 1]]   # self-transitions dropped
+        return pa.table({"src": host.take(pa.array(idx - 1, pa.int64())),
+                         "dst": host.take(pa.array(idx, pa.int64()))})
 
     pairs = _by_key_blocks(rows, ["conv_id"]).map_batches(
-        shift, batch_format="pandas", batch_size=None)
+        shift, batch_format="pyarrow", batch_size=None)
     return agg.grouped_count(pairs, ["src", "dst"], alias="w",
                              high_cardinality=True)
 
@@ -922,48 +957,55 @@ def preference_pairs(sf_dir: str) -> rd.Dataset:
     ds = read_transcripts(sf_dir,
                           columns=["conv_id", "turn_idx", "role", "text"])
 
-    def pair_turns(df: pd.DataFrame) -> pa.Table:
-        if not len(df):
+    def pair_turns(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
-        df = df.sort_values(["conv_id", "turn_idx"],
-                            kind="stable").reset_index(drop=True)
-        nxt_conv = df["conv_id"].shift(-1)
-        nxt_turn = df["turn_idx"].shift(-1)
-        nxt_role = df["role"].shift(-1)
-        nxt_text = df["text"].shift(-1)
-        keep = ((df["role"] == "user") & (nxt_role == "assistant")
-                & (nxt_conv == df["conv_id"])
-                & (nxt_turn == df["turn_idx"] + 1))
-        out = pd.DataFrame({"prompt": df.loc[keep, "text"],
-                            "reply": nxt_text[keep]}).drop_duplicates()
-        return pa.Table.from_pandas(out, schema=_PAIR_SCHEMA,
-                                    preserve_index=False)
+        b, first = _conv_sorted(b)
+        iu = pc.equal(b["role"], "user").to_numpy(zero_copy_only=False)
+        ia = pc.equal(b["role"], "assistant").to_numpy(
+            zero_copy_only=False)
+        turn = b["turn_idx"].to_numpy()
+        adj = np.r_[turn[1:] == turn[:-1] + 1, False]
+        keep = iu & np.r_[ia[1:], False] & np.r_[~first[1:], False] & adj
+        idx = np.flatnonzero(keep)
+        t = pa.table({"prompt": b["text"].take(pa.array(idx, pa.int64())),
+                      "reply": b["text"].take(
+                          pa.array(idx + 1, pa.int64()))})
+        # in-block pre-distinct combiner before the prompt exchange
+        return t.group_by(["prompt", "reply"]).aggregate([]) \
+            .cast(_PAIR_SCHEMA)
 
     pairs = _by_key_blocks(ds, ["conv_id"]).map_batches(
-        pair_turns, batch_format="pandas", batch_size=None)
+        pair_turns, batch_format="pyarrow", batch_size=None)
 
-    def fold(df: pd.DataFrame) -> pa.Table:
-        if not len(df):
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return _PREF_SCHEMA.empty_table()
-        df = df.drop_duplicates()
-        df = df.assign(_len=df["reply"].str.len()) \
-               .sort_values(["prompt", "_len", "reply"], kind="stable")
-        g = df.groupby("prompt", sort=True)
-        out = pd.DataFrame({
-            "prompt": np.asarray(list(g.groups)),
-            "chosen": g["reply"].last().to_numpy(),
-            "rejected": g["reply"].first().to_numpy(),
-            "n_candidates": g.size().to_numpy().astype(np.int64),
-        })
-        out = out[out["n_candidates"] >= 2].reset_index(drop=True)
-        return pa.Table.from_pandas(out, schema=_PREF_SCHEMA,
-                                    preserve_index=False)
+        t = b.group_by(["prompt", "reply"]).aggregate([])  # finish distinct
+        t = t.append_column("_len", pc.cast(
+            pc.utf8_length(t["reply"]), pa.int64()))
+        # ties in reply length break on the reply string (third sort key)
+        t = t.sort_by([("prompt", "ascending"), ("_len", "ascending"),
+                       ("reply", "ascending")])
+        pv = (t["prompt"].combine_chunks()
+              if isinstance(t["prompt"], pa.ChunkedArray)
+              else t["prompt"]).to_numpy(zero_copy_only=False)
+        first = np.r_[True, pv[1:] != pv[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, t.num_rows])
+        ends = starts + lens - 1
+        out = pa.table({
+            "prompt": t["prompt"].take(pa.array(starts, pa.int64())),
+            "chosen": t["reply"].take(pa.array(ends, pa.int64())),
+            "rejected": t["reply"].take(pa.array(starts, pa.int64())),
+            "n_candidates": pa.array(lens.astype(np.int64))})
+        return out.filter(pa.array(lens >= 2)).cast(_PREF_SCHEMA)
 
     # no trailing sort: Ray's sort on an ALL-EMPTY dataset erases the
     # schema (ds.schema() -> None), which breaks the empty-result schema
     # compare; comparators canonicalize row order themselves.
     return _by_key_blocks(pairs, ["prompt"]).map_batches(
-        fold, batch_format="pandas", batch_size=None)
+        fold, batch_format="pyarrow", batch_size=None)
 
 
 def service_host_overlap_approx(sf_dir: str) -> rd.Dataset:
