@@ -121,36 +121,64 @@ def _batch_scan(delay_s: int, buffer_bytes: int, with_levels: bool = False):
     truncation at a boundary would diverge — same rule as sessionize).
     ``with_levels`` adds per-batch level counts (n_error/n_warn) — the SES
     stats fold's per-datapoint counters (A6)."""
-    def batch_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["log_timestamp", "conv_id", "turn_idx"])
+    def batch_scan(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("log_timestamp", "ascending"),
+                       ("conv_id", "ascending"),
+                       ("turn_idx", "ascending")])
         # UTF-8 BYTE length, not characters: the reference's buffer bound
         # is bytes (Rust String::len, src/parse_logs.rs:449), and the
         # oracle counts strlen() — multi-byte text must agree (r03 review)
-        sizes = g["log_message"].str.encode("utf-8").str.len().to_numpy()
-        ts = g["log_timestamp"].to_numpy()
-        batch_ids = np.zeros(len(g), dtype=np.int64)
-        cur, cur_bytes, cur_start = 0, 0, ts[0] if len(g) else None
-        for i in range(len(g)):
-            age_us = (ts[i] - cur_start).astype("timedelta64[us]").astype(np.int64)
-            if cur_bytes + sizes[i] > buffer_bytes \
-                    or age_us > delay_s * 1_000_000:
+        sizes = pc.binary_length(
+            g["log_message"].cast(pa.binary())).to_numpy().astype(np.int64)
+        ts = g["log_timestamp"].cast(pa.int64()).to_numpy()
+        n = g.num_rows
+        if n == 0:
+            cols = {"stream": pa.array([], pa.string()),
+                    "batch_id": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.timestamp("us")),
+                    "last_ts": pa.array([], pa.timestamp("us")),
+                    "n_messages": pa.array([], pa.int64()),
+                    "total_bytes": pa.array([], pa.int64())}
+            if with_levels:
+                cols["n_error"] = pa.array([], pa.int64())
+                cols["n_warn"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        batch_ids = np.zeros(n, dtype=np.int64)
+        delay_us = delay_s * 1_000_000
+        # the flush rule is a true sequential recurrence (running bytes
+        # with reset); the loop runs over plain int64 scalars — the
+        # vectorizable work (byte lengths, per-batch folds) is outside it
+        cur, cur_bytes = 0, 0
+        cur_start = int(ts[0]) if n else 0
+        sz, tv = sizes.tolist(), ts.tolist()
+        for i in range(n):
+            if cur_bytes + sz[i] > buffer_bytes \
+                    or tv[i] - cur_start > delay_us:
                 cur += 1
-                cur_bytes, cur_start = 0, ts[i]
+                cur_bytes, cur_start = 0, tv[i]
             batch_ids[i] = cur
-            cur_bytes += sizes[i]
-        g = g.assign(batch_id=batch_ids, nbytes=sizes)
-        aggs = dict(
-            first_ts=("log_timestamp", "min"), last_ts=("log_timestamp", "max"),
-            n_messages=("log_level", "count"), total_bytes=("nbytes", "sum"))
+            cur_bytes += sz[i]
+        starts = np.flatnonzero(np.r_[True, batch_ids[1:]
+                                      != batch_ids[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        ends = starts + lens - 1
+        stream0 = g["stream"][0].as_py() if n else ""
+        cols = {
+            "stream": pa.array([stream0] * len(starts), pa.string()),
+            "batch_id": pa.array(batch_ids[starts]),
+            "first_ts": pa.array(ts[starts], pa.timestamp("us")),
+            "last_ts": pa.array(ts[ends], pa.timestamp("us")),
+            "n_messages": pa.array(lens.astype(np.int64)),
+            "total_bytes": pa.array(np.add.reduceat(sizes, starts)),
+        }
         if with_levels:
-            g = g.assign(
-                is_err=(g["log_level"] == "error").astype("int64"),
-                is_warn=(g["log_level"] == "warn").astype("int64"))
-            aggs.update(n_error=("is_err", "sum"), n_warn=("is_warn", "sum"))
-        out = g.groupby("batch_id").agg(**aggs).reset_index()
-        out.insert(0, "stream", g["stream"].iloc[0] if len(g) else "")
-        out["total_bytes"] = out["total_bytes"].astype("int64")
-        return out
+            err = pc.equal(g["log_level"], "error").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            wrn = pc.equal(g["log_level"], "warn").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cols["n_error"] = pa.array(np.add.reduceat(err, starts))
+            cols["n_warn"] = pa.array(np.add.reduceat(wrn, starts))
+        return pa.table(cols)
     return batch_scan
 
 
@@ -165,7 +193,7 @@ def alert_batches(sf_dir: str, threshold: str | None = None,
     threshold, delay_s, buffer_bytes = _alert_knobs(threshold, delay_s,
                                                     buffer_bytes)
     return _alert_eligible(sf_dir, threshold).groupby("stream").map_groups(
-        _batch_scan(delay_s, buffer_bytes), batch_format="pandas")
+        _batch_scan(delay_s, buffer_bytes), batch_format="pyarrow")
 
 
 def ses_email_stats(sf_dir: str, threshold: str | None = None,
@@ -193,7 +221,7 @@ def ses_email_stats(sf_dir: str, threshold: str | None = None,
                                                     buffer_bytes)
     batches = _alert_eligible(sf_dir, threshold).groupby("stream").map_groups(
         _batch_scan(delay_s, buffer_bytes, with_levels=True),
-        batch_format="pandas").materialize()
+        batch_format="pyarrow").materialize()
     cols = ["bounces", "complaints", "delivery_attempts", "rejects",
             "min_timestamp", "max_timestamp", "sent_last_24h"]
     if batches.count() == 0:
@@ -293,7 +321,8 @@ def run_alert_cycle(sf_dir: str, state_path: str,
     fresh = eligible.map_batches(unprocessed, batch_format="pyarrow",
                                  batch_size=None)
     flushed = fresh.groupby("stream").map_groups(
-        _batch_scan(delay_s, buffer_bytes), batch_format="pandas").to_pandas()
+        _batch_scan(delay_s, buffer_bytes),
+        batch_format="pyarrow").to_pandas()
     cols = ["stream", "batch_id", "first_ts", "last_ts",
             "n_messages", "total_bytes"]
     if len(flushed) == 0:
