@@ -290,6 +290,19 @@ def embedding_near_dedup(sf_dir: str,
                      nparts=_num_partitions(raw)).sort("vec_id")
 
 
+def _final_topk(k: int):
+    """Shared per-query top-k finisher (Arrow map_groups kernel): groups
+    are query-sized (<= blocks x k rows), sorted and clipped in one
+    sort_by + slice, cos_sim rounded for the oracle compare."""
+    def final(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("cos_sim", "descending"),
+                       ("neighbor_id", "ascending")]).slice(0, k)
+        return g.set_column(
+            g.column_names.index("cos_sim"), "cos_sim",
+            pa.array(round_half_up(g["cos_sim"].to_numpy())))
+    return final
+
+
 def ann_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
     """Brute-force cosine top-k for query vectors (vec_id < N_QUERIES)
     against the base table: per-batch partial top-k, then a tiny final
@@ -331,13 +344,8 @@ def ann_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
         .map_batches(PartialTopK, batch_format="pyarrow",
                      concurrency=(1, 8), batch_size=8192)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g["cos_sim"] = round_half_up(g["cos_sim"].to_numpy())
-        return g
-
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
 
 
 def ann_ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_NPROBE) -> rd.Dataset:
@@ -418,13 +426,8 @@ def ann_ivf_topk(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_NPROBE) -> rd.Da
     partial = rep.map_batches(BucketTopK, batch_format="pyarrow",
                               batch_size=None, concurrency=(1, 8))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g["cos_sim"] = round_half_up(g["cos_sim"].to_numpy())
-        return g
-
-    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
 
 
 # --- product quantization (PQ) ANN -------------------------------------
@@ -541,12 +544,12 @@ def ann_pq_topk(sf_dir: str, k: int = TOP_K) -> rd.Dataset:
     cand = base.map_batches(PQScan, batch_format="pyarrow",
                             concurrency=(1, 8), batch_size=8192)
 
-    def reduce_cands(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["approx_sim", "neighbor_id"],
-                             ascending=[False, True]).head(nfetch)
+    def reduce_cands(g: pa.Table) -> pa.Table:
+        return g.sort_by([("approx_sim", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, nfetch)
 
     cand = cand.groupby("query_id").map_groups(
-        reduce_cands, batch_format="pandas").materialize()
+        reduce_cands, batch_format="pyarrow").materialize()
 
     # exact re-rank: true vectors for ONLY the candidate ids
     from ..stages.joins import semi_join
@@ -717,17 +720,19 @@ def kmeans_fit(sf_dir: str, k: int = KM_K,
                     "inertia": pa.array(inert[keep]),
                 })
 
-        def fold(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "cluster": [g["cluster"].iloc[0]],
-                "n": [g["n"].sum()],
-                "vec": [np.stack(g["vec"].to_numpy()).sum(axis=0)],
-                "inertia": [g["inertia"].sum()],
+        def fold(g: pa.Table) -> pa.Table:
+            vec = np.stack(g["vec"].to_pylist()).sum(axis=0)
+            return pa.table({
+                "cluster": g["cluster"].slice(0, 1),
+                "n": pa.array([pc.sum(g["n"]).as_py()], pa.int64()),
+                "vec": pa.array([vec.tolist()]),
+                "inertia": pa.array(
+                    [pc.sum(g["inertia"]).as_py()], pa.float64()),
             })
 
         rows = base.map_batches(Partial, batch_format="pyarrow",
                                 concurrency=(1, 8), batch_size=8192) \
-            .groupby("cluster").map_groups(fold, batch_format="pandas") \
+            .groupby("cluster").map_groups(fold, batch_format="pyarrow") \
             .take_all()
         history.append(float(sum(r["inertia"] for r in rows)))
         new_cm = cm.copy()                 # empty cluster keeps its centroid
@@ -1194,14 +1199,8 @@ def ann_query_index(index_dir: str, sf_dir: str, k: int = TOP_K,
         .map_batches(BucketTopK, batch_format="pyarrow",
                      batch_size=None, concurrency=(1, 8))
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g["cos_sim"] = round_half_up(g["cos_sim"].to_numpy())
-        return g
-
-    return partial.groupby("query_id").map_groups(final,
-                                                  batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
 
 
 def ann_index_topk(sf_dir: str, k: int = TOP_K,
@@ -1285,14 +1284,8 @@ def ann_hard_negatives(sf_dir: str, k: int = TOP_K,
         .map_batches(PartialTopK, batch_format="pyarrow",
                      concurrency=(1, 8), batch_size=8192)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g["cos_sim"] = round_half_up(g["cos_sim"].to_numpy())
-        return g
-
-    return partial.groupby("query_id").map_groups(final,
-                                                  batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow")
 
 
 KCENTER_K = 16
