@@ -421,10 +421,14 @@ def user_running_totals(sf_dir: str) -> rd.Dataset:
         v = b["value"].to_numpy().astype(np.float64)
         first = np.r_[True, u[1:] != u[:-1]]
         starts = np.flatnonzero(first)
-        lens = np.diff(np.r_[starts, len(u)])
-        c = np.cumsum(v)
-        base = np.where(starts == 0, 0.0, c[np.maximum(starts - 1, 0)])
-        run = c - np.repeat(base, lens)
+        bounds = np.r_[starts, len(u)]
+        # PER-SEGMENT sequential cumsum (one numpy cumsum per user), NOT
+        # global-cumsum-minus-offset: the subtraction form accumulates a
+        # float cancellation error relative to the oracle's left-to-right
+        # window SUM, which could flip the .005 rounding boundary (review)
+        run = np.empty_like(v)
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            run[s0:s1] = np.cumsum(v[s0:s1])
         return pa.table({"user_id": b["user_id"],
                          "event_id": b["event_id"],
                          "running_value": pa.array(round_half_up(run, 2))})

@@ -251,7 +251,7 @@ def _assemble_convs(b: pa.Table,
     conversations with >= 1/4 boilerplate turns are dropped."""
     if b.num_rows == 0:
         return _SFT_SCHEMA.empty_table()
-    b = b.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    b, first = _conv_sorted(b)
     conv = b["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
@@ -259,10 +259,8 @@ def _assemble_convs(b: pa.Table,
     if isinstance(line, pa.ChunkedArray):
         line = line.combine_chunks()
     # conversation segment offsets -> list<string> -> vectorized join
-    cv = conv.to_numpy(zero_copy_only=False)
-    first = np.r_[True, cv[1:] != cv[:-1]]
     starts = np.flatnonzero(first)
-    offsets = np.r_[starts, len(cv)].astype(np.int32)
+    offsets = np.r_[starts, b.num_rows].astype(np.int32)
     lines_per_conv = pa.ListArray.from_arrays(pa.array(offsets), line)
     sft = pc.binary_join(lines_per_conv, "\n")
     n_turns = np.diff(offsets).astype(np.int64)

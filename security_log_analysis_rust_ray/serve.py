@@ -594,17 +594,20 @@ class _Handler(BaseHTTPRequestHandler):
                     if claims is None or sid != claims["session"]:
                         self._send(401, json.dumps(
                             {"error": "unauthorized"}))
-                    elif st.auth_cache is not None and \
-                            not st.auth_cache.is_authorized(claims["email"]):
-                        self._send(403, json.dumps({"error": "forbidden"}))
                     else:
+                        # ONE cache read (no is_authorized/get TOCTOU
+                        # against the background refresh swap)
                         row = (st.auth_cache.get(claims["email"])
                                if st.auth_cache is not None else
                                {"email": claims["email"],
                                 "created_at": _DERIVED_CREATED_AT})
-                        row["session"] = claims["session"]
-                        self._send(200, json.dumps(row,
-                                                   default=_json_default))
+                        if row is None:
+                            self._send(403, json.dumps(
+                                {"error": "forbidden"}))
+                        else:
+                            row["session"] = claims["session"]
+                            self._send(200, json.dumps(
+                                row, default=_json_default))
                 elif st.auth_cache is not None:
                     email = self.headers.get("X-User-Email")
                     row = (st.auth_cache.get(email)

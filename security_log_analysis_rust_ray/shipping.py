@@ -44,9 +44,12 @@ def _register_all_by_value() -> int:
 def ensure_worker_importable() -> bool:
     """Probe worker import of this package; fall back to by-value pickling.
 
-    Returns True once the check has run (or could not be run because Ray is
-    not initialised yet — in that case the flag stays unset so a later call
-    retries after the caller's ``ray.init``).
+    If Ray is NOT initialised yet (an out-of-contract driver relying on
+    Ray Data's implicit ``ray.init`` at first execution), the probe cannot
+    run before the workers spawn — so register by value PREEMPTIVELY:
+    correctness over the small pickle-size cost, and only flows that
+    execute before ``ray.init`` ever pay it (the driver contract, bench
+    and tests all init first and keep cheap by-reference pickling).
     """
     global _CHECKED
     if _CHECKED:
@@ -54,7 +57,9 @@ def ensure_worker_importable() -> bool:
     import ray
 
     if not ray.is_initialized():
-        return False  # retry later; never own the ray.init here
+        _register_all_by_value()
+        _CHECKED = True
+        return True
 
     @ray.remote(num_cpus=0)
     def _probe() -> bool:

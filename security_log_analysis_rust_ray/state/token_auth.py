@@ -29,16 +29,32 @@ import time
 
 def load_or_create_secret(state_dir: str) -> bytes:
     """``get_random_key`` analog: one per-deployment signing secret,
-    persisted so tokens survive a server restart."""
+    persisted so tokens survive a server restart.  Created atomically
+    (tmp + rename; O_EXCL tmp name per pid) with 0600 permissions so a
+    concurrent starter never reads a partial key and non-owners cannot
+    read the signing secret; on a lost create race the winner's key is
+    re-read so every process signs with the same secret."""
     path = os.path.join(state_dir, "secret.key")
     if os.path.exists(path):
         with open(path, "rb") as f:
             return f.read()
     secret = os.urandom(32)
     os.makedirs(state_dir, exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(secret)
-    return secret
+    tmp = f"{path}.tmp.{os.getpid()}"
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600)
+    try:
+        os.write(fd, secret)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    try:
+        os.link(tmp, path)   # atomic first-writer-wins publish
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def _b64e(raw: bytes) -> str:

@@ -72,3 +72,29 @@ def test_probe_detects_and_registers(monkeypatch):
         except ValueError:
             pass
     cloudpickle.unregister_pickle_by_value(pkg)
+
+
+IMPLICIT_SCRIPT = r"""
+import json, sys, warnings
+warnings.filterwarnings("ignore")
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as mod   # NO explicit ray.init: Ray Data auto-inits
+import pandas as pd
+res = mod.queries()["country_counts"]("/root/testdata/sf0.001")
+df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+print("RESULT:" + json.dumps({"rows": len(df)}))
+"""
+
+
+def test_queries_run_without_explicit_ray_init():
+    """The implicit-init ordering (review finding): a driver that never
+    calls ray.init relies on Ray Data auto-init INSIDE the first query —
+    too late for the worker probe, so shipping registers by value
+    preemptively and the first query must still succeed from cwd=/."""
+    proc = subprocess.run([sys.executable, "-c", IMPLICIT_SCRIPT], cwd="/",
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    assert json.loads(line[0][len("RESULT:"):])["rows"] > 0
