@@ -4,7 +4,7 @@ column-name-sorted values, datetimes normalized to microseconds) and write
 one JSON report.
 
 The driver's own gate covers the first ~50 ``queries()`` entries; this
-sweep is the in-repo evidence for the full surface (232 queries as of r03),
+sweep is the in-repo evidence for the full surface (234 queries as of r04),
 runnable any time:
 
     python tools/parity_sweep.py [--sf-dir /root/testdata/sf0.01] \
