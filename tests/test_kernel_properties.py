@@ -181,3 +181,101 @@ def test_hash64_stable_properties():
     # seed changes the values
     h3 = hash64_stable(pa.array(strs), seed=999)
     assert (h != h3).any()
+
+
+# ---- segmented as-of core (relational._asof_match_idx) -------------------
+
+@given(st.lists(st.tuples(st.integers(0, 3),      # segment id
+                          st.integers(0, 6),      # t
+                          st.booleans()),         # is_match
+                min_size=0, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_asof_match_idx_matches_bruteforce(rows):
+    """For each row i: the matched index must point at a match row in the
+    same segment with t <= t_i, carrying the LARGEST such t (value
+    semantics: same-t matches sorted after i still count) — checked
+    against an O(n^2) reference on arbitrary segment/t/match layouts."""
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        _asof_match_idx
+    rows = sorted(rows)                      # (u, t) contiguous + ordered
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    t = np.array([r[1] for r in rows], dtype=np.int64)
+    m = np.array([r[2] for r in rows], dtype=bool)
+    idx, found = _asof_match_idx(u, t, m)
+    for i in range(len(rows)):
+        cands = [j for j in range(len(rows))
+                 if u[j] == u[i] and m[j] and t[j] <= t[i]]
+        if not cands:
+            assert not found[i]
+        else:
+            assert found[i]
+            j = idx[i]
+            assert u[j] == u[i] and m[j]
+            assert t[j] == max(t[c] for c in cands)
+
+
+@given(st.lists(st.tuples(st.integers(0, 4),          # user
+                          st.integers(0, 20),         # ts
+                          st.sampled_from(["signup", "view", "click",
+                                           "purchase"])),
+                min_size=0, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_funnel_scatter_min_matches_sequential(rows):
+    """The funnel kernel's scatter-min stage walk must equal the obvious
+    per-user sequential definition: stage k completes at the first
+    qualifying event strictly after stage k-1's completion time."""
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        FUNNEL_STAGES
+
+    # sequential reference
+    per_user: dict[int, list[tuple[int, str]]] = {}
+    for u_, t_, e_ in sorted(rows, key=lambda r: (r[0], r[1])):
+        per_user.setdefault(u_, []).append((t_, e_))
+    expected = []
+    for k, ev in enumerate(FUNNEL_STAGES, start=1):
+        n = 0
+        # recompute cumulatively to stage k
+        for u_, evs in per_user.items():
+            prev = None
+            ok = True
+            for ev_k in FUNNEL_STAGES[:k]:
+                t_hit = None
+                for t_, e_ in evs:
+                    if e_ == ev_k and (prev is None or t_ > prev):
+                        t_hit = t_
+                        break
+                if t_hit is None:
+                    ok = False
+                    break
+                prev = t_hit
+            if ok:
+                n += 1
+        expected.append(n)
+        if n == 0:
+            break
+
+    # kernel under test (the same numpy stage walk user_funnel_counts runs)
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    t = np.array([r[1] for r in rows], dtype=np.int64)
+    e = np.array([r[2] for r in rows], dtype=object)
+    got = []
+    if len(rows):
+        uid, inv = np.unique(u, return_inverse=True)
+        none = np.iinfo(np.int64).max
+        prev = None
+        for k, ev in enumerate(FUNNEL_STAGES, start=1):
+            m = e == ev
+            if prev is not None:
+                p = prev[inv]
+                m = m & (p != none) & (t > p)
+            cur = np.full(len(uid), none, dtype=np.int64)
+            np.minimum.at(cur, inv[m], t[m])
+            n = int((cur != none).sum())
+            got.append(n)
+            prev = cur
+            if n == 0:
+                break
+    else:
+        got = [0]
+        expected = expected or [0]
+    assert got == expected
