@@ -78,6 +78,11 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
     # by pytest invariants instead).  tools/parity_sweep.py checks ALL ~232
     # every round regardless (CORRECTNESS_LOCAL_r03.json).
     return {
+        # newest r04 additions (no driver row yet) lead the window
+        "doc_bm25_topk": _q("search", "doc_bm25_topk"),            # oracle, new r04
+        "doc_search_rrf": _q("search", "doc_search_rrf"),          # oracle, new r04
+        "user_cumulative_distinct":
+            _q("relational", "user_cumulative_distinct"),          # oracle, new r04
         # newest r03 additions (no driver row yet) lead the window
         "part_price_size_skyline":
             _q("relational", "part_price_size_skyline"),                   # oracle, new r03
@@ -1154,6 +1159,48 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id FROM t WHERE term IN ('batch', 'join')"
         " AND doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'slow')"
         " GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id")
+    # Okapi BM25 (k1=1.2, b=0.75, Lucene idf) — the SQL states the
+    # IDENTICAL arithmetic the engine's per-block scorer folds; two query
+    # terms, so the per-doc float sum is order-exact on both sides
+    _bm25_scored_sql = (
+        "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug),\n"
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),\n"
+        "n AS (SELECT count(*) AS n FROM docs_aug),\n"
+        "ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"
+        " FROM dl),\n"
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+        " WHERE term IN ('batch', 'join') GROUP BY 1, 2),\n"
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),\n"
+        "scored AS (SELECT tf.doc_id, max(dl.dl) AS dl,"
+        " sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))"
+        " * tf.tf * (1.2 + 1.0)"
+        " / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl))) AS s"
+        " FROM tf JOIN df USING (term) JOIN dl USING (doc_id)"
+        " CROSS JOIN n CROSS JOIN ad GROUP BY tf.doc_id)")
+    out["doc_bm25_topk"] = docs_pre + _bm25_scored_sql + (
+        "\nSELECT doc_id, round(s, 6) AS score FROM scored"
+        " ORDER BY s DESC, doc_id LIMIT 10")
+    out["doc_search_rrf"] = docs_pre + _bm25_scored_sql + (
+        ",\n"
+        "la AS (SELECT doc_id, row_number() OVER"
+        " (ORDER BY s DESC, doc_id) AS ra FROM scored QUALIFY ra <= 50),\n"
+        "lb AS (SELECT doc_id, row_number() OVER"
+        " (ORDER BY dl ASC, doc_id) AS rb FROM scored QUALIFY rb <= 50),\n"
+        "fuse AS (SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id,"
+        " coalesce(1.0 / (60 + ra), 0) + coalesce(1.0 / (60 + rb), 0)"
+        " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
+        "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
+        " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    out["user_cumulative_distinct"] = (
+        "WITH f AS (SELECT event_id, user_id, ts,"
+        " row_number() OVER (PARTITION BY user_id, event_type"
+        " ORDER BY ts, event_id) AS rn FROM events)\n"
+        "SELECT event_id, user_id,"
+        " CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen"
+        " FROM f")
     out["vocab_counts"] = docs_pre + (
         "terms AS (SELECT unnest(str_split(text, ' ')) AS term FROM docs_aug)\n"
         "SELECT term, count(*) AS cnt FROM terms GROUP BY term"

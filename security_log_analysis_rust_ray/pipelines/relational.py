@@ -437,6 +437,60 @@ def user_running_totals(sf_dir: str) -> rd.Dataset:
         block_cum, batch_format="pyarrow", batch_size=None)
 
 
+def user_cumulative_distinct(sf_dir: str) -> rd.Dataset:
+    """Per-user RUNNING DISTINCT event-type count — the "how fast does a
+    user's behavioral repertoire grow" windowed shape (cumulative
+    cardinality, not cumulative sum: the aggregate is over a SET, so the
+    kernel needs first-occurrence detection, not arithmetic).
+
+    ONE user_id hash exchange, then one Arrow-native kernel per block
+    across all its users: dictionary-encode types, one lexsort names each
+    (user, type)'s first row in time order, a second pass cumsums the
+    first-occurrence flags per user segment — integers throughout, so the
+    fold is exact at any scale.  Output (event_id, user_id, n_types_seen),
+    fact-scale and streaming."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def block_cum_distinct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n_types_seen": pa.array([], pa.int64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = b["user_id"].to_numpy()
+        et = b["event_type"].combine_chunks() \
+            if isinstance(b["event_type"], pa.ChunkedArray) \
+            else b["event_type"]
+        codes = np.asarray(et.dictionary_encode()
+                           .indices.to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        n = len(u)
+        # first occurrence of each (user, type) in time order: stable
+        # lexsort by (user, type, time-position); a row is "first" when
+        # its (user, type) differs from the previous sorted row
+        order = np.lexsort((np.arange(n), codes, u))
+        us, cs = u[order], codes[order]
+        first_sorted = np.r_[True, (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])]
+        first = np.empty(n, dtype=np.int64)
+        first[order] = first_sorted.astype(np.int64)
+        # per-user running count of first-occurrences, in time order
+        seg_first = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(seg_first)
+        lens = np.diff(np.r_[starts, n])
+        cum = np.cumsum(first)
+        base = cum[starts] - first[starts]
+        running = cum - np.repeat(base, lens)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "n_types_seen": pa.array(running, pa.int64())})
+
+    return _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_cum_distinct, batch_format="pyarrow", batch_size=None)
+
+
 def _asof_match_idx(u: np.ndarray, t: np.ndarray,
                     is_match: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Segmented backward as-of core over numpy views: for each row i of

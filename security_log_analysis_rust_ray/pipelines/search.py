@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import hash64_stable
+from ..functions.util import round_half_up
 from ..stages import aggregate as agg
 from .docs import docs_aug_ds
 
@@ -290,3 +291,174 @@ def search_docs_and_not(sf_dir: str, terms: list[str] | None = None,
         return keep
     drop = search_docs_or(sf_dir, exclude, index_dir=index_dir)
     return anti_join(keep, drop, "doc_id", "doc_id").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval + reciprocal-rank fusion (RAG retrieval tier).
+# The reference's only ranking is Postgres ORDER BY over LIKE hits
+# (src/security_log_http.rs query handlers); a training-data/RAG pipeline
+# needs scored retrieval.  Okapi BM25 (Robertson et al.) with the Lucene
+# idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 10
+RRF_C = 60      # Cormack et al. reciprocal-rank-fusion constant
+RRF_N = 50      # depth of each fused ranked list
+
+
+def _term_tf_batch(b: pa.Table, terms: list[str]) -> pa.Table:
+    """(doc_id, dl, tf_0..tf_{T-1}) for docs in this batch that contain at
+    least one query term.  One Arrow split; per-term tf by a cumsum-gather
+    segment sum (T is the QUERY length — a handful — so the per-term loop
+    is over terms, never rows)."""
+    tk = pc.split_pattern(b["text"], " ")
+    if isinstance(tk, pa.ChunkedArray):
+        tk = tk.combine_chunks()
+    flat = tk.values
+    offs = np.asarray(tk.offsets, dtype=np.int64)
+    dl = np.diff(offs)
+    tf = np.zeros((len(dl), len(terms)), dtype=np.int64)
+    for i, t in enumerate(terms):
+        eq = pc.equal(flat, t).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(eq)])
+        tf[:, i] = cum[offs[1:]] - cum[offs[:-1]]
+    keep = tf.sum(axis=1) > 0
+    cols = {"doc_id": pa.array(b["doc_id"].to_numpy()[keep], pa.int64()),
+            "dl": pa.array(dl[keep], pa.int64())}
+    for i in range(len(terms)):
+        cols[f"tf_{i}"] = pa.array(tf[keep, i], pa.int64())
+    return pa.table(cols)
+
+
+def _bm25_scored(sf_dir: str, terms: list[str]):
+    """Shared BM25 scoring plan: returns a MATERIALIZED matched-docs
+    dataset with (doc_id, dl, score_raw).  Corpus stats (N, avgdl) and the
+    per-term df vector are tiny per-block folds summed driver-side — the
+    corpus itself streams and never co-locates; only docs containing a
+    query term survive into the scored stream (worst case the corpus, in
+    practice a small fraction)."""
+    from ..pipelines.docs import docs_aug_ds
+    from ..stages.joins import _collect_table
+    docs = docs_aug_ds(sf_dir)
+
+    def stats_row(b: pa.Table) -> pa.Table:
+        tk = pc.split_pattern(b["text"], " ")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "sdl": pa.array([len(tk.values)], pa.int64())})
+
+    st = _collect_table(docs.map_batches(stats_row, batch_format="pyarrow",
+                                         batch_size=None))
+    n_docs = int(pc.sum(st["n"]).as_py())
+    avgdl = float(pc.sum(st["sdl"]).as_py()) / max(n_docs, 1)
+
+    tf_ds = docs.map_batches(lambda b: _term_tf_batch(b, terms),
+                             batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def df_row(b: pa.Table) -> pa.Table:
+        return pa.table({f"df_{i}": pa.array(
+            [int(np.count_nonzero(b[f"tf_{i}"].to_numpy()))], pa.int64())
+            for i in range(len(terms))})
+
+    dft = _collect_table(tf_ds.map_batches(df_row, batch_format="pyarrow",
+                                           batch_size=None))
+    df = np.array([int(pc.sum(dft[f"df_{i}"]).as_py())
+                   for i in range(len(terms))], dtype=np.float64)
+    idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64()),
+                             "score_raw": pa.array([], pa.float64())})
+        dl = b["dl"].to_numpy().astype(np.float64)
+        denom = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        s = np.zeros(len(dl), dtype=np.float64)
+        # summed in term order; the default query is 2 terms, where the
+        # two-addend float sum is order-exact vs the oracle's SQL SUM
+        for i in range(len(terms)):
+            tf = b[f"tf_{i}"].to_numpy().astype(np.float64)
+            s += idf[i] * tf * (BM25_K1 + 1.0) / (tf + denom)
+        return pa.table({"doc_id": b["doc_id"], "dl": b["dl"],
+                         "score_raw": pa.array(s)})
+
+    return tf_ds.map_batches(score, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+
+def doc_bm25_topk(sf_dir: str, terms: list[str] | None = None,
+                  k: int = BM25_K) -> rd.Dataset:
+    """Okapi-BM25 top-k retrieval for the demo query: per-block top-k
+    combiner (each block keeps its k best) then ONE tiny exchange for the
+    final order — the corpus never shuffles.  Output (doc_id, score
+    rounded 6), score descending, doc_id tie-break."""
+    terms = list(SEARCH_TERMS if terms is None else terms)
+    scored = _bm25_scored(sf_dir, terms)
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        b = b.select(["doc_id", "score_raw"])
+        if b.num_rows <= k:
+            return b
+        b = b.sort_by([("score_raw", "descending"),
+                       ("doc_id", "ascending")])
+        return b.slice(0, k)
+
+    top = scored.map_batches(block_topk, batch_format="pyarrow",
+                             batch_size=None) \
+        .sort(["score_raw", "doc_id"], descending=[True, False]).limit(k)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "score": pa.array(round_half_up(
+                b["score_raw"].to_numpy(zero_copy_only=False), 6))})
+
+    return top.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def doc_search_rrf(sf_dir: str, terms: list[str] | None = None,
+                   n: int = RRF_N, k: int = BM25_K) -> rd.Dataset:
+    """Reciprocal-rank fusion of two ranked retrieval lists over the
+    matched set: (A) BM25 top-n, (B) concise-doc top-n (shortest dl — the
+    "prefer short passages" retrieval heuristic).  rrf = sum over lists
+    containing the doc of 1/(RRF_C + rank).
+
+    Scale shape: both lists reduce per block first (each block emits <= n
+    rows per criterion), so the driver only ever folds <= 2n rows per
+    block — rank assignment and fusion happen on the <= 2n-row final
+    lists, the standard RRF regime (fuse RETRIEVED lists, not corpora)."""
+    terms = list(SEARCH_TERMS if terms is None else terms)
+    scored = _bm25_scored(sf_dir, terms)
+
+    def block_top(b: pa.Table) -> pa.Table:
+        a = b.sort_by([("score_raw", "descending"), ("doc_id", "ascending")]
+                      ).slice(0, n)
+        c = b.sort_by([("dl", "ascending"), ("doc_id", "ascending")]
+                      ).slice(0, n)
+        return pa.concat_tables([a, c])
+
+    from ..stages.joins import _collect_table
+    cand = _collect_table(scored.map_batches(
+        block_top, batch_format="pyarrow", batch_size=None))
+    # exact final lists on the <= 2n*blocks candidate rows (driver-sized)
+    t = cand.group_by(["doc_id"]).aggregate(
+        [("score_raw", "max"), ("dl", "max")])
+    doc = t["doc_id"].to_numpy()
+    s = t["score_raw_max"].to_numpy().astype(np.float64)
+    dl = t["dl_max"].to_numpy()
+    rrf = {}
+    order_a = np.lexsort((doc, -s))[:n]
+    for r, i in enumerate(order_a, start=1):
+        rrf[doc[i]] = rrf.get(doc[i], 0.0) + 1.0 / (RRF_C + r)
+    order_b = np.lexsort((doc, dl))[:n]
+    for r, i in enumerate(order_b, start=1):
+        rrf[doc[i]] = rrf.get(doc[i], 0.0) + 1.0 / (RRF_C + r)
+    items = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    out = pa.table({
+        "doc_id": pa.array([d for d, _ in items], pa.int64()),
+        "rrf": pa.array(round_half_up(
+            np.array([v for _, v in items], dtype=np.float64), 6))})
+    return rd.from_arrow(out)
