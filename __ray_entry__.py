@@ -79,6 +79,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
     # every round regardless (CORRECTNESS_LOCAL_r03.json).
     return {
         # newest r04 additions (no driver row yet) lead the window
+        "doc_jaccard_prefix_pairs":
+            _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
         "doc_bm25_topk": _q("search", "doc_bm25_topk"),            # oracle, new r04
         "doc_search_rrf": _q("search", "doc_search_rrf"),          # oracle, new r04
         "user_cumulative_distinct":
@@ -888,6 +890,9 @@ def oracle_sql() -> dict[str, str]:
         " FROM co JOIN sizes sa ON co.a = sa.doc_id"
         " JOIN sizes sb ON co.b = sb.doc_id)\n"
         f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {D.JACCARD_THRESHOLD}")
+    # prefix-filtered (PPJoin) plan computes the IDENTICAL result set —
+    # same oracle; the plans differ only in candidate generation
+    out["doc_jaccard_prefix_pairs"] = out["doc_ngram_jaccard_pairs"]
 
     _jac_ctes = (
         "toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM docs_aug),\n"

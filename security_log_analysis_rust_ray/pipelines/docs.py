@@ -393,6 +393,71 @@ def doc_ngram_jaccard_pairs(sf_dir: str,
     return out
 
 
+def _prefix_candidates(sf_dir: str, threshold: float,
+                       nparts: int) -> rd.Dataset:
+    """PPJoin-style candidate pairs under Jaccard prefix filtering (Xiao
+    et al., "Efficient Similarity Joins for Near Duplicate Detection"):
+    order every doc's shingles by a GLOBAL canonical key (corpus frequency
+    asc, shingle asc — rarest first), keep only each doc's PREFIX of
+    length sz - floor(t*sz) + 1, and expand pairs over prefix shingles
+    only.  Lossless: jaccard(x, y) >= t implies |x ∩ y| >= ceil(t*|x|),
+    and two sets with overlap >= a must share an element among their
+    (sz - a + 1)-prefixes under any shared total order; floor <= ceil only
+    LENGTHENS the prefix, so no qualifying pair is missed.  The win at
+    corpus scale: frequent shingles (the k^2 pair bombs) sit at the END of
+    the canonical order and never enter pair expansion unless a doc is
+    almost all-common."""
+    from ..stages.dedup import _use_hash_shuffle, distinct_rows
+    from ..stages.joins import lookup_join
+    sh = shingles_ds(sf_dir)
+    gf = agg.grouped_count(sh, ["g"], alias="gf",
+                           high_cardinality=True).materialize()
+    shf = lookup_join(sh, gf, "g", "g", nparts=nparts, how="inner")
+    rep = _use_hash_shuffle(shf, nparts).repartition(
+        num_blocks=nparts, keys=["doc_id"])
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        srt = b.sort_by([("doc_id", "ascending"), ("gf", "ascending"),
+                         ("g", "ascending")])
+        d = srt["doc_id"].to_numpy()
+        first = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(d)])
+        pos = np.arange(len(d), dtype=np.int64) - np.repeat(starts, lens)
+        sz = np.repeat(lens, lens)
+        alpha = np.floor(threshold * sz).astype(np.int64)
+        keep = pa.array(pos < (sz - alpha + 1))
+        return pa.table({"doc_id": srt["doc_id"].filter(keep),
+                         "g": srt["g"].filter(keep)})
+
+    pref = rep.map_batches(prefix_rows, batch_format="pyarrow",
+                           batch_size=None)
+    pairs = _group_pairs(pref, ["g"], nparts)
+    return distinct_rows(pairs, ["a", "b"]).materialize()
+
+
+def doc_jaccard_prefix_pairs(sf_dir: str,
+                             threshold: float = JACCARD_THRESHOLD
+                             ) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING — the same
+    result set as ``doc_ngram_jaccard_pairs`` (identical oracle) through a
+    candidate-generation plan that never expands pairs over common
+    shingles: global shingle frequencies (one grouped count), per-doc
+    rarest-first prefixes (one doc exchange + vectorized per-block
+    selection), pair expansion over PREFIX rows only, then the shared
+    exact-Jaccard verification join (precision 1.0).  At 100-TB scale the
+    full inverted-index expansion pays k^2 on every frequent shingle;
+    prefix filtering bounds expansion to the rare end of the vocabulary
+    while provably keeping every qualifying pair."""
+    nparts = _join_parts(sf_dir)
+    cands = _prefix_candidates(sf_dir, threshold, nparts)
+    return _verify_candidate_pairs(cands, sf_dir, threshold, nparts)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path) and SimHash
 # ---------------------------------------------------------------------------
