@@ -81,6 +81,10 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
+        "events_value_winsorized":
+            _q("relational", "events_value_winsorized"),           # oracle, new r04
+        "rolling_wau_approx":
+            _q("relational", "rolling_wau_approx"),            # rows-only, new r04
         "doc_bm25_topk": _q("search", "doc_bm25_topk"),            # oracle, new r04
         "doc_search_rrf": _q("search", "doc_search_rrf"),          # oracle, new r04
         "user_cumulative_distinct":
@@ -1197,6 +1201,23 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # per-type winsorization: bounds at the lower (discrete) percentile
+    # rank floor(p*(n-1))+1 — the SQL states the identical rank rule; the
+    # clamp itself is exact double min/max, so round 6 is cosmetic
+    out["events_value_winsorized"] = (
+        "WITH r AS (SELECT event_id, event_type, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM events),\n"
+        "b AS (SELECT event_type,"
+        " max(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1"
+        " THEN value END) AS lo,"
+        " max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1"
+        " THEN value END) AS hi"
+        " FROM r GROUP BY 1)\n"
+        "SELECT e.event_id, e.event_type,"
+        " round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w"
+        " FROM events e JOIN b USING (event_type)")
     out["user_cumulative_distinct"] = (
         "WITH f AS (SELECT event_id, user_id, ts,"
         " row_number() OVER (PARTITION BY user_id, event_type"

@@ -1571,6 +1571,46 @@ def rolling_wau(sf_dir: str) -> rd.Dataset:
     return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
 
 
+def rolling_wau_approx(sf_dir: str) -> rd.Dataset:
+    """Approximate rolling 7-day WAU via HLL REGISTER ALGEBRA — the sketch
+    answer to ``rolling_wau``'s exact plan: per-day 4 KB HLL registers
+    (the keyed fold of ``grouped_distinct_registers``), then each output
+    day's estimate is the elementwise MAX of its <=7 trailing daily
+    registers.  At 100-TB event volume this replaces the exact plan's 7x
+    (user, day) cell fan-out + second global distinct with |days| x 4 KB
+    of mergeable state — the union is the one set operation HLL supports
+    exactly, so windows need no re-scan of the fact stream.  Approximate
+    -> rows-only; error pytest-bounded against the exact WAU curve.
+    Output (day, wau_approx) for the same day set as ``rolling_wau``."""
+    from ..stages.sketch import grouped_distinct_registers, hll_estimate
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def dayed(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b["ts"], pa.int64()), DAY_US)
+        return pa.table({"day": day, "user_id": b["user_id"]})
+
+    regs = grouped_distinct_registers(
+        ev.map_batches(dayed, batch_format="pyarrow", batch_size=None),
+        ["day"], "user_id")
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "wau_approx": pa.array([], pa.int64())})
+    if regs.num_rows == 0:
+        return rd.from_arrow(empty)
+    day_reg = {int(d.as_py()): np.frombuffer(r.as_py(), dtype=np.uint8)
+               for d, r in zip(regs["day"], regs["reg"])}
+    lo, hi = min(day_reg), max(day_reg)
+    days, ests = [], []
+    for d in range(lo, hi + 1):
+        window = [day_reg[w] for w in range(d - (WAU_WINDOW - 1), d + 1)
+                  if w in day_reg]
+        if not window:
+            continue
+        days.append(d)
+        ests.append(int(round(hll_estimate(np.maximum.reduce(window)))))
+    return rd.from_arrow(pa.table({"day": pa.array(days, pa.int64()),
+                                   "wau_approx": pa.array(ests, pa.int64())}))
+
+
 def _supplier_edges(sf_dir: str) -> rd.Dataset:
     """Distinct undirected (a < b) supplier co-occurrence edges: suppliers
     are linked when they ship lines of the SAME order.  Distinct (order,
@@ -2089,12 +2129,15 @@ def events_value_median_exact(sf_dir: str) -> rd.Dataset:
                           batch_size=None)
 
 
-def _grouped_lower_median(ds: rd.Dataset, out_col: str) -> rd.Dataset:
-    """EXACT per-group lower median over a (event_type, value, event_id)
-    Dataset — the reusable selection core under
-    ``events_value_median_by_type`` and the MAD composition: one global
-    sort, per-block type-segment summaries, driver rank plan, one
-    extract pass.  Output (event_type, <out_col>) unsorted."""
+def _grouped_ranks_select(ds: rd.Dataset, targets_fn) -> rd.Dataset:
+    """EXACT per-group RANK SELECTION over a (event_type, value, event_id)
+    Dataset — the generalized selection core under the grouped median, MAD
+    and winsorization bounds: one global sort, per-block type-segment
+    summaries, a driver rank plan, one extract pass.  ``targets_fn`` maps
+    the per-type row totals (pd.Series indexed by type) to a DataFrame
+    (typ, target, label) of 1-based ranks to select — possibly SEVERAL per
+    type (e.g. p05 and p95), all resolved against the SAME summary fold
+    and extract pass.  Output (event_type, label, value) unsorted."""
     ds = ds.sort(["event_type", "value", "event_id"]).materialize()
 
     def summary(b: pa.Table) -> pa.Table:
@@ -2122,43 +2165,114 @@ def _grouped_lower_median(ds: rd.Dataset, out_col: str) -> rd.Dataset:
     summ = ds.map_batches(summary, batch_format="pyarrow",
                           batch_size=None).to_pandas()
     empty = pa.table({"event_type": pa.array([], pa.string()),
-                      out_col: pa.array([], pa.float64())})
+                      "label": pa.array([], pa.string()),
+                      "value": pa.array([], pa.float64())})
     if not len(summ):
         return rd.from_arrow(empty)
     # global segment order = (block first key, in-block segment index)
     summ = summ.sort_values(["t0", "v0", "id0", "seg"]) \
         .reset_index(drop=True)
     # in-block row offset where each segment starts
-    seg_base = summ.groupby(["t0", "v0", "id0"], sort=False)["cnt"] \
+    summ["seg_base"] = summ.groupby(["t0", "v0", "id0"], sort=False)["cnt"] \
         .cumsum() - summ["cnt"]
     # per-type exclusive prefix counts across segments (already in
     # global order within each type because the sort is type-major)
-    prev = summ.groupby("typ", sort=False)["cnt"].cumsum() - summ["cnt"]
+    summ["prev"] = summ.groupby("typ", sort=False)["cnt"].cumsum() \
+        - summ["cnt"]
     totals = summ.groupby("typ", sort=False)["cnt"].sum()
-    # locate each type's target segment: prev < target <= prev + cnt
-    targets = ((totals + 1) // 2).rename("target")
-    j = summ.join(targets, on="typ")
-    hit = (j["target"] > prev) & (j["target"] <= prev + j["cnt"])
-    picks = {}  # block first key -> [(in-block row position)]
+    tdf = targets_fn(totals)
+    # locate each (type, label)'s target segment: prev < target <= prev+cnt
+    j = summ.merge(tdf, on="typ", how="inner")
+    hit = (j["target"] > j["prev"]) & (j["target"] <= j["prev"] + j["cnt"])
+    picks = {}  # block first key -> [(in-block row position, label)]
     for i in np.flatnonzero(hit.to_numpy()):
         key = (j["t0"].iat[i], float(j["v0"].iat[i]), int(j["id0"].iat[i]))
-        pos = int(seg_base.iat[i] + (j["target"].iat[i] - prev.iat[i]) - 1)
-        picks.setdefault(key, []).append(pos)
+        pos = int(j["seg_base"].iat[i]
+                  + (j["target"].iat[i] - j["prev"].iat[i]) - 1)
+        picks.setdefault(key, []).append((pos, j["label"].iat[i]))
 
     def extract(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return empty
         key = (b["event_type"][0].as_py(), float(b["value"][0].as_py()),
                int(b["event_id"][0].as_py()))
-        pos = picks.get(key)
-        if not pos:
+        sel = picks.get(key)
+        if not sel:
             return empty
-        idx = pa.array(sorted(pos), pa.int64())
+        sel = sorted(sel)
+        idx = pa.array([p for p, _ in sel], pa.int64())
         return pa.table({"event_type": b["event_type"].take(idx),
-                         out_col: b["value"].take(idx)})
+                         "label": pa.array([lb for _, lb in sel],
+                                           pa.string()),
+                         "value": b["value"].take(idx)})
 
     return ds.map_batches(extract, batch_format="pyarrow",
                           batch_size=None)
+
+
+def _grouped_lower_median(ds: rd.Dataset, out_col: str) -> rd.Dataset:
+    """EXACT per-group lower median — the one-target instance of
+    ``_grouped_ranks_select`` (rank = (n+1)//2).  Output
+    (event_type, <out_col>) unsorted."""
+    def targets_fn(totals: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({"typ": totals.index.to_numpy(),
+                             "target": ((totals + 1) // 2).to_numpy(),
+                             "label": "m"})
+    sel = _grouped_ranks_select(ds, targets_fn)
+    return sel.map_batches(
+        lambda b, oc=out_col: pa.table({
+            "event_type": b["event_type"],
+            oc: b["value"]}),
+        batch_format="pyarrow", batch_size=None)
+
+
+WINSOR_LO_P, WINSOR_HI_P = 0.05, 0.95
+
+
+def events_value_winsorized(sf_dir: str) -> rd.Dataset:
+    """Per-group WINSORIZATION — clamp every value into its own type's
+    exact [p05, p95] band (the outlier-robust normalization a feature /
+    reward pipeline applies before scaling).  The bound ranks use the
+    lower (discrete) percentile rule rank = floor(p*(n-1)) + 1.
+
+    Plan: BOTH bounds of every type resolve against ONE
+    ``_grouped_ranks_select`` pass (one global sort + one summary fold +
+    one extract — not one selection per percentile); the |types|x2 bound
+    table broadcasts back through a size-aware lookup_join and the fact
+    stream rewrites statelessly — groups never co-locate, output stays
+    streaming.  Output (event_id, event_type, value_w round 6)."""
+    from ..stages.joins import _collect_table, lookup_join
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def targets_fn(totals: pd.Series) -> pd.DataFrame:
+        n = totals.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "typ": np.concatenate([totals.index, totals.index]),
+            "target": np.concatenate([
+                np.floor(WINSOR_LO_P * (n - 1)).astype(np.int64) + 1,
+                np.floor(WINSOR_HI_P * (n - 1)).astype(np.int64) + 1]),
+            "label": ["lo"] * len(n) + ["hi"] * len(n)})
+
+    sel = _collect_table(
+        _grouped_ranks_select(ds, targets_fn)).to_pandas()
+    piv = sel.pivot(index="event_type", columns="label",
+                    values="value").reset_index()
+    bounds = rd.from_arrow(pa.table({
+        "event_type": pa.array(piv["event_type"], pa.string()),
+        "lo": pa.array(piv["lo"], pa.float64()),
+        "hi": pa.array(piv["hi"], pa.float64())})).materialize()
+    j = lookup_join(ds, bounds, "event_type", "event_type", how="inner")
+
+    def clamp(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(v, b["lo"].to_numpy()),
+                       b["hi"].to_numpy())
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "value_w": pa.array(round_half_up(w, 6))})
+
+    return j.map_batches(clamp, batch_format="pyarrow", batch_size=None)
 
 
 def events_value_median_by_type(sf_dir: str) -> rd.Dataset:

@@ -410,18 +410,10 @@ def grouped_approx_quantiles(ds: rd.Dataset, keys: list[str], col: str,
     return parts.map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
-def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], col: str,
-                            alias: str = "approx_distinct") -> rd.Dataset:
-    """PER-GROUP approximate COUNT(DISTINCT col) — the keyed HLL fold (the
-    daily-active-users shape): one 4 KB register row per (group, block),
-    one hash exchange, per-partition register max-merge + estimate.
-    Exchange volume = groups x blocks x 4 KB, independent of row count —
-    exact per-group distinct is an all-to-all of every (group, value)
-    pair.  Per-batch loop is over GROUPS; the register build per group is
-    the vectorized ``hll_partial``.  Approximate -> rows-only oracle with
-    the ±1.6%-typical error pytest-bounded against exact."""
-    from .dedup import _num_partitions, _use_hash_shuffle
-
+def _grouped_hll_partial(keys: list[str], col: str):
+    """Per-batch keyed HLL partial: one 4 KB register row per group in the
+    batch — the shared combiner under ``grouped_approx_distinct`` and
+    ``grouped_distinct_registers``."""
     def partial(b: pa.Table) -> pa.Table:
         df = b.select(keys + [col]).to_pandas()
         out = {kc: [] for kc in keys}
@@ -434,8 +426,79 @@ def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], col: str,
             regs.append(hll_partial(c).tobytes())
         return pa.table({**{kc: pa.array(out[kc]) for kc in keys},
                          "reg": pa.array(regs, pa.binary())})
+    return partial
 
-    pre = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+def grouped_distinct_registers(ds: rd.Dataset, keys: list[str],
+                               col: str) -> pa.Table:
+    """Per-group MERGED HLL registers, collected to ONE driver-side Arrow
+    table (keys..., reg: binary) — for callers that need the mergeable
+    STATE per group rather than point estimates (e.g. sliding-window
+    unions: a trailing-k-day distinct is the register max of k daily
+    sketches).  Caller contract: the group keyspace is SMALL (calendar
+    days, services) — driver state is |groups| x 4 KB regardless of row
+    count."""
+    from .joins import _collect_table
+
+    pre = ds.map_batches(_grouped_hll_partial(keys, col),
+                         batch_format="pyarrow", batch_size=None)
+
+    def merge_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "reg" not in b.schema.names:
+            return pa.table({**{kc: pa.array([], pa.string())
+                                for kc in keys},
+                             "reg": pa.array([], pa.binary())})
+        df = b.to_pandas()
+        cols = {kc: [] for kc in keys}
+        regs = []
+        for kv, g in df.groupby(keys, dropna=False, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            merged = np.maximum.reduce(
+                np.stack([np.frombuffer(r, dtype=np.uint8)
+                          for r in g["reg"]]))
+            for kc, v in zip(keys, kv):
+                cols[kc].append(v)
+            regs.append(merged.tobytes())
+        return pa.table({**{kc: pa.array(cols[kc]) for kc in keys},
+                         "reg": pa.array(regs, pa.binary())})
+
+    # two-level merge: per-block partials already collapsed each block's
+    # groups; one small repartition bounds the final driver fold
+    merged = pre.repartition(4).map_batches(
+        merge_block, batch_format="pyarrow", batch_size=None)
+    t = _collect_table(merged)
+    if t.num_rows == 0:
+        return t
+    # the 4-way repartition can still split a group across blocks; one
+    # last driver-side fold over the |groups|-sized table finishes it
+    df = t.to_pandas()
+    cols = {kc: [] for kc in keys}
+    regs = []
+    for kv, g in df.groupby(keys, dropna=False, sort=False):
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        merged_r = np.maximum.reduce(
+            np.stack([np.frombuffer(r, dtype=np.uint8) for r in g["reg"]]))
+        for kc, v in zip(keys, kv):
+            cols[kc].append(v)
+        regs.append(merged_r.tobytes())
+    return pa.table({**{kc: pa.array(cols[kc]) for kc in keys},
+                     "reg": pa.array(regs, pa.binary())})
+
+
+def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], col: str,
+                            alias: str = "approx_distinct") -> rd.Dataset:
+    """PER-GROUP approximate COUNT(DISTINCT col) — the keyed HLL fold (the
+    daily-active-users shape): one 4 KB register row per (group, block),
+    one hash exchange, per-partition register max-merge + estimate.
+    Exchange volume = groups x blocks x 4 KB, independent of row count —
+    exact per-group distinct is an all-to-all of every (group, value)
+    pair.  Per-batch loop is over GROUPS; the register build per group is
+    the vectorized ``hll_partial``.  Approximate -> rows-only oracle with
+    the ±1.6%-typical error pytest-bounded against exact."""
+    from .dedup import _num_partitions, _use_hash_shuffle
+
+    pre = ds.map_batches(_grouped_hll_partial(keys, col),
+                         batch_format="pyarrow", batch_size=None)
     parts = _use_hash_shuffle(pre).repartition(
         num_blocks=max(_num_partitions(ds) // 4, 2), keys=keys)
     empty_fields = {kc: pa.array([], pa.string()) for kc in keys}
