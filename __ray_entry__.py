@@ -81,6 +81,12 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
+        "events_benford_audit":
+            _q("relational", "events_benford_audit"),              # oracle, new r04
+        "events_daily_cusum":
+            _q("relational", "events_daily_cusum"),                # oracle, new r04
+        "events_max_concurrency":
+            _q("streaming", "events_max_concurrency"),             # oracle, new r04
         "events_value_winsorized":
             _q("relational", "events_value_winsorized"),           # oracle, new r04
         "rolling_wau_approx":
@@ -1201,6 +1207,63 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # Benford audit: digit bins are INTEGER-exact on both sides (repeated
+    # //10 in the engine == left(varchar,1) of the same integer in SQL)
+    out["events_benford_audit"] = (
+        "WITH iv AS (SELECT CAST(floor(value * 100) AS BIGINT) AS iv"
+        " FROM events WHERE floor(value * 100) > 0),\n"
+        "d AS (SELECT CAST(left(CAST(iv AS VARCHAR), 1) AS BIGINT)"
+        " AS digit FROM iv),\n"
+        "c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),\n"
+        "t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c)\n"
+        "SELECT digit, cnt,"
+        " round(cnt / t.n, 6) AS freq,"
+        " round(log10(1 + 1.0 / digit), 6) AS expected,"
+        " round(pow(cnt / t.n - log10(1 + 1.0 / digit), 2)"
+        " / log10(1 + 1.0 / digit), 6) AS chi2_term"
+        " FROM c CROSS JOIN t ORDER BY digit")
+    # CUSUM: the recursion is stated as a recursive CTE over the tiny
+    # daily fold; mean/std are exact integer-in-double sums on both sides
+    out["events_daily_cusum"] = (
+        "WITH RECURSIVE daily AS (SELECT date_trunc('day', ts) AS day,"
+        " count(*) AS cnt FROM events GROUP BY 1),\n"
+        "idx AS (SELECT day, cnt, CAST(row_number() OVER (ORDER BY day)"
+        " AS BIGINT) AS rn FROM daily),\n"
+        "st AS (SELECT avg(CAST(cnt AS DOUBLE)) +"
+        " 0.5 * sqrt(avg(CAST(cnt AS DOUBLE) * cnt)"
+        " - avg(CAST(cnt AS DOUBLE)) * avg(CAST(cnt AS DOUBLE)))"
+        " AS drift FROM idx),\n"
+        "rec AS (SELECT rn, day, cnt,"
+        " greatest(0.0, cnt - (SELECT drift FROM st)) AS s"
+        " FROM idx WHERE rn = 1\n"
+        " UNION ALL SELECT i.rn, i.day, i.cnt,"
+        " greatest(0.0, r.s + i.cnt - (SELECT drift FROM st))"
+        " FROM rec r JOIN idx i ON i.rn = r.rn + 1)\n"
+        "SELECT day, cnt, round(s, 4) AS cusum FROM rec ORDER BY day")
+    # sweep line: starts before ends at equal ts (delta DESC); extra tie
+    # keys (user_id, session start) pin a total order but cannot move any
+    # day-max (delta is constant within a (ts, delta) tie group)
+    out["events_max_concurrency"] = (
+        "WITH lagged AS (SELECT user_id, event_id, ts,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+        " FROM events),\n"
+        "flags AS (SELECT *, CASE WHEN prev IS NULL OR"
+        f" date_diff('microsecond', prev, ts) > {STR.SESSION_GAP_S} * 1000000"
+        " THEN 1 ELSE 0 END AS new_s FROM lagged),\n"
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session"
+        " FROM flags),\n"
+        "windows AS (SELECT user_id, epoch_us(min(ts)) AS s0,"
+        " epoch_us(max(ts)) AS s1 FROM sess GROUP BY user_id, session),\n"
+        "ep AS (SELECT s0 AS tsu, CAST(1 AS BIGINT) AS delta, user_id, s0"
+        " FROM windows"
+        " UNION ALL SELECT s1, CAST(-1 AS BIGINT), user_id, s0"
+        " FROM windows),\n"
+        "r AS (SELECT tsu, sum(delta) OVER (ORDER BY tsu, delta DESC,"
+        " user_id, s0 ROWS UNBOUNDED PRECEDING) AS conc FROM ep)\n"
+        "SELECT tsu // 86400000000 AS day,"
+        " CAST(max(conc) AS BIGINT) AS max_concurrent FROM r"
+        " GROUP BY 1 ORDER BY 1")
     # per-type winsorization: bounds at the lower (discrete) percentile
     # rank floor(p*(n-1))+1 — the SQL states the identical rank rule; the
     # clamp itself is exact double min/max, so round 6 is cosmetic

@@ -3991,6 +3991,97 @@ def events_daily_ewma(sf_dir: str) -> rd.Dataset:
         "ewma": pa.array(round_half_up(s, 4))}))
 
 
+def events_benford_audit(sf_dir: str) -> rd.Dataset:
+    """Benford first-significant-digit audit over integer cents — the
+    fraud/corruption governance gate (does the value distribution's
+    leading digit follow log10(1 + 1/d)?).  Digit extraction is
+    INTEGER-ONLY (repeated //10 on cents, never float log10) so engine
+    and oracle agree bit-for-bit on the bins; each block folds a 9-bin
+    count (small-keyspace — one partial row per digit per block), the
+    chi-square pieces finish on the 9-row fold.  Output (digit, cnt,
+    freq, expected, chi2_term) round-6 by digit."""
+    from ..stages import aggregate as agg
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        iv = np.floor(v * 100.0).astype(np.int64)
+        iv = iv[iv > 0]
+        for _ in range(18):          # int64 has <= 19 digits
+            big = iv >= 10
+            if not big.any():
+                break
+            iv = np.where(big, iv // 10, iv)
+        cnt = np.bincount(iv, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    fold = ds.map_batches(digits, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("digit").aggregate(Sum("c", alias_name="cnt")).to_pandas()
+    empty = pa.table({"digit": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64()),
+                      "freq": pa.array([], pa.float64()),
+                      "expected": pa.array([], pa.float64()),
+                      "chi2_term": pa.array([], pa.float64())})
+    fold = fold[fold["cnt"] > 0].sort_values("digit").reset_index(drop=True)
+    if not len(fold):
+        return rd.from_arrow(empty)
+    d = fold["digit"].to_numpy(dtype=np.float64)
+    c = fold["cnt"].to_numpy(dtype=np.float64)
+    n = c.sum()               # exact: integer-valued doubles
+    freq = c / n
+    expected = np.log10(1.0 + 1.0 / d)
+    chi2 = (freq - expected) ** 2 / expected
+    return rd.from_arrow(pa.table({
+        "digit": pa.array(fold["digit"].to_numpy(), pa.int64()),
+        "cnt": pa.array(fold["cnt"].to_numpy(), pa.int64()),
+        "freq": pa.array(round_half_up(freq, 6)),
+        "expected": pa.array(round_half_up(expected, 6)),
+        "chi2_term": pa.array(round_half_up(chi2, 6))}))
+
+
+CUSUM_SLACK_K = 0.5    # slack in population-stddev units
+
+
+def events_daily_cusum(sf_dir: str) -> rd.Dataset:
+    """One-sided CUSUM change-point statistic over the daily count series
+    (Page's test — "did event volume shift up?"):
+    S_t = max(0, S_{t-1} + (x_t - mean - k*std)).  Like the EWMA, the
+    fact stream folds partial-first to a calendar-bounded series and the
+    recursion runs on the ~30-row fold; mean/std are exact (integer
+    sums in double).  Output (day, cnt, cusum round-4) by day."""
+    def day(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["day"]).aggregate([("one", "sum")]) \
+            .rename_columns(["day", "c"])
+
+    daily = read_table(sf_dir, "events", columns=["ts"]) \
+        .map_batches(day, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("c", alias_name="cnt")) \
+        .to_pandas()   # calendar-bounded
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "cnt": pa.array([], pa.int64()),
+                      "cusum": pa.array([], pa.float64())})
+    if not len(daily):
+        return rd.from_arrow(empty)
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = daily["cnt"].to_numpy().astype(np.float64)
+    mean = x.sum() / len(x)
+    std = float(np.sqrt((x * x).sum() / len(x) - mean * mean))
+    drift = mean + CUSUM_SLACK_K * std
+    sgn = np.empty_like(x)
+    acc = 0.0
+    for i in range(len(x)):
+        acc = max(0.0, acc + (x[i] - drift))
+        sgn[i] = acc
+    return rd.from_arrow(pa.table({
+        "day": pa.array(daily["day"].astype("datetime64[us]")),
+        "cnt": pa.array(daily["cnt"].to_numpy(), pa.int64()),
+        "cusum": pa.array(round_half_up(sgn, 4))}))
+
+
 def events_distinct_users_by_type(sf_dir: str) -> rd.Dataset:
     """Grouped COUNT DISTINCT — at fact scale THE shuffle-heavy
     aggregate: distinct (type, user) pairs first (per-block pre-distinct

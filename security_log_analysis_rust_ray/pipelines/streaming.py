@@ -94,6 +94,92 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S) -> rd.Dataset:
         block_sessions, batch_format="pyarrow", batch_size=None)
 
 
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def events_max_concurrency(sf_dir: str,
+                           gap_s: int = SESSION_GAP_S) -> rd.Dataset:
+    """Peak CONCURRENT sessions per day — the capacity-planning sweep
+    line: every session contributes a (+1 at start, -1 at end) endpoint,
+    one global endpoint sort, and the running sum's per-day maximum is
+    the day's peak concurrency.
+
+    Distributed sweep (the percent_rank offset pattern): blocks of the
+    sorted endpoint stream report (first key, sum-of-deltas); the driver
+    prefix-folds ONE row per block into entering offsets; each block then
+    cumsums its own deltas vectorized and folds per-day maxima — the
+    endpoint stream never co-locates.  Tie rule: starts sort BEFORE ends
+    at an equal timestamp (delta DESC), so touching sessions count as
+    concurrent; remaining ties order on (user_id, session_start), which
+    cannot change any day-max because delta is constant within a
+    (ts, delta) tie group (the running sum walks a fixed staircase).
+    Output (day, max_concurrent) by day."""
+    sess = sessionize(sf_dir, gap_s)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s0 = b["session_start"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        s1 = b["session_end"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        return pa.table({
+            "tsu": pa.array(np.r_[s0, s1], pa.int64()),
+            "delta": pa.array(np.r_[np.ones(n, np.int64),
+                                    -np.ones(n, np.int64)]),
+            "user_id": pa.array(np.r_[u, u], pa.int64()),
+            "s0": pa.array(np.r_[s0, s0], pa.int64())})
+
+    ep = sess.map_batches(endpoints, batch_format="pyarrow",
+                          batch_size=None) \
+        .sort(["tsu", "delta", "user_id", "s0"],
+              descending=[False, True, False, False]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"t0": pa.array([], pa.int64()),
+                             "d0": pa.array([], pa.int64()),
+                             "u0": pa.array([], pa.int64()),
+                             "w0": pa.array([], pa.int64()),
+                             "dsum": pa.array([], pa.int64())})
+        return pa.table({
+            "t0": b["tsu"].slice(0, 1), "d0": b["delta"].slice(0, 1),
+            "u0": b["user_id"].slice(0, 1), "w0": b["s0"].slice(0, 1),
+            "dsum": pa.array([int(pc.sum(b["delta"]).as_py())], pa.int64())})
+
+    summ = ep.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "max_concurrent": pa.array([], pa.int64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    # block order under the sort: (tsu asc, delta DESC, user, s0)
+    summ = summ.sort_values(["t0", "d0", "u0", "w0"],
+                            ascending=[True, False, True, True]) \
+        .reset_index(drop=True)
+    entering = np.r_[0, np.cumsum(summ["dsum"].to_numpy())[:-1]]
+    offs = {(int(t), int(d), int(u), int(w)): int(o)
+            for t, d, u, w, o in zip(summ["t0"], summ["d0"], summ["u0"],
+                                     summ["w0"], entering)}
+
+    def block_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        off = offs[(int(b["tsu"][0].as_py()), int(b["delta"][0].as_py()),
+                    int(b["user_id"][0].as_py()), int(b["s0"][0].as_py()))]
+        conc = off + np.cumsum(b["delta"].to_numpy())
+        dayv = b["tsu"].to_numpy() // DAY_US
+        t = pa.table({"day": pa.array(dayv), "conc": pa.array(conc)})
+        g = t.group_by(["day"]).aggregate([("conc", "max")])
+        return g.rename_columns(["day", "max_concurrent"])
+
+    from ..stages import aggregate as agg
+    per_block = ep.map_batches(block_max, batch_format="pyarrow",
+                               batch_size=None)
+    return agg.grouped_max(per_block, ["day"], "max_concurrent",
+                           alias="max_concurrent").sort("day")
+
+
 def _alert_eligible(sf_dir: str, threshold: str) -> rd.Dataset:
     """Messages at-or-above the alert level, keyed by their server STREAM
     (derived shard of conv_id — the reference's alert loop is per-server,

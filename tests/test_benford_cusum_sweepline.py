@@ -1,0 +1,87 @@
+"""Benford audit, daily CUSUM, and sweep-line max-concurrency vs pure
+pandas/Python references (sf0.001)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_matches_reference():
+    from security_log_analysis_rust_ray.functions.util import round_half_up
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_benford_audit
+    got = events_benford_audit(SF).to_pandas().sort_values("digit") \
+        .reset_index(drop=True)
+    v = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])["value"]
+    iv = np.floor(v.to_numpy() * 100.0).astype(np.int64)
+    iv = iv[iv > 0]
+    first = np.array([int(str(x)[0]) for x in iv])
+    cnt = pd.Series(first).value_counts().sort_index()
+    assert got["digit"].tolist() == cnt.index.tolist()
+    assert got["cnt"].tolist() == cnt.tolist()
+    n = cnt.sum()
+    np.testing.assert_array_equal(
+        got["freq"].to_numpy(),
+        round_half_up(cnt.to_numpy() / n, 6))
+    # expected column is the Benford law itself
+    np.testing.assert_array_equal(
+        got["expected"].to_numpy(),
+        round_half_up(np.log10(1 + 1 / cnt.index.to_numpy(dtype=float)), 6))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cusum_matches_reference_and_resets():
+    from security_log_analysis_rust_ray.functions.util import round_half_up
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        CUSUM_SLACK_K, events_daily_cusum)
+    got = events_daily_cusum(SF).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    daily = ev.groupby(ev["ts"].dt.floor("D")).size().sort_index()
+    x = daily.to_numpy(dtype=float)
+    mean = x.sum() / len(x)
+    std = np.sqrt((x * x).sum() / len(x) - mean * mean)
+    drift = mean + CUSUM_SLACK_K * std
+    acc, ref = 0.0, []
+    for xi in x:
+        acc = max(0.0, acc + (xi - drift))
+        ref.append(acc)
+    assert got["cnt"].tolist() == daily.tolist()
+    np.testing.assert_array_equal(got["cusum"].to_numpy(),
+                                  round_half_up(np.array(ref), 4))
+    assert (got["cusum"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_concurrency_matches_brute_force():
+    from security_log_analysis_rust_ray.pipelines.streaming import (
+        DAY_US, SESSION_GAP_S, events_max_concurrency)
+    got = events_max_concurrency(SF).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_id", "ts"]) \
+        .sort_values(["user_id", "ts", "event_id"])
+    # sessions via the gap rule
+    ts_us = ev["ts"].astype("int64").to_numpy()
+    u = ev["user_id"].to_numpy()
+    brk = np.r_[True, (u[1:] != u[:-1])
+                | (np.diff(ts_us) > SESSION_GAP_S * 1_000_000)]
+    sid = np.cumsum(brk)
+    sess = pd.DataFrame({"u": u, "sid": sid, "ts": ts_us}) \
+        .groupby(["u", "sid"])["ts"].agg(["min", "max"]).reset_index()
+    # brute sweep: starts before ends at equal ts
+    eps = sorted(
+        [(r["min"], 0, 1) for _, r in sess.iterrows()]
+        + [(r["max"], 1, -1) for _, r in sess.iterrows()])
+    conc, per_day = 0, {}
+    for ts, _, d in eps:
+        conc += d
+        day = ts // DAY_US
+        per_day[day] = max(per_day.get(day, -10**9), conc)
+    want = pd.DataFrame(sorted(per_day.items()),
+                        columns=["day", "max_concurrent"])
+    assert got["day"].tolist() == want["day"].tolist()
+    assert got["max_concurrent"].tolist() == want["max_concurrent"].tolist()
+    assert got["max_concurrent"].min() >= 1
