@@ -81,6 +81,10 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
+        "host_personalized_pagerank":
+            _q("reports", "host_personalized_pagerank"),       # rows-only, new r04
+        "events_customer_join_size_approx":
+            _q("relational", "events_customer_join_size_approx"),  # rows-only, r04
         "events_benford_audit":
             _q("relational", "events_benford_audit"),              # oracle, new r04
         "events_daily_cusum":

@@ -3991,6 +3991,24 @@ def events_daily_ewma(sf_dir: str) -> rd.Dataset:
         "ewma": pa.array(round_half_up(s, 4))}))
 
 
+def events_customer_join_size_approx(sf_dir: str) -> rd.Dataset:
+    """Approximate JOIN-SIZE probe: |events ⋈ customer ON user_id =
+    c_custkey| estimated from two count-min sketches (one 64 KB fold per
+    side, CMS inner product) WITHOUT running the join — the planner-side
+    cardinality estimate that decides broadcast vs hash exchange before
+    committing a 100-TB shuffle.  One-sided overestimate; pytest bounds
+    it against the exact SQL-computed size.  Output one row
+    (est_join_rows)."""
+    from ..stages.sketch import cms_inner_product, cms_sketch
+    ske = cms_sketch(read_table(sf_dir, "events", columns=["user_id"]),
+                     "user_id")
+    skc = cms_sketch(read_table(sf_dir, "customer", columns=["c_custkey"]),
+                     "c_custkey")
+    return rd.from_arrow(pa.table({
+        "est_join_rows": pa.array([cms_inner_product(ske, skc)],
+                                  pa.int64())}))
+
+
 def events_benford_audit(sf_dir: str) -> rd.Dataset:
     """Benford first-significant-digit audit over integer cents — the
     fraud/corruption governance gate (does the value distribution's

@@ -750,6 +750,65 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> rd.Dataset:
         batch_format="pyarrow", batch_size=None).sort("host")
 
 
+PPR_SEED_MOD = 10   # seed set: hosts whose numeric id is divisible by 10
+
+
+def host_personalized_pagerank(sf_dir: str,
+                               iters: int = PAGERANK_ITERS) -> rd.Dataset:
+    """PERSONALIZED PageRank: teleport (and dangling mass) return to a
+    uniform distribution over a SEED host set instead of all nodes — the
+    "which hosts sit downstream of THESE hosts" centrality a triage
+    pipeline runs from a set of known-bad origins.  Seeds are the hosts
+    whose numeric id is divisible by PPR_SEED_MOD (deterministic slice of
+    the node set); the restart table is seed-sized, so it broadcasts —
+    the graph loop is the shared size-aware ``pagerank`` with a restart
+    vector.  Rows-only (iterative float); pytest matches a dense numpy
+    reference and checks mass + unreachable-node invariants.
+    Output: (host, rank rounded 6)."""
+    import re
+
+    import numpy as np
+
+    from ..functions.util import round_half_up
+    from ..stages.dedup import distinct_rows
+    from ..stages.graph import pagerank
+    from ..stages.joins import _collect_table
+
+    edges = host_transition_edges(sf_dir).materialize()
+    nodes = distinct_rows(
+        edges.map_batches(lambda t: pa.table({"node": t["src"]}),
+                          batch_format="pyarrow", batch_size=None).union(
+            edges.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                              batch_format="pyarrow", batch_size=None)),
+        ["node"])
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        ids = pc.extract_regex(b["node"], r"^h(?P<k>\d+)\.")
+        k = pc.struct_field(ids, "k")
+        num = pc.cast(k, pa.int64()).to_numpy(zero_copy_only=False)
+        num = np.where(np.isnan(num.astype(np.float64)), -1,
+                       num).astype(np.int64) \
+            if num.dtype == object else np.nan_to_num(
+                num.astype(np.float64), nan=-1.0).astype(np.int64)
+        return b.filter(pa.array(np.mod(num, PPR_SEED_MOD) == 0))
+
+    seeds = _collect_table(nodes.map_batches(
+        seed_rows, batch_format="pyarrow", batch_size=None))
+    if seeds.num_rows == 0:
+        return rd.from_arrow(pa.table({"host": pa.array([], pa.string()),
+                                       "rank": pa.array([], pa.float64())}))
+    p = 1.0 / seeds.num_rows
+    restart = {v.as_py(): p for v in seeds["node"]}
+    ranks = pagerank(edges, src="src", dst="dst", weight="w", iters=iters,
+                     restart=restart)
+    return ranks.map_batches(
+        lambda t: pa.table({
+            "host": t["node"],
+            "rank": pa.array(round_half_up(
+                t["rank"].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow", batch_size=None).sort("host")
+
+
 TREND_MIN_CNT = 5
 TREND_LIFT = 2
 

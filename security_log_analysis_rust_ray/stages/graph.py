@@ -138,7 +138,8 @@ PAGERANK_LOCAL_MAX_EDGES = 5_000_000  # one task's worth of edge arrays
 
 def _pagerank_one_task(edges: rd.Dataset, src: str, dst: str,
                        weight: str | None, iters: int,
-                       damping: float) -> rd.Dataset:
+                       damping: float,
+                       restart: dict | None = None) -> rd.Dataset:
     """Small-graph fast path: the whole power iteration in ONE remote task
     over numpy scatter-adds (same semantics as the distributed loop below:
     weighted out-degree normalization, uniform dangling-mass recycling).
@@ -167,13 +168,22 @@ def _pagerank_one_task(edges: rd.Dataset, src: str, dst: str,
         np.add.at(out_w, si, w)
         dangling = out_w == 0.0
         nw = w / out_w[si]
-        rank = np.full(n, 1.0 / n)
+        if restart is None:
+            p = None                       # uniform teleport
+            rank = np.full(n, 1.0 / n)
+        else:
+            p = np.array([restart.get(v, 0.0) for v in nodes.tolist()])
+            rank = p.copy()
         for _ in range(iters):
             d_mass = rank[dangling].sum()
             contrib = np.zeros(n)
             np.add.at(contrib, di, nw * rank[si])
-            rank = (1.0 - damping) / n + damping * contrib \
-                + damping * d_mass / n
+            if p is None:
+                rank = (1.0 - damping) / n + damping * contrib \
+                    + damping * d_mass / n
+            else:
+                rank = (1.0 - damping) * p + damping * contrib \
+                    + damping * d_mass * p
         return _pa.table({"node": _pa.array(nodes),
                           "rank": _pa.array(rank, _pa.float64())})
 
@@ -185,7 +195,8 @@ def _pagerank_one_task(edges: rd.Dataset, src: str, dst: str,
 def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
              weight: str | None = None, iters: int = 20,
              damping: float = 0.85, nparts: int = 8,
-             local_max_edges: int = PAGERANK_LOCAL_MAX_EDGES) -> rd.Dataset:
+             local_max_edges: int = PAGERANK_LOCAL_MAX_EDGES,
+             restart: dict | None = None) -> rd.Dataset:
     """Weighted PageRank over an edge Dataset — the second iterative
     graph operator (connected_components above is the first), stated
     purely as dataset primitives:
@@ -216,7 +227,8 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
     except Exception:
         n_edges = None
     if n_edges is not None and n_edges <= local_max_edges:
-        return _pagerank_one_task(edges, src, dst, weight, iters, damping)
+        return _pagerank_one_task(edges, src, dst, weight, iters, damping,
+                                  restart=restart)
 
     w = weight
     e = edges.map_batches(
@@ -249,11 +261,28 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
         }),
         batch_format="pyarrow", batch_size=None).materialize()
 
-    ranks = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"],
-                            "rank": pa.array(
-                                np.full(t.num_rows, 1.0 / n))}),
-        batch_format="pyarrow", batch_size=None).materialize()
+    if restart is None:
+        pvec = None
+        ranks = nodes.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "rank": pa.array(
+                                    np.full(t.num_rows, 1.0 / n))}),
+            batch_format="pyarrow", batch_size=None).materialize()
+    else:
+        # personalization attaches ONCE to the node table (absent -> 0);
+        # the restart set is seed-sized, so the probe table broadcasts
+        rt = rd.from_arrow(pa.table({
+            "node": pa.array(list(restart.keys())),
+            "p": pa.array([float(v) for v in restart.values()],
+                          pa.float64())})).materialize()
+        pvec = lookup_join(nodes, rt, "node", "node", nparts=nparts,
+                           how="left").map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "p": pc.fill_null(t["p"], 0.0)}),
+            batch_format="pyarrow", batch_size=None).materialize()
+        ranks = pvec.map_batches(
+            lambda t: t.rename_columns(["node", "rank"]),
+            batch_format="pyarrow", batch_size=None).materialize()
     # dangling nodes (no out-edges) redistribute their mass uniformly
     dangling = lookup_join(ranks, out_w, "node", "src", nparts=nparts,
                            how="left").map_batches(
@@ -273,16 +302,30 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
                 batch_format="pyarrow", batch_size=None)
         summed = grouped_sum(contrib, ["node"], "c", alias="c",
                              high_cardinality=True)
-        base = (1.0 - damping) / n + damping * d_mass / n
-        ranks = lookup_join(nodes, summed, "node", "node", nparts=nparts,
-                            how="left").map_batches(
-            lambda t, base=base: pa.table({
-                "node": t["node"],
-                "rank": pc.add(
-                    pc.multiply(pc.fill_null(t["c"], 0.0), damping),
-                    base),
-            }),
-            batch_format="pyarrow", batch_size=None).materialize()
+        if pvec is None:
+            base = (1.0 - damping) / n + damping * d_mass / n
+            ranks = lookup_join(nodes, summed, "node", "node",
+                                nparts=nparts, how="left").map_batches(
+                lambda t, base=base: pa.table({
+                    "node": t["node"],
+                    "rank": pc.add(
+                        pc.multiply(pc.fill_null(t["c"], 0.0), damping),
+                        base),
+                }),
+                batch_format="pyarrow", batch_size=None).materialize()
+        else:
+            # rank = d*contrib + p*((1-d) + d*d_mass): teleport AND the
+            # dangling mass both return to the restart distribution
+            scale = (1.0 - damping) + damping * d_mass
+            ranks = lookup_join(pvec, summed, "node", "node",
+                                nparts=nparts, how="left").map_batches(
+                lambda t, sc=scale: pa.table({
+                    "node": t["node"],
+                    "rank": pc.add(
+                        pc.multiply(pc.fill_null(t["c"], 0.0), damping),
+                        pc.multiply(t["p"], sc)),
+                }),
+                batch_format="pyarrow", batch_size=None).materialize()
     return ranks
 
 

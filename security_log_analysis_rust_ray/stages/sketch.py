@@ -344,6 +344,19 @@ def cms_sketch(ds: rd.Dataset, col: str, w: int = CMS_W,
     return sks.sum(axis=0).reshape(d, w)
 
 
+def cms_inner_product(a: np.ndarray, b: np.ndarray) -> int:
+    """JOIN-SIZE estimate from two count-min sketches built with the SAME
+    (w, d, seeds): min over the d rows of the row-wise dot product — the
+    CMS inner-product estimator for F_ab = sum_k cnt_a(k)*cnt_b(k), i.e.
+    the row count of an equi-join BEFORE running it.  One-sided (always
+    >= truth); additive error <= (e/w)*N_a*N_b per row w.h.p.  This is
+    the cardinality probe a planner runs to pick broadcast vs exchange
+    at 100 TB: two 64 KB folds instead of the join itself."""
+    if a.shape != b.shape:
+        raise ValueError(f"sketch shapes differ: {a.shape} vs {b.shape}")
+    return int(np.min(np.einsum("ij,ij->i", a, b)))
+
+
 def grouped_approx_quantiles(ds: rd.Dataset, keys: list[str], col: str,
                              qs: list[float],
                              k: int = QS_GRID) -> rd.Dataset:

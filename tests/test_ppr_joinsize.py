@@ -1,0 +1,95 @@
+"""Personalized PageRank vs a dense numpy reference; CMS inner-product
+join-size estimate vs the exact join cardinality."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from .conftest import SF_SMOKE
+
+
+def _reference_ppr(edges_df, seeds, iters, damping=0.85):
+    nodes = sorted(set(edges_df["src"]) | set(edges_df["dst"]))
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, c in edges_df[["src", "dst", "w"]].itertuples(index=False):
+        w[idx[s], idx[d]] += c
+    out = w.sum(axis=1)
+    dangling = out == 0
+    nw = np.divide(w, out[:, None], out=np.zeros_like(w),
+                   where=out[:, None] > 0)
+    p = np.zeros(n)
+    for h in seeds:
+        p[idx[h]] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        d_mass = r[dangling].sum()
+        r = (1 - damping) * p + damping * (nw.T @ r) + damping * d_mass * p
+    return dict(zip(nodes, r))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_personalized_pagerank_matches_dense_reference():
+    import re
+    from security_log_analysis_rust_ray.pipelines import reports as R
+    edges = R.host_transition_edges(SF_SMOKE).to_pandas()
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    seeds = [h for h in nodes
+             if (m := re.match(r"^h(\d+)\.", h))
+             and int(m.group(1)) % R.PPR_SEED_MOD == 0]
+    assert seeds and len(seeds) < len(nodes)
+    ref = _reference_ppr(edges, seeds, iters=5)
+    got = R.host_personalized_pagerank(SF_SMOKE, iters=5).to_pandas()
+    assert len(got) == len(ref)
+    merged = got.set_index("host")["rank"]
+    for h, r in ref.items():
+        assert abs(merged[h] - r) < 1e-4, h
+    # mass invariant
+    assert abs(got["rank"].sum() - 1.0) < 1e-3
+    # every seed keeps teleport mass
+    assert all(merged[h] > 0 for h in seeds)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppr_distributed_loop_matches_one_task():
+    """Force the distributed join loop (local_max_edges=0) and check it
+    agrees with the one-task numpy path on the same restart vector."""
+    import re
+    from security_log_analysis_rust_ray.pipelines import reports as R
+    from security_log_analysis_rust_ray.stages.graph import pagerank
+    edges = R.host_transition_edges(SF_SMOKE).materialize()
+    nodes = sorted(set(edges.to_pandas()["src"])
+                   | set(edges.to_pandas()["dst"]))
+    seeds = [h for h in nodes
+             if (m := re.match(r"^h(\d+)\.", h))
+             and int(m.group(1)) % 10 == 0]
+    restart = {h: 1.0 / len(seeds) for h in seeds}
+    one = pagerank(edges, weight="w", iters=4, restart=restart) \
+        .to_pandas().set_index("node")["rank"]
+    dist = pagerank(edges, weight="w", iters=4, restart=restart,
+                    local_max_edges=0) \
+        .to_pandas().set_index("node")["rank"]
+    assert len(one) == len(dist)
+    for h in one.index:
+        assert abs(one[h] - dist[h]) < 1e-9, h
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_size_estimate_bounds_exact():
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_customer_join_size_approx
+    est = int(events_customer_join_size_approx(SF_SMOKE)
+              .to_pandas()["est_join_rows"].iloc[0])
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id"])
+    cu = pd.read_parquet(f"{SF_SMOKE}/customer.parquet",
+                         columns=["c_custkey"])
+    ce = ev["user_id"].value_counts()
+    cc = cu["c_custkey"].value_counts()
+    exact = int(sum(int(ce[k]) * int(cc[k])
+                    for k in set(ce.index) & set(cc.index)))
+    assert exact > 0
+    # CMS inner product is one-sided: est >= exact, within the additive
+    # (e/w) * N_a * N_b row bound (w=2048, d=4)
+    assert est >= exact
+    bound = np.e / 2048 * len(ev) * len(cu)
+    assert est - exact <= bound
