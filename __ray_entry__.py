@@ -81,6 +81,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
+        "events_partition_skew":
+            _q("relational", "events_partition_skew"),             # oracle, new r04
         "host_personalized_pagerank":
             _q("reports", "host_personalized_pagerank"),       # rows-only, new r04
         "events_customer_join_size_approx":
@@ -1211,6 +1213,19 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # partition-skew diagnostic: identical int64-exact multiplicative hash
+    out["events_partition_skew"] = (
+        "WITH p AS (SELECT"
+        f" ((user_id % {REL.SAMPLE_MOD}) * {REL.SAMPLE_MULT})"
+        f" % {REL.SAMPLE_MOD} % {REL.SKEW_PARTS} AS partition, user_id"
+        " FROM events),\n"
+        "c AS (SELECT partition, count(*) AS n_rows,"
+        " count(DISTINCT user_id) AS n_users FROM p GROUP BY 1),\n"
+        "m AS (SELECT CAST(sum(n_rows) AS DOUBLE) / count(*) AS mean"
+        " FROM c)\n"
+        "SELECT partition, n_rows, n_users,"
+        " round(n_rows / m.mean, 6) AS load_ratio"
+        " FROM c CROSS JOIN m ORDER BY partition")
     # Benford audit: digit bins are INTEGER-exact on both sides (repeated
     # //10 in the engine == left(varchar,1) of the same integer in SQL)
     out["events_benford_audit"] = (

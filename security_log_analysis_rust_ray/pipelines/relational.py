@@ -3991,6 +3991,53 @@ def events_daily_ewma(sf_dir: str) -> rd.Dataset:
         "ewma": pa.array(round_half_up(s, 4))}))
 
 
+SKEW_PARTS = 16
+
+
+def events_partition_skew(sf_dir: str,
+                          nparts: int = SKEW_PARTS) -> rd.Dataset:
+    """Shuffle-health diagnostic: the per-partition row/key histogram a
+    hash exchange on user_id WOULD produce, plus each partition's load
+    ratio vs the mean — the report you read BEFORE committing a 100-TB
+    shuffle to decide whether the key needs salting.  The partition hash
+    is the repo's int64-exact multiplicative mod (same family as the
+    stratified sample), so the oracle computes the IDENTICAL assignment.
+    All folds are nparts-keyspace (one partial row per partition per
+    block).  Output (partition, n_rows, n_users, load_ratio round 6)."""
+    from ..stages import aggregate as agg
+    from ..stages.dedup import distinct_rows
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        p = (np.mod(u, SAMPLE_MOD) * SAMPLE_MULT) % SAMPLE_MOD % nparts
+        return pa.table({"partition": pa.array(p.astype(np.int64)),
+                         "user_id": b["user_id"]})
+
+    pu = ds.map_batches(part, batch_format="pyarrow", batch_size=None) \
+        .materialize()
+    rows = agg.grouped_count(pu, ["partition"], alias="n_rows",
+                             small_keyspace=True).to_pandas()
+    users = agg.grouped_count(
+        distinct_rows(pu, ["partition", "user_id"]),
+        ["partition"], alias="n_users", small_keyspace=True).to_pandas()
+    empty = pa.table({"partition": pa.array([], pa.int64()),
+                      "n_rows": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64()),
+                      "load_ratio": pa.array([], pa.float64())})
+    if not len(rows):
+        return rd.from_arrow(empty)
+    df = rows.merge(users, on="partition").sort_values("partition") \
+        .reset_index(drop=True)
+    mean = df["n_rows"].to_numpy(dtype=np.float64).sum() / len(df)
+    return rd.from_arrow(pa.table({
+        "partition": pa.array(df["partition"].to_numpy(), pa.int64()),
+        "n_rows": pa.array(df["n_rows"].to_numpy(), pa.int64()),
+        "n_users": pa.array(df["n_users"].to_numpy(), pa.int64()),
+        "load_ratio": pa.array(round_half_up(
+            df["n_rows"].to_numpy(dtype=np.float64) / mean, 6))}))
+
+
 def events_customer_join_size_approx(sf_dir: str) -> rd.Dataset:
     """Approximate JOIN-SIZE probe: |events ⋈ customer ON user_id =
     c_custkey| estimated from two count-min sketches (one 64 KB fold per

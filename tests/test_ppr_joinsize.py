@@ -93,3 +93,18 @@ def test_join_size_estimate_bounds_exact():
     assert est >= exact
     bound = np.e / 2048 * len(ev) * len(cu)
     assert est - exact <= bound
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_skew_accounts_for_every_row():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        SAMPLE_MOD, SAMPLE_MULT, SKEW_PARTS, events_partition_skew)
+    got = events_partition_skew(SF_SMOKE).to_pandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id"])
+    assert got["n_rows"].sum() == len(ev)
+    p = (ev["user_id"] % SAMPLE_MOD * SAMPLE_MULT) % SAMPLE_MOD % SKEW_PARTS
+    ref = p.value_counts().sort_index()
+    m = got.set_index("partition")["n_rows"]
+    assert m.sort_index().tolist() == ref.tolist()
+    # load ratios average to 1 over the observed partitions
+    assert abs(got["load_ratio"].mean() - 1.0) < 1e-4
