@@ -81,6 +81,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
+        "events_json_field_stats":
+            _q("relational", "events_json_field_stats"),           # oracle, new r04
         "events_partition_skew":
             _q("relational", "events_partition_skew"),             # oracle, new r04
         "host_personalized_pagerank":
@@ -1213,6 +1215,16 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # JSON field extraction: IDENTICAL RE2 pattern both sides (pyarrow
+    # and DuckDB both use RE2), so the check verifies the fold
+    out["events_json_field_stats"] = (
+        "WITH x AS (SELECT event_type,"
+        " try_cast(nullif(regexp_extract(props, '\\\"k\\\": (\\d+)', 1),"
+        " '') AS BIGINT) AS k FROM events)\n"
+        "SELECT event_type, count(k) AS n,"
+        " CAST(sum(k) AS BIGINT) AS sum_k,"
+        " round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k"
+        " FROM x WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1")
     # partition-skew diagnostic: identical int64-exact multiplicative hash
     out["events_partition_skew"] = (
         "WITH p AS (SELECT"

@@ -3991,6 +3991,53 @@ def events_daily_ewma(sf_dir: str) -> rd.Dataset:
         "ewma": pa.array(round_half_up(s, 4))}))
 
 
+PROPS_RE = r'"k": (?P<v>\d+)'
+
+
+def events_json_field_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured extraction — the "pull a field out of the JSON
+    props blob, then aggregate" shape every log pipeline runs (the
+    reference's journald path parses JSON records per line,
+    src/parse_logs.rs systemd handling; here the JSON rides a column).
+    Extraction is ONE vectorized RE2 ``extract_regex`` over the Arrow
+    string column — no per-row json.loads — and both sides apply the
+    IDENTICAL pattern, so the check verifies the distributed fold, not
+    regex dialect drift.  Per-type (n, sum_k, avg_k round 6) via the
+    partial-sums combiner; extraction misses count as NULL (dropped from
+    n/sum like SQL aggregates drop NULLs).  Output by event_type."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], PROPS_RE)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        ok = pc.is_valid(v)
+        return pa.table({"event_type": b["event_type"],
+                         "one": pc.cast(ok, pa.int64()),
+                         "k": pc.fill_null(v, 0)})
+
+    pre = ds.map_batches(extract, batch_format="pyarrow", batch_size=None) \
+        .map_batches(_partial_sums(["event_type"],
+                                   {"one": "sum", "k": "sum"}),
+                     batch_format="pyarrow")
+    out = pre.groupby("event_type").aggregate(
+        Sum("one_sum", alias_name="n"),
+        Sum("k_sum", alias_name="sum_k")).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_k": pa.array([], pa.int64()),
+                      "avg_k": pa.array([], pa.float64())})
+    out = out[out["n"] > 0].sort_values("event_type").reset_index(drop=True)
+    if not len(out):
+        return rd.from_arrow(empty)
+    n = out["n"].to_numpy(dtype=np.float64)
+    sk = out["sum_k"].to_numpy(dtype=np.float64)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        "sum_k": pa.array(out["sum_k"].to_numpy(), pa.int64()),
+        "avg_k": pa.array(round_half_up(sk / n, 6))}))
+
+
 SKEW_PARTS = 16
 
 

@@ -108,3 +108,18 @@ def test_partition_skew_accounts_for_every_row():
     assert m.sort_index().tolist() == ref.tolist()
     # load ratios average to 1 over the observed partitions
     assert abs(got["load_ratio"].mean() - 1.0) < 1e-4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_field_stats_matches_pandas():
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_json_field_stats
+    got = events_json_field_stats(SF_SMOKE).to_pandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["event_type", "props"])
+    import json as _json
+    ev["k"] = ev["props"].map(lambda s: _json.loads(s)["k"])
+    ref = ev.groupby("event_type")["k"].agg(["count", "sum"]).sort_index()
+    assert got["event_type"].tolist() == ref.index.tolist()
+    assert got["n"].tolist() == ref["count"].tolist()
+    assert got["sum_k"].tolist() == ref["sum"].tolist()
