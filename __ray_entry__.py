@@ -81,6 +81,10 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
+        "events_value_outliers":
+            _q("relational", "events_value_outliers"),             # oracle, new r04
+        "user_rolling_mean_rows":
+            _q("relational", "user_rolling_mean_rows"),            # oracle, new r04
         "events_json_field_stats":
             _q("relational", "events_json_field_stats"),           # oracle, new r04
         "events_partition_skew":
@@ -1215,6 +1219,30 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # Tukey-fence outliers: quartiles at the identical lower-percentile
+    # rank rule; the fence arithmetic is stated verbatim
+    out["events_value_outliers"] = (
+        "WITH r AS (SELECT event_id, event_type, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM events),\n"
+        "b AS (SELECT event_type,"
+        " max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1"
+        " THEN value END) AS q1,"
+        " max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1"
+        " THEN value END) AS q3"
+        " FROM r GROUP BY 1)\n"
+        "SELECT e.event_id, e.event_type, e.value"
+        " FROM events e JOIN b USING (event_type)"
+        " WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)"
+        " OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)")
+    # ROWS-frame rolling mean: positional trailing window of 5 events
+    out["user_rolling_mean_rows"] = (
+        "SELECT event_id, user_id,"
+        " round(avg(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id"
+        " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean_5"
+        " FROM events")
     # JSON field extraction: IDENTICAL RE2 pattern both sides (pyarrow
     # and DuckDB both use RE2), so the check verifies the fold
     out["events_json_field_stats"] = (

@@ -2275,6 +2275,99 @@ def events_value_winsorized(sf_dir: str) -> rd.Dataset:
     return j.map_batches(clamp, batch_format="pyarrow", batch_size=None)
 
 
+IQR_FENCE_K = 1.5    # Tukey fence multiplier
+
+
+def events_value_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-group Tukey-fence OUTLIER rows: events whose value falls
+    outside [q1 - 1.5*IQR, q3 + 1.5*IQR] for their own type — the
+    boxplot outlier rule, as a streaming filter.  q1/q3 use the same
+    lower-percentile rank rule as the winsorization bounds
+    (floor(p*(n-1)) + 1) and BOTH quartiles of every type resolve
+    against ONE ``_grouped_ranks_select`` pass; the |types|x2 fence
+    table broadcasts back and the fact stream filters statelessly.
+    Output (event_id, event_type, value) — the flagged rows only."""
+    from ..stages.joins import _collect_table, lookup_join
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def targets_fn(totals: pd.Series) -> pd.DataFrame:
+        n = totals.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "typ": np.concatenate([totals.index, totals.index]),
+            "target": np.concatenate([
+                np.floor(0.25 * (n - 1)).astype(np.int64) + 1,
+                np.floor(0.75 * (n - 1)).astype(np.int64) + 1]),
+            "label": ["q1"] * len(n) + ["q3"] * len(n)})
+
+    sel = _collect_table(
+        _grouped_ranks_select(ds, targets_fn)).to_pandas()
+    piv = sel.pivot(index="event_type", columns="label",
+                    values="value").reset_index()
+    q1 = piv["q1"].to_numpy(dtype=np.float64)
+    q3 = piv["q3"].to_numpy(dtype=np.float64)
+    iqr = q3 - q1
+    fences = rd.from_arrow(pa.table({
+        "event_type": pa.array(piv["event_type"], pa.string()),
+        "lo": pa.array(q1 - IQR_FENCE_K * iqr, pa.float64()),
+        "hi": pa.array(q3 + IQR_FENCE_K * iqr, pa.float64())})) \
+        .materialize()
+    j = lookup_join(ds, fences, "event_type", "event_type", how="inner")
+
+    def flag(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        m = (v < b["lo"].to_numpy()) | (v > b["hi"].to_numpy())
+        t = b.filter(pa.array(m))
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    return j.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+ROLLING_ROWS_W = 5   # trailing window of 5 events (ROWS frame)
+
+
+def user_rolling_mean_rows(sf_dir: str) -> rd.Dataset:
+    """Per-user trailing-5-EVENTS mean (ROWS frame, vs the RANGE frame of
+    ``user_rolling_value_7d``): count-based windows resolve per block
+    with one cumsum and a shifted gather — no searchsorted needed since
+    the frame is positional.  ONE user exchange; segment boundaries clamp
+    the window to each user's own rows.  Output (event_id, user_id,
+    mean_5 round 6), fact-scale, streaming."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+    W = ROLLING_ROWS_W
+
+    def block_roll(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "mean_5": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        u = b["user_id"].to_numpy()
+        v = b["value"].to_numpy().astype(np.float64)
+        n = len(u)
+        first = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        # window start = max(segment start, i - W + 1)
+        w0 = np.maximum(np.repeat(starts, lens),
+                        np.arange(n, dtype=np.int64) - (W - 1))
+        c = np.concatenate([[0.0], np.cumsum(v)])
+        wsum = c[np.arange(n) + 1] - c[w0]
+        wlen = (np.arange(n) - w0 + 1).astype(np.float64)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "mean_5": pa.array(round_half_up(wsum / wlen, 6))})
+
+    return _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_roll, batch_format="pyarrow", batch_size=None)
+
+
 def events_value_median_by_type(sf_dir: str) -> rd.Dataset:
     """EXACT per-group median (lower: rank ceil(n_g/2) under (value,
     event_id) order within each event_type) — distributed PER-GROUP

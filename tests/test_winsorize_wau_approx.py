@@ -77,3 +77,45 @@ def test_window_union_dominates_daily_sketches():
     for d, est in win.items():
         floor_est = max(daily.get(w, 0.0) for w in range(d - 6, d + 1))
         assert est >= int(np.floor(floor_est)) - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_outliers_match_pandas_reference():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        IQR_FENCE_K, events_value_outliers)
+    got = events_value_outliers(SF).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    flagged = []
+    for t, g in ev.groupby("event_type"):
+        g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        q1 = g["value"].iat[int(np.floor(0.25 * (n - 1)))]
+        q3 = g["value"].iat[int(np.floor(0.75 * (n - 1)))]
+        lo, hi = q1 - IQR_FENCE_K * (q3 - q1), q3 + IQR_FENCE_K * (q3 - q1)
+        flagged.append(g[(g["value"] < lo) | (g["value"] > hi)])
+    want = pd.concat(flagged).sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert 0 < len(got) < len(ev)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_mean_rows_matches_pandas():
+    from security_log_analysis_rust_ray.functions.util import round_half_up
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        ROLLING_ROWS_W, user_rolling_mean_rows)
+    got = user_rolling_mean_rows(SF).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"]) \
+        .sort_values(["user_id", "ts", "event_id"])
+    ref = ev.groupby("user_id")["value"] \
+        .rolling(ROLLING_ROWS_W, min_periods=1).mean() \
+        .reset_index(drop=True)
+    want = ev.reset_index(drop=True)
+    want["mean_5"] = round_half_up(ref.to_numpy(), 6)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got["mean_5"].to_numpy(),
+                               want["mean_5"].to_numpy(), atol=2e-6)
