@@ -1,0 +1,90 @@
+"""Adversarial-skew tests for the generalized multi-rank selection core
+(winsorize/outlier path) and the cumulative-distinct kernel: one hot
+group spanning many blocks plus a tiny group inside one block."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _write_events(tmp_path, n_big=20_000, n_small=7, seed=13):
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(seed)
+    n = n_big + n_small
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(["hot"] * n_big + ["cold"] * n_small),
+        "value": pa.array(np.round(rng.uniform(0, 100, n), 2),
+                          pa.float64()),
+        "ts": pa.array(
+            rng.integers(0, 10**12, n).astype("datetime64[us]")),
+        "user_id": pa.array(np.r_[np.zeros(n_big, np.int64),
+                                  np.arange(1, n_small + 1)], pa.int64()),
+        "props": pa.array(["{}"] * n),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winsorize_skewed_multiblock(tmp_path):
+    """Both p05/p95 bounds of a 95%-hot type that spans many sorted
+    blocks must be exact (multi-target picks inside ONE summary fold)."""
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+    d = _write_events(tmp_path)
+    got = REL.events_value_winsorized(str(d)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    exp = con.execute(
+        "WITH r AS (SELECT event_id, event_type, value,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS rn,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM events),"
+        "b AS (SELECT event_type,"
+        " max(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1"
+        " THEN value END) AS lo,"
+        " max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1"
+        " THEN value END) AS hi FROM r GROUP BY 1)"
+        "SELECT e.event_id,"
+        " round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w"
+        " FROM events e JOIN b USING (event_type) ORDER BY e.event_id"
+    ).df()
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["value_w"].to_numpy(),
+                                  exp["value_w"].to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cumulative_distinct_hot_user(tmp_path):
+    """A user holding 95% of all rows (co-located by the exchange, but
+    dominating its block) still counts first occurrences exactly."""
+    from security_log_analysis_rust_ray.pipelines import relational as REL
+    d = _write_events(tmp_path)
+    # re-type rows randomly so the hot user's distinct count grows past 1
+    import pyarrow.parquet as pq
+    t = pq.read_table(d / "events.parquet")
+    rng = np.random.default_rng(29)
+    types = np.array(["a", "b", "c", "d", "e"])[
+        rng.integers(0, 5, t.num_rows)]
+    t = t.set_column(t.schema.get_field_index("event_type"),
+                     "event_type", pa.array(types))
+    pq.write_table(t, d / "events.parquet")
+    got = REL.user_cumulative_distinct(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" read_parquet('{d / 'events.parquet'}')")
+    exp = con.execute(
+        "WITH f AS (SELECT event_id, user_id, ts,"
+        " row_number() OVER (PARTITION BY user_id, event_type"
+        " ORDER BY ts, event_id) AS rn FROM events)"
+        "SELECT event_id,"
+        " CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen"
+        " FROM f ORDER BY event_id").df()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert got["n_types_seen"].tolist() == exp["n_types_seen"].tolist()
