@@ -81,6 +81,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
+        "clustered_first_rows":
+            _q("clustered", "clustered_first_rows"),               # oracle, new r04
         "events_value_outliers":
             _q("relational", "events_value_outliers"),             # oracle, new r04
         "user_rolling_mean_rows":
@@ -554,6 +556,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem JOIN part ON l_partkey = p_partkey",
         "transcripts": "SELECT * FROM transcripts",
         "parsed": "SELECT * FROM parsed",
+        # order-sensitive consumer of the merge-on-read sorted scan:
+        # WHICH 200 rows come back proves the plan's global order
+        "clustered_first_rows":
+            "SELECT * FROM parsed"
+            " ORDER BY host, ts, conv_id, turn_idx LIMIT 200",
         "messages": "SELECT * FROM messages",
         "route_counts":
             "SELECT service, count(*) AS cnt FROM parsed GROUP BY service",

@@ -109,3 +109,79 @@ def clustered_host_lookup(sf_dir: str, host: str = LOOKUP_HOST,
                          override_num_blocks=min(len(items), 64)) \
         .map_batches(read_rgs, batch_format="numpy", batch_size=None) \
         .sort(["ts", "conv_id", "turn_idx"])
+
+
+def _plan_sorted_runs(files: list[str]) -> list[list[str]]:
+    """Footer-only merge-on-read plan: order files by their host range and
+    group OVERLAPPING ranges into one run (files written from a sorted
+    dataset are range-disjoint except for a sort-key value straddling a
+    block boundary).  Non-overlapping runs concatenate in range order
+    with zero work; an overlapping run is re-sorted inside its own read
+    task.  Returns runs in global key order."""
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        hcol = next(i for i in range(len(md.schema))
+                    if md.schema.column(i).name == "host")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(hcol).statistics
+            if st is None or not st.has_min_max:
+                # no stats: treat the file as overlapping everything
+                return [sorted(files)]
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs), f))
+    spans.sort()
+    runs: list[list] = []
+    run_max = None
+    for lo, hi, f in spans:
+        if runs and run_max is not None and lo <= run_max:
+            runs[-1].append(f)
+            run_max = max(run_max, hi)
+        else:
+            runs.append([f])
+            run_max = hi
+    return runs
+
+
+def sorted_scan(sf_dir: str, index_dir: str | None = None) -> rd.Dataset:
+    """MERGE-ON-READ: stream the clustered layout in global
+    (host, ts, conv_id, turn_idx) order WITHOUT a re-sort — the primitive
+    that makes a sorted 100-TB table cheap to consume (a fresh
+    ``Dataset.sort`` is an all-to-all exchange of every block; this plan
+    reads footers, orders files by key range, and only an overlapping
+    boundary run pays a local sort inside its own task).  Block order ==
+    global order, so ``limit``/``iter_batches`` consume the prefix
+    lazily."""
+    if index_dir is None:
+        from ..synth import CACHE_ROOT
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+        index_dir = os.path.join(CACHE_ROOT, tag, "clustered_host")
+    clustered_build(sf_dir, index_dir)
+    files = sorted(glob.glob(os.path.join(index_dir, "data", "*.parquet")))
+    schema = pq.read_schema(files[0])
+    runs = _plan_sorted_runs(files)
+
+    def read_run(b: dict) -> pa.Table:
+        parts = [pq.read_table(f) for fs in b["files"] for f in fs]
+        t = pa.concat_tables(parts)
+        if sum(len(fs) for fs in b["files"]) > 1:
+            t = t.sort_by([("host", "ascending"), ("ts", "ascending"),
+                           ("conv_id", "ascending"),
+                           ("turn_idx", "ascending")])
+        return t
+
+    if not runs:
+        return rd.from_arrow(schema.empty_table())
+    items = [{"files": run} for run in runs]
+    return rd.from_items(items, override_num_blocks=len(items)) \
+        .map_batches(read_run, batch_format="numpy", batch_size=None)
+
+
+def clustered_first_rows(sf_dir: str, k: int = 200) -> rd.Dataset:
+    """First k rows of the parsed sink under the full clustered sort key
+    — an ORDER-SENSITIVE consumer of ``sorted_scan`` (the oracle states
+    ORDER BY ... LIMIT k, so WHICH rows come back proves the merge plan
+    streams in true global order while touching only the head files)."""
+    return sorted_scan(sf_dir).limit(k)
