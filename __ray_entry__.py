@@ -83,6 +83,7 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
         "clustered_first_rows":
             _q("clustered", "clustered_first_rows"),               # oracle, new r04
+        "parse_rejects": _q("reports", "parse_rejects"),           # oracle, new r04
         "events_value_outliers":
             _q("relational", "events_value_outliers"),             # oracle, new r04
         "user_rolling_mean_rows":
@@ -561,6 +562,23 @@ def oracle_sql() -> dict[str, str]:
         "clustered_first_rows":
             "SELECT * FROM parsed"
             " ORDER BY host, ts, conv_id, turn_idx LIMIT 200",
+        # dead-letter audit: dropped turns = transcripts anti-join parsed;
+        # reason restates the router precedence with the same substrings
+        "parse_rejects":
+            "SELECT t.conv_id, t.turn_idx,"
+            " CASE WHEN contains(t.text, 'kex_exchange_identification')"
+            " OR contains(t.text, 'error: maximum authentication attempts"
+            " exceeded for invalid user')"
+            " OR contains(t.text, 'Disconnected from invalid user')"
+            " OR contains(t.text, 'Failed password for invalid user')"
+            " THEN 'negative_filter'"
+            " WHEN contains(t.text, 'Invalid user') THEN 'ssh_parse_fail'"
+            " ELSE 'no_level' END AS reason"
+            " FROM transcripts t LEFT JOIN parsed p"
+            " ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx"
+            " LEFT JOIN messages m"
+            " ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx"
+            " WHERE p.conv_id IS NULL AND m.conv_id IS NULL",
         "messages": "SELECT * FROM messages",
         "route_counts":
             "SELECT service, count(*) AS cnt FROM parsed GROUP BY service",

@@ -47,6 +47,74 @@ def parsed(sf_dir: str) -> rd.Dataset:
                                         batch_size=None)
 
 
+def parse_rejects(sf_dir: str) -> rd.Dataset:
+    """Dead-letter audit — every transcript turn the router DROPS, with
+    its reject reason in router precedence order: 'negative_filter' (a
+    systemd_log_filters hit, src/parse_logs.rs:339-345),
+    'ssh_parse_fail' (an 'Invalid user' line the ssh grok refuses,
+    src/parse_logs.rs:58-84 errors there too), or 'no_level' (a
+    message-path line with no level substring, src/models.rs:561-580).
+    The reference silently drops all three classes; a production log
+    pipeline quarantines them — this is that quarantine stream, one
+    stateless vectorized pass sharing the router's own masks/kernels so
+    audit and router can never disagree.  Output (conv_id, turn_idx,
+    reason), fact-scale, streaming."""
+    tr = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                           "text", "ts"])
+
+    def rejects(b: pa.Table) -> pa.Table:
+        empty = pa.table({"conv_id": pa.array([], pa.string()),
+                          "turn_idx": pa.array([], pa.int32()),
+                          "reason": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        text = b["text"]
+        neg = grok.negative_filter_mask(text)
+        keep = pc.invert(neg)
+        is_ssh = pc.and_(keep, pc.match_substring(text, "Invalid user"))
+        parts = [pa.table({"conv_id": b["conv_id"].filter(neg),
+                           "turn_idx": b["turn_idx"].filter(neg)})
+                 .append_column("reason", pa.array(
+                     ["negative_filter"] * int(pc.sum(
+                         pc.cast(neg, pa.int64())).as_py()), pa.string()))]
+        ssh_sub = b.filter(is_ssh)
+        if ssh_sub.num_rows:
+            _, _, _, ok = grok.extract_ssh(ssh_sub["text"],
+                                           pc.year(ssh_sub["ts"]))
+            bad = ssh_sub.filter(pc.invert(ok))
+            parts.append(pa.table({
+                "conv_id": bad["conv_id"], "turn_idx": bad["turn_idx"],
+                "reason": pa.array(["ssh_parse_fail"] * bad.num_rows,
+                                   pa.string())}))
+        # nginx failures FALL THROUGH to apache then message (router
+        # semantics), so the only terminal drop on that path is no_level
+        rest = b.filter(pc.and_(keep, pc.invert(is_ssh)))
+        if rest.num_rows:
+            is_ng = pc.match_substring(rest["text"], "nginx")
+            ng = rest.filter(is_ng)
+            msg_cand = [rest.filter(pc.invert(is_ng))]
+            if ng.num_rows:
+                _, ng_ok = grok.extract_nginx(ng["text"])
+                msg_cand.append(ng.filter(pc.invert(ng_ok)))
+            mc = pa.concat_tables(msg_cand)
+            if mc.num_rows:
+                _, _, ap_ok = grok.extract_apache(mc["text"])
+                mc = mc.filter(pc.invert(ap_ok))
+            if mc.num_rows:
+                lvl = grok.classify_level(mc["text"])
+                bad = mc.filter(pc.is_null(lvl))
+                parts.append(pa.table({
+                    "conv_id": bad["conv_id"],
+                    "turn_idx": bad["turn_idx"],
+                    "reason": pa.array(["no_level"] * bad.num_rows,
+                                       pa.string())}))
+        out = pa.concat_tables(parts)
+        return out if out.num_rows else empty
+
+    return tr.map_batches(rejects, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def messages(sf_dir: str) -> rd.Dataset:
     """messages/ sink (reference systemd_log_messages)."""
     return routed_ds(sf_dir).map_batches(message_view, batch_format="pyarrow",

@@ -66,3 +66,22 @@ def test_overlap_runs_merge_and_stay_sorted(tmp_path):
     got = C.sorted_scan(SF, index_dir=str(idx)).to_pandas()
     assert got["host"].tolist() == sorted(
         ["a1", "b1", "c9", "c1", "d1", "e1", "f1", "g1"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parse_rejects_account_for_every_turn():
+    """Every transcript turn lands in EXACTLY one of: parsed (intrusion),
+    messages, or the dead-letter stream — router + audit share kernels,
+    so the three-way partition must be exact."""
+    from security_log_analysis_rust_ray.pipelines import reports as R
+    n_tr = R.transcripts(SF).count()
+    n_parsed = R.parsed(SF).count()
+    n_msg = R.messages(SF).count()
+    rej = R.parse_rejects(SF).to_pandas()
+    assert n_tr == n_parsed + n_msg + len(rej)
+    assert set(rej["reason"]) <= {"negative_filter", "ssh_parse_fail",
+                                  "no_level"}
+    assert (rej["reason"] == "negative_filter").any()
+    assert (rej["reason"] == "no_level").any()
+    # no turn appears twice in the quarantine
+    assert not rej.duplicated(["conv_id", "turn_idx"]).any()
