@@ -84,6 +84,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         "clustered_first_rows":
             _q("clustered", "clustered_first_rows"),               # oracle, new r04
         "parse_rejects": _q("reports", "parse_rejects"),           # oracle, new r04
+        "assistant_latency_percentiles":
+            _q("reports", "assistant_latency_percentiles"),        # oracle, new r04
         "events_value_outliers":
             _q("relational", "events_value_outliers"),             # oracle, new r04
         "user_rolling_mean_rows":
@@ -710,6 +712,27 @@ def oracle_sql() -> dict[str, str]:
             " lag(role) OVER w AS prev_role FROM transcripts"
             " WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))"
             " WHERE role = 'assistant' AND prev_role = 'user')"
+            " GROUP BY server ORDER BY server",
+        "assistant_latency_percentiles":
+            "SELECT server,"
+            " max(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS BIGINT)"
+            " + 1 THEN v END) AS p50,"
+            " max(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS BIGINT)"
+            " + 1 THEN v END) AS p90,"
+            " max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT)"
+            " + 1 THEN v END) AS p99 FROM ("
+            "SELECT server, v,"
+            " row_number() OVER (PARTITION BY server ORDER BY v, vid)"
+            " AS rn, count(*) OVER (PARTITION BY server) AS n FROM ("
+            "SELECT 'srv' || CAST(CAST(substr(conv_id, 6) AS BIGINT)"
+            f" % {SERVER_MOD} AS VARCHAR) AS server,"
+            " CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) AS v,"
+            " CAST(substr(conv_id, 6) AS BIGINT) * 4294967296 + turn_idx"
+            " AS vid FROM ("
+            "SELECT conv_id, turn_idx, ts, role, lag(ts) OVER w AS prev_ts,"
+            " lag(role) OVER w AS prev_role FROM transcripts"
+            " WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))"
+            " WHERE role = 'assistant' AND prev_role = 'user'))"
             " GROUP BY server ORDER BY server",
         "qa_pairs":
             "SELECT conv_id, turn_idx, prompt, response FROM ("

@@ -540,6 +540,82 @@ def assistant_latency_stats(sf_dir: str) -> rd.Dataset:
         .sort("server")
 
 
+LAT_PCTS = (("p50", 0.50), ("p90", 0.90), ("p99", 0.99))
+
+
+def assistant_latency_percentiles(sf_dir: str) -> rd.Dataset:
+    """Per-server response-latency SLA percentiles (p50/p90/p99) — the
+    tail-latency dashboard next to ``assistant_latency_stats``' moments.
+    The latency stream (same conv-exchange adjacency rule) feeds the
+    generalized grouped rank-selection core with THREE targets per
+    server: all percentiles resolve against ONE sort + summary fold +
+    extract pass, and only the |servers|x3 result reaches the driver.
+    Rank rule = floor(p*(n-1)) + 1 with a (conv, turn) id tiebreak.
+    Output (server, p50, p90, p99) by server."""
+    import pandas as pd
+
+    from ..pipelines.relational import _grouped_ranks_select
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages.joins import _collect_table
+    ds = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "event_id": pa.array([], pa.int64())})
+        b, first = _conv_sorted(b)
+        ia = pc.equal(b["role"], "assistant").to_numpy(zero_copy_only=False)
+        iu = pc.equal(b["role"], "user").to_numpy(zero_copy_only=False)
+        keep = ia & np.r_[False, iu[:-1]] & ~first
+        idx = np.flatnonzero(keep)
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        lat = (ts[idx] - ts[idx - 1]).astype(np.float64)
+        conv = b["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        taken = conv.take(pa.array(idx, pa.int64()))
+        srv = grok.server_from_conv(taken)
+        cnum = pc.cast(pc.utf8_slice_codeunits(taken, 5, 2**30),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        tix = b["turn_idx"].to_numpy()[idx].astype(np.int64)
+        vid = cnum * np.int64(2**32) + tix
+        return pa.table({"event_type": srv,
+                         "value": pa.array(lat),
+                         "event_id": pa.array(vid, pa.int64())})
+
+    lat_ds = _by_key_blocks(ds, ["conv_id"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None)
+
+    def targets_fn(totals: pd.Series) -> pd.DataFrame:
+        n = totals.to_numpy(dtype=np.int64)
+        typ, tgt, lab = [], [], []
+        for name, pp in LAT_PCTS:
+            typ.append(totals.index.to_numpy())
+            tgt.append(np.floor(pp * (n - 1)).astype(np.int64) + 1)
+            lab.extend([name] * len(n))
+        return pd.DataFrame({"typ": np.concatenate(typ),
+                             "target": np.concatenate(tgt),
+                             "label": lab})
+
+    sel = _collect_table(
+        _grouped_ranks_select(lat_ds, targets_fn)).to_pandas()
+    empty = pa.table({"server": pa.array([], pa.string()),
+                      "p50": pa.array([], pa.float64()),
+                      "p90": pa.array([], pa.float64()),
+                      "p99": pa.array([], pa.float64())})
+    if not len(sel):
+        return rd.from_arrow(empty)
+    piv = sel.pivot(index="event_type", columns="label",
+                    values="value").reset_index().sort_values("event_type")
+    return rd.from_arrow(pa.table({
+        "server": pa.array(piv["event_type"], pa.string()),
+        "p50": pa.array(piv["p50"], pa.float64()),
+        "p90": pa.array(piv["p90"], pa.float64()),
+        "p99": pa.array(piv["p99"], pa.float64())}))
+
+
 def role_transition_matrix(sf_dir: str) -> rd.Dataset:
     """Markov transition counts over roles: for every adjacent turn pair
     within a conversation, count (prev_role, role) — the structural

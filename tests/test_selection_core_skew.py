@@ -88,3 +88,19 @@ def test_cumulative_distinct_hot_user(tmp_path):
         " FROM f ORDER BY event_id").df()
     got = got.sort_values("event_id").reset_index(drop=True)
     assert got["n_types_seen"].tolist() == exp["n_types_seen"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latency_percentiles_ordered_and_consistent():
+    """p50 <= p90 <= p99 per server, each an actual observed latency, and
+    consistent with the moments fold's min/max bracket."""
+    from security_log_analysis_rust_ray.pipelines.reports import (
+        assistant_latency_percentiles, assistant_latency_stats)
+    sf = "/root/testdata/sf0.001"
+    got = assistant_latency_percentiles(sf).to_pandas()
+    st = assistant_latency_stats(sf).to_pandas().set_index("server")
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        assert st.loc[r["server"], "min_v"] <= r["p50"]
+        assert r["p99"] <= st.loc[r["server"], "max_v"]
