@@ -86,6 +86,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         "parse_rejects": _q("reports", "parse_rejects"),           # oracle, new r04
         "assistant_latency_percentiles":
             _q("reports", "assistant_latency_percentiles"),        # oracle, new r04
+        "events_value_quantile_normalized":
+            _q("relational", "events_value_quantile_normalized"),  # oracle, new r04
         "events_value_outliers":
             _q("relational", "events_value_outliers"),             # oracle, new r04
         "user_rolling_mean_rows":
@@ -1267,6 +1269,22 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # quantile normalization: the position rule is INTEGER arithmetic
+    # ((r * (N-1)) // (n-1)), so both sides agree bit-for-bit
+    out["events_value_quantile_normalized"] = (
+        "WITH g AS (SELECT value,"
+        " row_number() OVER (ORDER BY value, event_id) - 1 AS gpos"
+        " FROM events),\n"
+        "t AS (SELECT event_id,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) - 1 AS r,"
+        " count(*) OVER (PARTITION BY event_type) AS n FROM events),\n"
+        "nn AS (SELECT count(*) - 1 AS big_n FROM events),\n"
+        "m AS (SELECT event_id, CASE WHEN n <= 1 THEN 0"
+        " ELSE (r * nn.big_n) // (n - 1) END AS pos"
+        " FROM t CROSS JOIN nn)\n"
+        "SELECT m.event_id, g.value AS qnorm_value"
+        " FROM m JOIN g ON g.gpos = m.pos")
     # Tukey-fence outliers: quartiles at the identical lower-percentile
     # rank rule; the fence arithmetic is stated verbatim
     out["events_value_outliers"] = (

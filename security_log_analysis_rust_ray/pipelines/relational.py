@@ -3488,6 +3488,132 @@ def events_value_gini_by_type(sf_dir: str) -> rd.Dataset:
         "gini": pa.array(round_half_up(gini, 6))}))
 
 
+def events_value_quantile_normalized(sf_dir: str) -> rd.Dataset:
+    """QUANTILE NORMALIZATION: every value is replaced by the GLOBAL
+    value at its own within-type quantile position — the batch-effect
+    correction that forces each group onto the corpus distribution
+    (microarray lineage; for LLM pipelines, reward/score calibration
+    across annotator or source groups).
+
+    pos = (r * (N-1)) // (n_t - 1)  (0-based within-type rank r —
+    INTEGER arithmetic, so engine and oracle agree bit-for-bit; a
+    singleton group maps to pos 0 by convention, stated identically in
+    SQL).  Plan: TWO sorted streams, each ranked by the block-offset
+    pattern (blocks report counts, the driver hands each block its
+    entering offsets — fact rows never co-locate): the type-major
+    stream emits (event_id, pos), the global stream emits (gpos,
+    value); ONE size-aware join on pos finishes.  Output (event_id,
+    qnorm_value), fact-scale, streaming.  (At 10^12 rows r*(N-1)
+    overflows int64 — the pos kernel would move to a per-type float
+    ratio + correction pass or int128 there; exact at any tested
+    scale.)"""
+    from ..stages.joins import lookup_join
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    n_total = ds.count()
+    if n_total == 0:
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "qnorm_value": pa.array([], pa.float64())}))
+
+    # ---- global stream: (gpos, qnorm_value) via block entering offsets
+    gs = ds.sort(["value", "event_id"]).materialize()
+
+    def gcounts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"v0": b["value"].slice(0, 1),
+                         "id0": b["event_id"].slice(0, 1),
+                         "cnt": pa.array([b.num_rows], pa.int64())})
+
+    gsum = gs.map_batches(gcounts, batch_format="pyarrow",
+                          batch_size=None).to_pandas() \
+        .sort_values(["v0", "id0"]).reset_index(drop=True)
+    gent = np.r_[0, np.cumsum(gsum["cnt"].to_numpy())[:-1]]
+    goffs = {(float(v), int(i)): int(o)
+             for v, i, o in zip(gsum["v0"], gsum["id0"], gent)}
+
+    def gmap(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"gpos": pa.array([], pa.int64()),
+                             "qnorm_value": pa.array([], pa.float64())})
+        off = goffs[(float(b["value"][0].as_py()),
+                     int(b["event_id"][0].as_py()))]
+        return pa.table({"gpos": pa.array(
+            off + np.arange(b.num_rows, dtype=np.int64)),
+            "qnorm_value": b["value"]})
+
+    gmap_ds = gs.map_batches(gmap, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    # ---- type-major stream: (event_id, pos) via per-segment offsets
+    ts_ = ds.sort(["event_type", "value", "event_id"]).materialize()
+
+    def tsum(b: pa.Table) -> pa.Table:
+        out = {"t0": [], "v0": [], "id0": [], "seg": [], "typ": [],
+               "cnt": []}
+        if b.num_rows:
+            t = b["event_type"].to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+            ends = np.r_[starts[1:], len(t)]
+            for s_i, (st, en) in enumerate(zip(starts, ends)):
+                out["t0"].append(t[0])
+                out["v0"].append(b["value"][0].as_py())
+                out["id0"].append(b["event_id"][0].as_py())
+                out["seg"].append(s_i)
+                out["typ"].append(t[st])
+                out["cnt"].append(int(en - st))
+        return pa.table({"t0": pa.array(out["t0"], pa.string()),
+                         "v0": pa.array(out["v0"], pa.float64()),
+                         "id0": pa.array(out["id0"], pa.int64()),
+                         "seg": pa.array(out["seg"], pa.int64()),
+                         "typ": pa.array(out["typ"], pa.string()),
+                         "cnt": pa.array(out["cnt"], pa.int64())})
+
+    tsm = ts_.map_batches(tsum, batch_format="pyarrow",
+                          batch_size=None).to_pandas() \
+        .sort_values(["t0", "v0", "id0", "seg"]).reset_index(drop=True)
+    tsm["prev"] = tsm.groupby("typ", sort=False)["cnt"].cumsum() \
+        - tsm["cnt"]
+    totals = tsm.groupby("typ", sort=False)["cnt"].sum().to_dict()
+    # per block: segment entering offsets + type totals, in segment order
+    seg_plan: dict = {}
+    for _, row in tsm.iterrows():
+        key = (float(row["v0"]), int(row["id0"]))
+        seg_plan.setdefault(key, []).append(
+            (int(row["prev"]), int(totals[row["typ"]])))
+
+    big_n = n_total - 1
+
+    def pos_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        plan = seg_plan[(float(b["value"][0].as_py()),
+                         int(b["event_id"][0].as_py()))]
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+        lens = np.diff(np.r_[starts, len(t)])
+        prev = np.array([p for p, _ in plan], dtype=np.int64)
+        ntyp = np.array([n for _, n in plan], dtype=np.int64)
+        r = np.repeat(prev, lens) \
+            + (np.arange(len(t), dtype=np.int64)
+               - np.repeat(starts, lens))
+        nn = np.repeat(ntyp, lens)
+        pos = np.where(nn <= 1, 0, (r * big_n) // np.maximum(nn - 1, 1))
+        return pa.table({"event_id": b["event_id"],
+                         "pos": pa.array(pos, pa.int64())})
+
+    posed = ts_.map_batches(pos_block, batch_format="pyarrow",
+                            batch_size=None)
+    out = lookup_join(posed, gmap_ds, "pos", "gpos", how="inner")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "qnorm_value"]),
+        batch_format="pyarrow", batch_size=None)
+
+
 def events_value_means_by_type(sf_dir: str) -> rd.Dataset:
     """Arithmetic / geometric / harmonic mean per group in ONE fold: all
     three are monoid sums (Σy, Σln y, Σ1/y) plus a count, so the whole

@@ -104,3 +104,34 @@ def test_latency_percentiles_ordered_and_consistent():
         assert r["p50"] <= r["p90"] <= r["p99"]
         assert st.loc[r["server"], "min_v"] <= r["p50"]
         assert r["p99"] <= st.loc[r["server"], "max_v"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_normalization_matches_pandas():
+    import pandas as pd
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_value_quantile_normalized
+    sf = "/root/testdata/sf0.001"
+    got = events_value_quantile_normalized(sf).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    g = ev.sort_values(["value", "event_id"]).reset_index(drop=True)
+    big_n = len(ev) - 1
+    rows = []
+    for t, grp in ev.groupby("event_type"):
+        grp = grp.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(grp)
+        for r, eid in enumerate(grp["event_id"]):
+            pos = 0 if n <= 1 else (r * big_n) // (n - 1)
+            rows.append((eid, g["value"].iat[pos]))
+    want = pd.DataFrame(rows, columns=["event_id", "qnorm_value"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    np.testing.assert_array_equal(got["qnorm_value"].to_numpy(),
+                                  want["qnorm_value"].to_numpy())
+    # after normalization every type's extremes meet the global extremes
+    m = got.merge(ev[["event_id", "event_type"]], on="event_id")
+    for _, grp in m.groupby("event_type"):
+        assert grp["qnorm_value"].min() == ev["value"].min()
+        assert grp["qnorm_value"].max() == ev["value"].max()
