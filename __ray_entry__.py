@@ -88,6 +88,10 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("reports", "assistant_latency_percentiles"),        # oracle, new r04
         "events_value_quantile_normalized":
             _q("relational", "events_value_quantile_normalized"),  # oracle, new r04
+        "user_longest_streak":
+            _q("relational", "user_longest_streak"),               # oracle, new r04
+        "events_seasonal_backtest":
+            _q("relational", "events_seasonal_backtest"),          # oracle, new r04
         "events_value_outliers":
             _q("relational", "events_value_outliers"),             # oracle, new r04
         "user_rolling_mean_rows":
@@ -1269,6 +1273,28 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # gaps-and-islands: day - row_number is constant within an island
+    out["user_longest_streak"] = (
+        "WITH cells AS (SELECT DISTINCT user_id,"
+        " epoch_us(ts) // 86400000000 AS day FROM events),\n"
+        "isl AS (SELECT user_id, day,"
+        " day - row_number() OVER (PARTITION BY user_id ORDER BY day)"
+        " AS grp FROM cells),\n"
+        "runs AS (SELECT user_id, count(*) AS run FROM isl"
+        " GROUP BY user_id, grp)\n"
+        "SELECT user_id, CAST(max(run) AS BIGINT) AS longest_streak"
+        " FROM runs GROUP BY 1 ORDER BY 1")
+    # seasonal-naive backtest: lag(7 days) over the daily fold
+    out["events_seasonal_backtest"] = (
+        "WITH daily AS (SELECT date_trunc('day', ts) AS day,"
+        " count(*) AS cnt FROM events GROUP BY 1),\n"
+        "lagged AS (SELECT d.day, d.cnt, p.cnt AS forecast FROM daily d"
+        " JOIN daily p ON p.day = d.day - INTERVAL 7 DAY),\n"
+        "m AS (SELECT CAST(avg(CAST(abs(cnt - forecast) AS DOUBLE))"
+        " AS DOUBLE) AS mae FROM lagged)\n"
+        "SELECT day, cnt, forecast,"
+        " CAST(abs(cnt - forecast) AS BIGINT) AS abs_err,"
+        " round(m.mae, 6) AS mae FROM lagged CROSS JOIN m ORDER BY day")
     # quantile normalization: the position rule is INTEGER arithmetic
     # ((r * (N-1)) // (n-1)), so both sides agree bit-for-bit
     out["events_value_quantile_normalized"] = (

@@ -1571,6 +1571,103 @@ def rolling_wau(sf_dir: str) -> rd.Dataset:
     return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
 
 
+def user_longest_streak(sf_dir: str) -> rd.Dataset:
+    """Longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands shape (engagement streaks).  The fact stream
+    collapses to distinct (user, day) cells first (in-batch combiner +
+    one exchange — the rolling_wau reduction); each user's cells then
+    co-locate once and a vectorized island scan (day - position is
+    constant within an island) finds the max run per user.  Output
+    (user_id, longest_streak) by user."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages.dedup import distinct_rows
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b["ts"], pa.int64()), DAY_US)
+        return pa.table({"user_id": b["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+
+    uw = distinct_rows(ev.map_batches(cells, batch_format="pyarrow"),
+                       ["user_id", "day"])
+
+    def block_streaks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "longest_streak": pa.array([], pa.int64())})
+        b = b.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        u = b["user_id"].to_numpy()
+        d = b["day"].to_numpy()
+        n = len(u)
+        # island id: increments when the user changes OR the day gap > 1
+        brk = np.r_[True, (u[1:] != u[:-1]) | (np.diff(d) != 1)]
+        isl = np.cumsum(brk) - 1
+        lens = np.bincount(isl)                    # island lengths
+        first_user = u[np.flatnonzero(brk)]        # island -> user
+        order = np.argsort(first_user, kind="stable")
+        fu, ln = first_user[order], lens[order]
+        ufirst = np.r_[True, fu[1:] != fu[:-1]]
+        best = np.maximum.reduceat(ln, np.flatnonzero(ufirst))
+        return pa.table({"user_id": pa.array(fu[ufirst], pa.int64()),
+                         "longest_streak": pa.array(best, pa.int64())})
+
+    return _by_key_blocks(uw, ["user_id"]).map_batches(
+        block_streaks, batch_format="pyarrow", batch_size=None) \
+        .sort("user_id")
+
+
+SEASONAL_LAG_DAYS = 7
+
+
+def events_seasonal_backtest(sf_dir: str) -> rd.Dataset:
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the count 7 days earlier and report the per-day absolute error
+    plus the overall MAE — the baseline every forecasting pipeline must
+    beat before shipping a model.  The fact stream folds partial-first
+    to the calendar-bounded daily series; lag/MAE arithmetic runs on the
+    ~30-row fold (all-integer until the final division).  Output
+    (day, cnt, forecast, abs_err, mae round 6) for days with a
+    7-day-old reference."""
+    def day(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["day"]).aggregate([("one", "sum")]) \
+            .rename_columns(["day", "c"])
+
+    daily = read_table(sf_dir, "events", columns=["ts"]) \
+        .map_batches(day, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("c", alias_name="cnt")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "cnt": pa.array([], pa.int64()),
+                      "forecast": pa.array([], pa.int64()),
+                      "abs_err": pa.array([], pa.int64()),
+                      "mae": pa.array([], pa.float64())})
+    if len(daily) <= SEASONAL_LAG_DAYS:
+        return rd.from_arrow(empty)
+    # the synthetic calendar is dense, so positional lag == day lag;
+    # guard anyway: require the lagged row to be exactly 7 days back
+    d_us = daily["day"].astype("datetime64[us]").astype("int64").to_numpy()
+    cnt = daily["cnt"].to_numpy()
+    lag_ok = np.zeros(len(daily), dtype=bool)
+    fc = np.zeros(len(daily), dtype=np.int64)
+    idx = np.searchsorted(d_us, d_us - SEASONAL_LAG_DAYS * DAY_US)
+    hit = (idx < len(d_us)) & (d_us[np.minimum(idx, len(d_us) - 1)]
+                               == d_us - SEASONAL_LAG_DAYS * DAY_US)
+    lag_ok = hit
+    fc[hit] = cnt[idx[hit]]
+    keep = np.flatnonzero(lag_ok)
+    err = np.abs(cnt[keep] - fc[keep])
+    mae = float(err.sum()) / len(keep)
+    return rd.from_arrow(pa.table({
+        "day": pa.array(daily["day"].astype("datetime64[us]")
+                        .to_numpy()[keep]),
+        "cnt": pa.array(cnt[keep], pa.int64()),
+        "forecast": pa.array(fc[keep], pa.int64()),
+        "abs_err": pa.array(err, pa.int64()),
+        "mae": pa.array(round_half_up(np.full(len(keep), mae), 6))}))
+
+
 def rolling_wau_approx(sf_dir: str) -> rd.Dataset:
     """Approximate rolling 7-day WAU via HLL REGISTER ALGEBRA — the sketch
     answer to ``rolling_wau``'s exact plan: per-day 4 KB HLL registers

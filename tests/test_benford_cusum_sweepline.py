@@ -85,3 +85,35 @@ def test_max_concurrency_matches_brute_force():
     assert got["day"].tolist() == want["day"].tolist()
     assert got["max_concurrent"].tolist() == want["max_concurrent"].tolist()
     assert got["max_concurrent"].min() >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_longest_streak_matches_reference():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        DAY_US, user_longest_streak)
+    got = user_longest_streak(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].astype("int64") // DAY_US
+    want = {}
+    for u, g in ev.drop_duplicates(["user_id", "day"]).groupby("user_id"):
+        days = sorted(g["day"])
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b - a == 1 else 1
+            best = max(best, run)
+        want[u] = best
+    assert dict(zip(got["user_id"], got["longest_streak"])) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seasonal_backtest_mae_consistent():
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_seasonal_backtest
+    got = events_seasonal_backtest(SF).to_pandas()
+    assert len(got) > 0
+    # one MAE value, equal to the mean of the per-day absolute errors
+    assert got["mae"].nunique() == 1
+    from security_log_analysis_rust_ray.functions.util import round_half_up
+    assert got["mae"].iloc[0] == round_half_up(
+        got["abs_err"].to_numpy(dtype=float).mean(), 6)
+    assert (got["abs_err"] == (got["cnt"] - got["forecast"]).abs()).all()
