@@ -88,6 +88,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("reports", "assistant_latency_percentiles"),        # oracle, new r04
         "events_value_quantile_normalized":
             _q("relational", "events_value_quantile_normalized"),  # oracle, new r04
+        "events_cvm_statistic":
+            _q("relational", "events_cvm_statistic"),              # oracle, new r04
         "user_longest_streak":
             _q("relational", "user_longest_streak"),               # oracle, new r04
         "events_seasonal_backtest":
@@ -1273,6 +1275,22 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # Cramér–von Mises: same pooled cumulative-CDF scan as KS, squared
+    # gap SUMMED instead of maxed; scale nA*nB/N^2 stated verbatim
+    out["events_cvm_statistic"] = (
+        "WITH ab AS (SELECT value, event_id,"
+        " CAST(event_type = 'click' AS INT) AS ia,"
+        " CAST(event_type = 'view' AS INT) AS ib FROM events"
+        " WHERE event_type IN ('click', 'view')),\n"
+        "c AS (SELECT sum(ia) OVER (ORDER BY value, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS ca,"
+        " sum(ib) OVER (ORDER BY value, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS cb FROM ab),\n"
+        "n AS (SELECT CAST(sum(ia) AS DOUBLE) AS na,"
+        " CAST(sum(ib) AS DOUBLE) AS nb FROM ab)\n"
+        "SELECT round(n.na * n.nb / ((n.na + n.nb) * (n.na + n.nb))"
+        " * sum(pow(ca / n.na - cb / n.nb, 2)), 6) AS cvm"
+        " FROM c CROSS JOIN n GROUP BY n.na, n.nb")
     # gaps-and-islands: day - row_number is constant within an island
     out["user_longest_streak"] = (
         "WITH cells AS (SELECT DISTINCT user_id,"

@@ -3789,13 +3789,15 @@ KS_TYPE_A = "click"
 KS_TYPE_B = "view"
 
 
-def _ks_two_sample(ds) -> float | None:
-    """Exact two-sample KS over a (value, event_id, isa) Dataset — the
-    label-agnostic core shared by ``events_ks_statistic`` (type vs type)
-    and ``events_drift_report`` (before vs after).  One global sort;
-    blocks report (nA, nB); driver prefix offsets; per-block local
-    CDF-gap max; driver max.  Returns None when either sample is
-    empty."""
+def _ks_two_sample(ds, stat: str = "ks") -> float | None:
+    """Exact two-sample CDF-gap statistics over a (value, event_id, isa)
+    Dataset — the label-agnostic core shared by ``events_ks_statistic``
+    (type vs type), ``events_cvm_statistic`` (same scan, SQUARED-gap
+    sum), and ``events_drift_report`` (before vs after).  One global
+    sort; blocks report (nA, nB); driver prefix offsets; each block
+    folds BOTH its local gap max and squared-gap sum in one pass;
+    driver max (KS) or scaled sum (CvM).  Returns None when either
+    sample is empty."""
     ds = ds.sort(["value", "event_id"]).materialize()
 
     def counts(b: pa.Table) -> pa.Table:
@@ -3826,8 +3828,9 @@ def _ks_two_sample(ds) -> float | None:
         ca += int(r["na"])
         cb += int(r["nb"])
 
-    def block_max(b: pa.Table) -> pa.Table:
-        empty = pa.table({"ks": pa.array([], pa.float64())})
+    def block_stat(b: pa.Table) -> pa.Table:
+        empty = pa.table({"ks": pa.array([], pa.float64()),
+                          "ss": pa.array([], pa.float64())})
         if b.num_rows == 0:
             return empty
         oa, ob = offs[(float(b["value"][0].as_py()),
@@ -3835,11 +3838,18 @@ def _ks_two_sample(ds) -> float | None:
         isa = b["isa"].to_numpy(zero_copy_only=False).astype(np.int64)
         cum_a = oa + np.cumsum(isa)
         cum_b = ob + np.cumsum(1 - isa)
-        d = np.abs(cum_a / n_a - cum_b / n_b).max()
-        return pa.table({"ks": pa.array([float(d)])})
+        gap = cum_a / n_a - cum_b / n_b
+        return pa.table({"ks": pa.array([float(np.abs(gap).max())]),
+                         "ss": pa.array([float((gap * gap).sum())])})
 
-    folded = ds.map_batches(block_max, batch_format="pyarrow",
+    folded = ds.map_batches(block_stat, batch_format="pyarrow",
                             batch_size=None).to_pandas()
+    if stat == "cvm":
+        # Cramér–von Mises criterion over the pooled empirical measure:
+        # T = (nA*nB/N^2) * Σ_pooled (F_A - F_B)^2
+        big = float(n_a + n_b)
+        return float(n_a) * float(n_b) / (big * big) \
+            * float(folded["ss"].sum())
     return float(folded["ks"].max())
 
 
@@ -3864,6 +3874,29 @@ def events_ks_statistic(sf_dir: str) -> rd.Dataset:
         return rd.from_arrow(empty)
     return rd.from_arrow(pa.table({"ks": pa.array(
         round_half_up(np.array([d]), 6))}))
+
+
+def events_cvm_statistic(sf_dir: str) -> rd.Dataset:
+    """EXACT two-sample Cramér–von Mises criterion between the two KS
+    event types — KS's integral sibling (the WHOLE squared CDF gap, not
+    just its max, so slow body-wide drift registers even when no single
+    point gap is large): T = (nA·nB/N²)·Σ_pooled (F_A − F_B)².  Same
+    one-sort block-offset scan as KS — both statistics fold in the same
+    pass.  Output one row (cvm round 6)."""
+    pair = pa.array([KS_TYPE_A, KS_TYPE_B])
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]) \
+        .map_batches(lambda b: (lambda f: pa.table({
+            "value": f["value"], "event_id": f["event_id"],
+            "isa": pc.equal(f["event_type"], KS_TYPE_A)}))(
+            b.filter(pc.is_in(b["event_type"], value_set=pair))),
+            batch_format="pyarrow", batch_size=None)
+    t = _ks_two_sample(ds, stat="cvm")
+    empty = pa.table({"cvm": pa.array([], pa.float64())})
+    if t is None:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({"cvm": pa.array(
+        round_half_up(np.array([t]), 6))}))
 
 
 def events_rank_auc(sf_dir: str) -> rd.Dataset:

@@ -117,3 +117,21 @@ def test_seasonal_backtest_mae_consistent():
     assert got["mae"].iloc[0] == round_half_up(
         got["abs_err"].to_numpy(dtype=float).mean(), 6)
     assert (got["abs_err"] == (got["cnt"] - got["forecast"]).abs()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cvm_matches_scipy_style_reference():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        KS_TYPE_A, KS_TYPE_B, events_cvm_statistic)
+    got = float(events_cvm_statistic(SF).to_pandas()["cvm"].iloc[0])
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev = ev[ev["event_type"].isin([KS_TYPE_A, KS_TYPE_B])] \
+        .sort_values(["value", "event_id"]).reset_index(drop=True)
+    ia = (ev["event_type"] == KS_TYPE_A).to_numpy().astype(np.int64)
+    na, nb = ia.sum(), (1 - ia).sum()
+    fa = np.cumsum(ia) / na
+    fb = np.cumsum(1 - ia) / nb
+    ref = na * nb / float(na + nb) ** 2 * ((fa - fb) ** 2).sum()
+    assert abs(got - ref) < 1e-6
+    assert got > 0
