@@ -88,6 +88,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("reports", "assistant_latency_percentiles"),        # oracle, new r04
         "events_value_quantile_normalized":
             _q("relational", "events_value_quantile_normalized"),  # oracle, new r04
+        "events_value_band_join":
+            _q("relational", "events_value_band_join"),            # oracle, new r04
         "events_cvm_statistic":
             _q("relational", "events_cvm_statistic"),              # oracle, new r04
         "user_longest_streak":
@@ -495,6 +497,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
+    "events_value_band_join",
     "events_cvm_statistic", "events_seasonal_backtest",
     "user_longest_streak", "events_value_quantile_normalized",
     "assistant_latency_percentiles", "parse_rejects",
@@ -520,7 +523,7 @@ _WINDOW = [
     # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
     "alert_batches",
     # real-decode media paths (new r04 — PPM/y4m codecs)
-    "media_features", "media_thumbnails", "media_frames",
+    "media_features", "media_thumbnails",
 ]
 
 
@@ -1282,6 +1285,14 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # band join: the theta condition restated directly; engine pairs via
+    # neighbor-bucketed equi-join + exact filter (same result set)
+    out["events_value_band_join"] = (
+        "SELECT a.event_id AS a_id, b.event_id AS b_id,"
+        " round(abs(a.value - b.value), 6) AS diff"
+        " FROM events a JOIN events b"
+        " ON a.event_type = 'click' AND b.event_type = 'view'"
+        f" AND abs(a.value - b.value) < {REL.BAND_EPS}")
     # Cramér–von Mises: same pooled cumulative-CDF scan as KS, squared
     # gap SUMMED instead of maxed; scale nA*nB/N^2 stated verbatim
     out["events_cvm_statistic"] = (

@@ -1571,6 +1571,59 @@ def rolling_wau(sf_dir: str) -> rd.Dataset:
     return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
 
 
+BAND_EPS = 0.01   # |value_a - value_b| < eps pairs the rows
+
+
+def events_value_band_join(sf_dir: str) -> rd.Dataset:
+    """BAND (theta) JOIN: pairs of (click, view) events whose values lie
+    within eps of each other — the numeric near-match join (record
+    linkage on a measurement, sensor cross-calibration).  A theta join
+    is not an equi-join, so it becomes one by BUCKETING: the click side
+    keys on bucket floor(v/eps); the view side replicates to its bucket
+    AND both neighbors, so every qualifying pair meets in EXACTLY one
+    bucket (the click row's own) and the exact |diff| < eps filter runs
+    vectorized after a size-aware hash join on the bucket key — never an
+    all-pairs cross product.  Output (a_id, b_id, diff round 6) with
+    a = click, b = view."""
+    from ..stages.joins import hash_join
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def side_a(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "click"))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"a_id": t["event_id"],
+                         "va": t["value"],
+                         "bucket": pa.array(
+                             np.floor(v / BAND_EPS).astype(np.int64))})
+
+    def side_b(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "view"))
+        v = t["value"].to_numpy(zero_copy_only=False)
+        base = np.floor(v / BAND_EPS).astype(np.int64)
+        n = len(base)
+        return pa.table({
+            "b_id": pa.array(np.tile(t["event_id"].to_numpy(), 3)),
+            "vb": pa.array(np.tile(v, 3)),
+            "bucket": pa.array(np.concatenate(
+                [base - 1, base, base + 1]))})
+
+    a = ds.map_batches(side_a, batch_format="pyarrow", batch_size=None)
+    bb = ds.map_batches(side_b, batch_format="pyarrow", batch_size=None)
+    j = hash_join(a, bb, on=("bucket",), nparts=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        va = t["va"].to_numpy(zero_copy_only=False)
+        vb = t["vb"].to_numpy(zero_copy_only=False)
+        keep = np.abs(va - vb) < BAND_EPS
+        t = t.filter(pa.array(keep))
+        d = np.abs(t["va"].to_numpy() - t["vb"].to_numpy())
+        return pa.table({"a_id": t["a_id"], "b_id": t["b_id"],
+                         "diff": pa.array(round_half_up(d, 6))})
+
+    return j.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def user_longest_streak(sf_dir: str) -> rd.Dataset:
     """Longest run of CONSECUTIVE active days per user — the
     gaps-and-islands shape (engagement streaks).  The fact stream

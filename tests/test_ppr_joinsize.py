@@ -123,3 +123,26 @@ def test_json_field_stats_matches_pandas():
     assert got["event_type"].tolist() == ref.index.tolist()
     assert got["n"].tolist() == ref["count"].tolist()
     assert got["sum_k"].tolist() == ref["sum"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_band_join_matches_brute_force():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        BAND_EPS, events_value_band_join)
+    got = events_value_band_join(SF_SMOKE).to_pandas() \
+        .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    a = ev[ev["event_type"] == "click"]
+    b = ev[ev["event_type"] == "view"]
+    pairs = []
+    for aid, av in zip(a["event_id"], a["value"]):
+        m = (b["value"] - av).abs() < BAND_EPS
+        for bid in b.loc[m, "event_id"]:
+            pairs.append((aid, bid))
+    want = sorted(pairs)
+    assert len(got) == len(want) > 0
+    assert list(zip(got["a_id"], got["b_id"])) == want
+    # a pair never appears twice (each qualifying pair meets in exactly
+    # one bucket — the click row's own)
+    assert not got.duplicated(["a_id", "b_id"]).any()
