@@ -90,6 +90,10 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("relational", "events_value_quantile_normalized"),  # oracle, new r04
         "events_value_band_join":
             _q("relational", "events_value_band_join"),            # oracle, new r04
+        "session_bounce_rate":
+            _q("streaming", "session_bounce_rate"),                # oracle, new r04
+        "user_behavior_entropy":
+            _q("relational", "user_behavior_entropy"),             # oracle, new r04
         "events_cvm_statistic":
             _q("relational", "events_cvm_statistic"),              # oracle, new r04
         "user_longest_streak":
@@ -497,6 +501,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
+    "session_bounce_rate", "user_behavior_entropy",
     "events_value_band_join",
     "events_cvm_statistic", "events_seasonal_backtest",
     "user_longest_streak", "events_value_quantile_normalized",
@@ -518,8 +523,7 @@ _WINDOW = [
     "conversation_sft_text", "boilerplate_turns", "doc_blocklist_filter",
     "doc_source_cap", "doc_normalized_dedup", "doc_gopher_filter",
     "doc_quality_percentile", "embedding_kmeans_assign",
-    "ann_hard_negatives", "doc_dup_weights", "doc_epoch_shuffle",
-    "embedding_semdedup",
+    "ann_hard_negatives", "doc_epoch_shuffle",
     # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
     "alert_batches",
     # real-decode media paths (new r04 — PPM/y4m codecs)
@@ -1285,6 +1289,37 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # bounce rate: the sessionize CTE + per-start-day fold
+    out["session_bounce_rate"] = (
+        "WITH lagged AS (SELECT user_id, event_id, ts,"
+        " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS prev FROM events),"
+        "flags AS (SELECT *, CASE WHEN prev IS NULL OR"
+        f" date_diff('microsecond', prev, ts) > {STR.SESSION_GAP_S}"
+        " * 1000000 THEN 1 ELSE 0 END AS new_s FROM lagged),"
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session"
+        " FROM flags),"
+        "w AS (SELECT user_id, session,"
+        " epoch_us(min(ts)) // 86400000000 AS day, count(*) AS n"
+        " FROM sess GROUP BY 1, 2),"
+        "d AS (SELECT day, count(*) AS sessions,"
+        " CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS bounces FROM w GROUP BY 1)"
+        "SELECT day, sessions, bounces,"
+        " round(CAST(bounces AS DOUBLE) / sessions, 6) AS bounce_rate"
+        " FROM d ORDER BY day")
+    # behavioral entropy: -sum p ln p over each user's type distribution
+    out["user_behavior_entropy"] = (
+        "WITH c AS (SELECT user_id, event_type, count(*) AS c"
+        " FROM events GROUP BY 1, 2),"
+        "t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events"
+        " FROM c GROUP BY 1)"
+        "SELECT c.user_id, t.n_events,"
+        " round(-sum((CAST(c.c AS DOUBLE) / t.n_events)"
+        " * ln(CAST(c.c AS DOUBLE) / t.n_events)), 6) AS entropy"
+        " FROM c JOIN t USING (user_id)"
+        " GROUP BY c.user_id, t.n_events ORDER BY c.user_id")
     # band join: the theta condition restated directly; engine pairs via
     # neighbor-bucketed equi-join + exact filter (same result set)
     out["events_value_band_join"] = (

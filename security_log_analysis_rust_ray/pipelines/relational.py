@@ -1571,6 +1571,45 @@ def rolling_wau(sf_dir: str) -> rd.Dataset:
     return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
 
 
+def user_behavior_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (0 = one-trick user, ln|types| = uniform).
+    One (user, type) grouped count (pre-distinct combiner shape), then a
+    per-block vectorized entropy fold over each user's contiguous rows
+    after ONE user exchange — the |users|-cardinality result streams.
+    Output (user_id, n_events, entropy round 6) by user."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages import aggregate as agg
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = agg.grouped_count(ds, ["user_id", "event_type"], alias="c",
+                               high_cardinality=True)
+
+    def block_entropy(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"),
+                       ("event_type", "ascending")])
+        u = b["user_id"].to_numpy()
+        c = b["c"].to_numpy().astype(np.float64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(u)])
+        gid = np.cumsum(first) - 1
+        tot = np.bincount(gid, weights=c)
+        p = c / tot[gid]
+        ent = -np.bincount(gid, weights=p * np.log(p))
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(tot.astype(np.int64), pa.int64()),
+            "entropy": pa.array(round_half_up(ent, 6))})
+
+    return _by_key_blocks(counts, ["user_id"]).map_batches(
+        block_entropy, batch_format="pyarrow", batch_size=None) \
+        .sort("user_id")
+
+
 BAND_EPS = 0.01   # |value_a - value_b| < eps pairs the rows
 
 

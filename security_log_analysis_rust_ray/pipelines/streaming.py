@@ -180,6 +180,46 @@ def events_max_concurrency(sf_dir: str,
                            alias="max_concurrent").sort("day")
 
 
+def session_bounce_rate(sf_dir: str,
+                        gap_s: int = SESSION_GAP_S) -> rd.Dataset:
+    """Daily BOUNCE RATE: share of sessions (by start day) with exactly
+    one event — the engagement-quality metric next to the session count.
+    Reuses ``sessionize`` verbatim; the per-day fold is calendar-sized
+    (two small-keyspace counts fused into one pass over the session
+    stream).  Output (day, sessions, bounces, bounce_rate round 6)."""
+    from ..functions.util import round_half_up
+    sess = sessionize(sf_dir, gap_s)
+
+    def day_fold(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["session_start"].cast(pa.int64()),
+                      pa.scalar(DAY_US, pa.int64()))
+        one = pc.cast(pc.equal(b["n_events"], pa.scalar(1)), pa.int64())
+        t = pa.table({"day": d, "s": pa.array(
+            np.ones(b.num_rows, np.int64)), "b": one})
+        return t.group_by(["day"]).aggregate([("s", "sum"), ("b", "sum")]) \
+            .rename_columns(["day", "s", "b"])
+
+    from ray.data.aggregate import Sum
+    agg_t = sess.map_batches(day_fold, batch_format="pyarrow",
+                             batch_size=None) \
+        .groupby("day").aggregate(Sum("s", alias_name="sessions"),
+                                  Sum("b", alias_name="bounces")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "sessions": pa.array([], pa.int64()),
+                      "bounces": pa.array([], pa.int64()),
+                      "bounce_rate": pa.array([], pa.float64())})
+    if not len(agg_t):
+        return rd.from_arrow(empty)
+    sc = agg_t["sessions"].to_numpy(dtype=np.float64)
+    bc = agg_t["bounces"].to_numpy(dtype=np.float64)
+    return rd.from_arrow(pa.table({
+        "day": pa.array(agg_t["day"].to_numpy(), pa.int64()),
+        "sessions": pa.array(agg_t["sessions"].to_numpy(), pa.int64()),
+        "bounces": pa.array(agg_t["bounces"].to_numpy(), pa.int64()),
+        "bounce_rate": pa.array(round_half_up(bc / sc, 6))}))
+
+
 def _alert_eligible(sf_dir: str, threshold: str) -> rd.Dataset:
     """Messages at-or-above the alert level, keyed by their server STREAM
     (derived shard of conv_id — the reference's alert loop is per-server,

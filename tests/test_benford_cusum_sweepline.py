@@ -135,3 +135,35 @@ def test_cvm_matches_scipy_style_reference():
     ref = na * nb / float(na + nb) ** 2 * ((fa - fb) ** 2).sum()
     assert abs(got - ref) < 1e-6
     assert got > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bounce_rate_consistent_with_sessionize():
+    from security_log_analysis_rust_ray.pipelines.streaming import (
+        DAY_US, session_bounce_rate, sessionize)
+    got = session_bounce_rate(SF).to_pandas()
+    sess = sessionize(SF).to_pandas()
+    sess["day"] = sess["session_start"].astype("int64") // DAY_US
+    ref = sess.groupby("day").agg(
+        sessions=("n_events", "size"),
+        bounces=("n_events", lambda s: int((s == 1).sum())))
+    m = got.set_index("day")
+    assert m["sessions"].to_dict() == ref["sessions"].to_dict()
+    assert m["bounces"].to_dict() == ref["bounces"].to_dict()
+    assert ((got["bounce_rate"] >= 0) & (got["bounce_rate"] <= 1)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_behavior_entropy_bounds_and_reference():
+    from security_log_analysis_rust_ray.functions.util import round_half_up
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        user_behavior_entropy
+    got = user_behavior_entropy(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    for _, r in got.iterrows():
+        c = ev[ev["user_id"] == r["user_id"]]["event_type"].value_counts()
+        p = c.to_numpy(dtype=float) / c.sum()
+        assert r["entropy"] == round_half_up(-(p * np.log(p)).sum(), 6)
+        assert 0 <= r["entropy"] <= np.log(len(c)) + 1e-9
+        assert r["n_events"] == c.sum()
