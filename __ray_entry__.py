@@ -92,6 +92,10 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("relational", "events_value_band_join"),            # oracle, new r04
         "session_bounce_rate":
             _q("streaming", "session_bounce_rate"),                # oracle, new r04
+        "events_daily_lag_correlation":
+            _q("relational", "events_daily_lag_correlation"),      # oracle, new r04
+        "user_rfm_segments":
+            _q("relational", "user_rfm_segments"),                 # oracle, new r04
         "user_behavior_entropy":
             _q("relational", "user_behavior_entropy"),             # oracle, new r04
         "events_cvm_statistic":
@@ -501,6 +505,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
+    "events_daily_lag_correlation", "user_rfm_segments",
     "session_bounce_rate", "user_behavior_entropy",
     "events_value_band_join",
     "events_cvm_statistic", "events_seasonal_backtest",
@@ -523,7 +528,6 @@ _WINDOW = [
     "conversation_sft_text", "boilerplate_turns", "doc_blocklist_filter",
     "doc_source_cap", "doc_normalized_dedup", "doc_gopher_filter",
     "doc_quality_percentile", "embedding_kmeans_assign",
-    "ann_hard_negatives", "doc_epoch_shuffle",
     # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
     "alert_batches",
     # real-decode media paths (new r04 — PPM/y4m codecs)
@@ -1289,6 +1293,54 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # lag cross-correlation: dense day spine + explicit Pearson formula
+    out["events_daily_lag_correlation"] = (
+        "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,"
+        " CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        " AS DOUBLE) AS c,"
+        " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " AS DOUBLE) AS p FROM events"
+        " WHERE event_type IN ('click', 'purchase') GROUP BY 1),"
+        "bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),"
+        "spine AS (SELECT unnest(generate_series(lo, hi)) AS day"
+        " FROM bounds),"
+        "dense AS (SELECT s.day, coalesce(d.c, 0) AS c,"
+        " coalesce(d.p, 0) AS p FROM spine s"
+        " LEFT JOIN daily d USING (day)),"
+        f"lags AS (SELECT unnest(generate_series(0, {REL.XCORR_MAX_LAG}))"
+        " AS lag),"
+        "j AS (SELECT l.lag, a.c AS x, b.p AS y FROM lags l"
+        " JOIN dense a ON true JOIN dense b ON b.day = a.day + l.lag),"
+        "st AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,"
+        " sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy"
+        " FROM j GROUP BY 1)"
+        "SELECT lag, CAST(n AS BIGINT) AS n_days,"
+        " round((n*sxy - sx*sy)"
+        " / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r"
+        " FROM st WHERE (n*sxx - sx*sx) * (n*syy - sy*sy) > 0"
+        " ORDER BY lag")
+    # RFM: per-user fold + DuckDB ntile(5) (big tiles first, user_id
+    # tiebreak) — the engine replicates the identical tile rule
+    out["user_rfm_segments"] = (
+        "WITH f AS (SELECT user_id, max(epoch_us(ts)) AS last,"
+        " count(*) AS frequency,"
+        " CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS monetary FROM events GROUP BY 1),"
+        "wm AS (SELECT max(last) AS wm FROM f),"
+        "sc AS (SELECT user_id,"
+        " (wm.wm - last) // 86400000000 AS recency_days, frequency,"
+        " monetary,"
+        " CAST(ntile(5) OVER (ORDER BY (wm.wm - last) // 86400000000,"
+        " user_id) AS BIGINT) AS r_score,"
+        " CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)"
+        " AS BIGINT) AS f_score,"
+        " CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)"
+        " AS BIGINT) AS m_score FROM f CROSS JOIN wm)"
+        "SELECT user_id, recency_days, frequency, monetary,"
+        " r_score, f_score, m_score,"
+        " CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'"
+        " WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'"
+        " ELSE 'regular' END AS segment FROM sc ORDER BY user_id")
     # bounce rate: the sessionize CTE + per-start-day fold
     out["session_bounce_rate"] = (
         "WITH lagged AS (SELECT user_id, event_id, ts,"

@@ -1571,6 +1571,148 @@ def rolling_wau(sf_dir: str) -> rd.Dataset:
     return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
 
 
+XCORR_MAX_LAG = 5
+
+
+def events_daily_lag_correlation(sf_dir: str) -> rd.Dataset:
+    """Lagged CROSS-CORRELATION between the 'click' and 'purchase' daily
+    count series: corr(click[d], purchase[d+lag]) for lag 0..L — "how
+    many days after click volume does purchase volume follow" (the
+    lead-lag diagnostic before any causal claim).  The fact stream folds
+    partial-first to two calendar-bounded series; the lag loop runs on
+    the ~30-row fold.  Pearson r restated with the explicit
+    sum-of-products formula on BOTH sides, over the overlapping day
+    range of each lag.  Output (lag, n_days, r round 6)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "purchase"])))
+        t = pa.table({
+            "day": pc.divide(pc.cast(f["ts"], pa.int64()), DAY_US),
+            "is_c": pc.cast(pc.equal(f["event_type"], "click"),
+                            pa.int64()),
+            "is_p": pc.cast(pc.equal(f["event_type"], "purchase"),
+                            pa.int64())})
+        return t.group_by(["day"]).aggregate(
+            [("is_c", "sum"), ("is_p", "sum")]) \
+            .rename_columns(["day", "c", "p"])
+
+    daily = read_table(sf_dir, "events", columns=["ts", "event_type"]) \
+        .map_batches(day_counts, batch_format="pyarrow") \
+        .groupby("day").aggregate(_Sum("c", alias_name="c"),
+                                  _Sum("p", alias_name="p")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    empty = pa.table({"lag": pa.array([], pa.int64()),
+                      "n_days": pa.array([], pa.int64()),
+                      "r": pa.array([], pa.float64())})
+    if len(daily) <= XCORR_MAX_LAG + 1:
+        return rd.from_arrow(empty)
+    # dense day index (the synthetic calendar is dense; reindex guards)
+    days = daily["day"].to_numpy()
+    full = np.arange(days.min(), days.max() + 1)
+    c = np.zeros(len(full)); p = np.zeros(len(full))
+    c[days - days.min()] = daily["c"].to_numpy()
+    p[days - days.min()] = daily["p"].to_numpy()
+    lags, ns, rs = [], [], []
+    for lag in range(XCORR_MAX_LAG + 1):
+        x = c[:len(full) - lag]
+        y = p[lag:]
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        if den == 0:
+            continue
+        lags.append(lag)
+        ns.append(len(x))
+        rs.append((n * sxy - sx * sy) / den)
+    return rd.from_arrow(pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n_days": pa.array(ns, pa.int64()),
+        "r": pa.array(round_half_up(np.array(rs), 6))}))
+
+
+RFM_BINS = 5
+
+
+def user_rfm_segments(sf_dir: str) -> rd.Dataset:
+    """RFM SEGMENTATION: per-user Recency (days since last event at the
+    corpus watermark), Frequency (events), Monetary (sum value in
+    cents), each scored 1..5 by NTILE over the user population, plus the
+    classic champion/at-risk labels.  The fact stream folds
+    partial-first to the |users|-cardinality RFM table (grouped
+    max/count/sum); the scoring runs on that dim-sized fold with
+    DuckDB's exact big-tiles-first ntile rule so the oracle matches
+    tile-for-tile.  Output (user_id, recency_days, frequency, monetary,
+    r_score, f_score, m_score, segment) by user."""
+    from ..stages import aggregate as agg
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        t = pa.table({"user_id": b["user_id"],
+                      "last": pc.cast(b["ts"], pa.int64()),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "m": pa.array(cents)})
+        return t.group_by(["user_id"]).aggregate(
+            [("last", "max"), ("n", "sum"), ("m", "sum")]) \
+            .rename_columns(["user_id", "last", "n", "m"])
+
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+    rfm = ds.map_batches(fold, batch_format="pyarrow", batch_size=None) \
+        .groupby("user_id").aggregate(_Max("last", alias_name="last"),
+                                      _Sum("n", alias_name="frequency"),
+                                      _Sum("m", alias_name="monetary")) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "recency_days": pa.array([], pa.int64()),
+                      "frequency": pa.array([], pa.int64()),
+                      "monetary": pa.array([], pa.int64()),
+                      "r_score": pa.array([], pa.int64()),
+                      "f_score": pa.array([], pa.int64()),
+                      "m_score": pa.array([], pa.int64()),
+                      "segment": pa.array([], pa.string())})
+    if not len(rfm):
+        return rd.from_arrow(empty)
+    wm = int(rfm["last"].max())
+    rec = (wm - rfm["last"].to_numpy()) // DAY_US
+
+    def ntile_scores(keys: np.ndarray, asc: bool) -> np.ndarray:
+        """DuckDB ntile(5) over ORDER BY key [DESC], user_id: the first
+        n % 5 tiles get n//5 + 1 rows (big tiles first)."""
+        n = len(keys)
+        order = np.lexsort((rfm["user_id"].to_numpy(),
+                            keys if asc else -keys))
+        base, extra = divmod(n, RFM_BINS)
+        sizes = np.array([base + (1 if i < extra else 0)
+                          for i in range(RFM_BINS)])
+        tile = np.repeat(np.arange(1, RFM_BINS + 1), sizes)
+        out = np.empty(n, dtype=np.int64)
+        out[order] = tile[:n]
+        return out
+
+    # recency: SMALLER is better -> score 1 = most recent (ntile asc);
+    # frequency/monetary: BIGGER is better -> score 1 = highest (desc)
+    r_s = ntile_scores(rec, asc=True)
+    f_s = ntile_scores(rfm["frequency"].to_numpy(), asc=False)
+    m_s = ntile_scores(rfm["monetary"].to_numpy(), asc=False)
+    seg = np.where((r_s == 1) & (f_s == 1), "champion",
+                   np.where((r_s >= 4) & (f_s <= 2), "at_risk", "regular"))
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(rfm["user_id"].to_numpy(), pa.int64()),
+        "recency_days": pa.array(rec, pa.int64()),
+        "frequency": pa.array(rfm["frequency"].to_numpy(), pa.int64()),
+        "monetary": pa.array(rfm["monetary"].to_numpy(), pa.int64()),
+        "r_score": pa.array(r_s, pa.int64()),
+        "f_score": pa.array(f_s, pa.int64()),
+        "m_score": pa.array(m_s, pa.int64()),
+        "segment": pa.array(seg.astype(object), pa.string())}))
+
+
 def user_behavior_entropy(sf_dir: str) -> rd.Dataset:
     """Per-user Shannon entropy of the event-type distribution — the
     behavioral-diversity score (0 = one-trick user, ln|types| = uniform).

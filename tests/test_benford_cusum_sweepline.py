@@ -167,3 +167,43 @@ def test_behavior_entropy_bounds_and_reference():
         assert r["entropy"] == round_half_up(-(p * np.log(p)).sum(), 6)
         assert 0 <= r["entropy"] <= np.log(len(c)) + 1e-9
         assert r["n_events"] == c.sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_correlation_reference_and_bounds():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        DAY_US, XCORR_MAX_LAG, events_daily_lag_correlation)
+    got = events_daily_lag_correlation(SF).to_pandas()
+    assert 0 < len(got) <= XCORR_MAX_LAG + 1
+    assert ((got["r"] >= -1) & (got["r"] <= 1)).all()
+    # lag 0 recomputed with numpy.corrcoef on the dense spine
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["day"] = ev["ts"].astype("int64") // DAY_US
+    full = np.arange(ev["day"].min(), ev["day"].max() + 1)
+    c = ev[ev["event_type"] == "click"]["day"].value_counts() \
+        .reindex(full, fill_value=0).to_numpy(dtype=float)
+    p = ev[ev["event_type"] == "purchase"]["day"].value_counts() \
+        .reindex(full, fill_value=0).to_numpy(dtype=float)
+    r0 = float(np.corrcoef(c, p)[0, 1])
+    assert abs(float(got.set_index("lag").loc[0, "r"]) - r0) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rfm_tiles_balanced_and_segments_consistent():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        RFM_BINS, user_rfm_segments)
+    got = user_rfm_segments(SF).to_pandas()
+    n = len(got)
+    assert n > RFM_BINS
+    for col in ["r_score", "f_score", "m_score"]:
+        cnt = got[col].value_counts()
+        # DuckDB big-tiles-first rule: sizes differ by at most one and
+        # the larger tiles have the smaller tile numbers
+        assert cnt.max() - cnt.min() <= 1
+        assert sorted(cnt.index) == list(range(1, RFM_BINS + 1))
+        big = cnt[cnt == cnt.max()].index
+        assert max(big) <= RFM_BINS - (cnt.min() == cnt.max() - 1) \
+            or cnt.max() == cnt.min()
+    champ = got[got["segment"] == "champion"]
+    assert ((champ["r_score"] == 1) & (champ["f_score"] == 1)).all()
