@@ -94,6 +94,10 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("streaming", "session_bounce_rate"),                # oracle, new r04
         "events_daily_lag_correlation":
             _q("relational", "events_daily_lag_correlation"),      # oracle, new r04
+        "events_onehot_features":
+            _q("relational", "events_onehot_features"),            # oracle, new r04
+        "events_target_encoded":
+            _q("relational", "events_target_encoded"),             # oracle, new r04
         "user_rfm_segments":
             _q("relational", "user_rfm_segments"),                 # oracle, new r04
         "user_behavior_entropy":
@@ -505,6 +509,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
+    "events_onehot_features", "events_target_encoded",
     "events_daily_lag_correlation", "user_rfm_segments",
     "session_bounce_rate", "user_behavior_entropy",
     "events_value_band_join",
@@ -527,7 +532,6 @@ _WINDOW = [
     "embedding_label_centroids", "top_hosts_per_country",
     "conversation_sft_text", "boilerplate_turns", "doc_blocklist_filter",
     "doc_source_cap", "doc_normalized_dedup", "doc_gopher_filter",
-    "doc_quality_percentile", "embedding_kmeans_assign",
     # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
     "alert_batches",
     # real-decode media paths (new r04 — PPM/y4m codecs)
@@ -1293,6 +1297,27 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # one-hot triplets: the feature dictionary is sorted (family=value)
+    # strings ranked by dense order — stable and SQL-restatable
+    out["events_onehot_features"] = (
+        "WITH f AS (SELECT event_id, 'type=' || event_type AS feature"
+        " FROM events"
+        " UNION ALL SELECT event_id,"
+        " 'dow=' || CAST(isodow(ts) AS VARCHAR) FROM events),"
+        "v AS (SELECT feature,"
+        " CAST(row_number() OVER (ORDER BY feature) - 1 AS BIGINT)"
+        " AS feature_id FROM (SELECT DISTINCT feature FROM f))"
+        "SELECT f.event_id, v.feature_id, f.feature"
+        " FROM f JOIN v USING (feature)")
+    # leave-one-out target encoding: (sum - v) / (n - 1), NULL singletons
+    out["events_target_encoded"] = (
+        "WITH st AS (SELECT event_type,"
+        " CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s,"
+        " count(*) AS n FROM events GROUP BY 1)"
+        "SELECT e.event_id,"
+        " round(CAST(st.s - CAST(floor(e.value * 100) AS BIGINT)"
+        " AS DOUBLE) / nullif(st.n - 1, 0) / 100.0, 6) AS loo_mean"
+        " FROM events e JOIN st USING (event_type)")
     # lag cross-correlation: dense day spine + explicit Pearson formula
     out["events_daily_lag_correlation"] = (
         "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,"

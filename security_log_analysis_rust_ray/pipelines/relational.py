@@ -1571,6 +1571,113 @@ def rolling_wau(sf_dir: str) -> rd.Dataset:
     return agg.grouped_count(pairs, ["day"], alias="n_users").sort("day")
 
 
+def events_onehot_features(sf_dir: str) -> rd.Dataset:
+    """Sparse ONE-HOT feature triplets — the categorical-feature handoff
+    to a trainer: every event emits (event_id, feature_id) for its
+    event_type and its ISO day-of-week bucket, with feature ids assigned
+    by a STABLE global dictionary (sorted (family, value) order, so ids
+    are reproducible across runs and shards).  The dictionary is a tiny
+    distinct fold broadcast into a stateless vectorized index_in map —
+    the fact stream never shuffles.  Output (event_id, feature_id,
+    feature) sorted-id-per-row, fact-scale x2, streaming."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.joins import _collect_table
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type",
+                                               "ts"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.add(pc.day_of_week(b["ts"]), pa.scalar(1)),
+                      pa.int64())
+        f1 = pc.binary_join_element_wise(
+            pa.array(["type"] * b.num_rows), b["event_type"], "=")
+        f2 = pc.binary_join_element_wise(
+            pa.array(["dow"] * b.num_rows),
+            pc.cast(dow, pa.string()), "=")
+        n = b.num_rows
+        return pa.table({
+            "event_id": pa.concat_arrays(
+                [b["event_id"].combine_chunks()
+                 if isinstance(b["event_id"], pa.ChunkedArray)
+                 else b["event_id"]] * 2),
+            "feature": pa.concat_arrays([
+                f1.combine_chunks() if isinstance(f1, pa.ChunkedArray)
+                else f1,
+                f2.combine_chunks() if isinstance(f2, pa.ChunkedArray)
+                else f2])})
+
+    fs = ds.map_batches(feats, batch_format="pyarrow", batch_size=None)
+    vocab = _collect_table(distinct_rows(
+        fs.map_batches(lambda t: t.select(["feature"]),
+                       batch_format="pyarrow", batch_size=None),
+        ["feature"]))
+    names = sorted(v.as_py() for v in vocab["feature"])
+    ref = pa.array(names, pa.string())
+    import ray as _ray
+    href = _ray.put(ref)
+
+    def encode(b: pa.Table) -> pa.Table:
+        voc = _ray.get(href)
+        idx = pc.index_in(b["feature"], value_set=voc)
+        return pa.table({"event_id": b["event_id"],
+                         "feature_id": pc.cast(idx, pa.int64()),
+                         "feature": b["feature"]})
+
+    return fs.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+def events_target_encoded(sf_dir: str) -> rd.Dataset:
+    """LEAVE-ONE-OUT target encoding of event_type against `value` — the
+    leakage-safe categorical encoder: each row's feature is the mean of
+    its category's target EXCLUDING the row itself,
+    (sum_t - v_i) / (n_t - 1).  One grouped (sum, n) fold broadcasts the
+    |types|-row stats table back; the rewrite is stateless and the
+    fact stream never co-locates per category.  The fold runs in
+    INTEGER CENTS so the category sums are exact in any summation order
+    (a float fold differed from the oracle in the last rounded digit —
+    the repo's standard cents discipline).  Singleton categories emit
+    NULL (no peers to borrow from), exactly as the oracle's NULLIF.
+    Output (event_id, loo_mean round 6), fact-scale, streaming."""
+    from ..stages.joins import _collect_table, lookup_join
+    from ray.data.aggregate import Sum as _Sum
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "s": pa.array(cents),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["event_type"]).aggregate(
+            [("s", "sum"), ("n", "sum")]) \
+            .rename_columns(["event_type", "s", "n"])
+
+    stats = ds.map_batches(fold, batch_format="pyarrow",
+                           batch_size=None) \
+        .groupby("event_type").aggregate(_Sum("s", alias_name="s"),
+                                         _Sum("n", alias_name="n")) \
+        .materialize()
+    j = lookup_join(ds, stats, "event_type", "event_type", how="inner")
+
+    def loo(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        sv = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            enc = (sv - cents).astype(np.float64) / (n - 1.0) / 100.0
+        out = round_half_up(enc, 6)
+        mask = pa.array(n > 1)
+        return pa.table({"event_id": b["event_id"],
+                         "loo_mean": pc.if_else(
+                             mask, pa.array(out),
+                             pa.scalar(None, pa.float64()))})
+
+    return j.map_batches(loo, batch_format="pyarrow", batch_size=None)
+
+
 XCORR_MAX_LAG = 5
 
 

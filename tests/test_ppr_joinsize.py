@@ -146,3 +146,39 @@ def test_band_join_matches_brute_force():
     # a pair never appears twice (each qualifying pair meets in exactly
     # one bucket — the click row's own)
     assert not got.duplicated(["a_id", "b_id"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_onehot_features_cover_every_event_twice():
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_onehot_features
+    got = events_onehot_features(SF_SMOKE).to_pandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id"])
+    assert len(got) == 2 * len(ev)
+    # ids form a dense 0..V-1 dictionary in sorted feature order
+    vocab = got[["feature", "feature_id"]].drop_duplicates() \
+        .sort_values("feature_id")
+    assert vocab["feature_id"].tolist() == list(range(len(vocab)))
+    assert vocab["feature"].tolist() == sorted(vocab["feature"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_target_encoding_is_leakage_safe():
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_target_encoded
+    got = events_target_encoded(SF_SMOKE).to_pandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    m = got.merge(ev, on="event_id")
+    cents = np.floor(m["value"].to_numpy() * 100).astype(np.int64)
+    st = pd.DataFrame({"t": m["event_type"], "c": cents}) \
+        .groupby("t")["c"].agg(["sum", "count"])
+    ref = (st.loc[m["event_type"], "sum"].to_numpy() - cents) \
+        / (st.loc[m["event_type"], "count"].to_numpy() - 1) / 100.0
+    from security_log_analysis_rust_ray.functions.util import round_half_up
+    np.testing.assert_array_equal(got["loo_mean"].to_numpy(),
+                                  round_half_up(ref, 6))
+    # the row's own value is excluded: encoding != plain category mean
+    plain = (st.loc[m["event_type"], "sum"].to_numpy()
+             / st.loc[m["event_type"], "count"].to_numpy() / 100.0)
+    assert (np.abs(got["loo_mean"].to_numpy() - plain) > 1e-12).any()
