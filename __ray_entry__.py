@@ -94,6 +94,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("streaming", "session_bounce_rate"),                # oracle, new r04
         "events_daily_lag_correlation":
             _q("relational", "events_daily_lag_correlation"),      # oracle, new r04
+        "events_seasonal_decompose":
+            _q("relational", "events_seasonal_decompose"),         # oracle, new r04
         "events_onehot_features":
             _q("relational", "events_onehot_features"),            # oracle, new r04
         "events_target_encoded":
@@ -509,6 +511,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
+    "events_seasonal_decompose",
     "events_onehot_features", "events_target_encoded",
     "events_daily_lag_correlation", "user_rfm_segments",
     "session_bounce_rate", "user_behavior_entropy",
@@ -531,7 +534,7 @@ _WINDOW = [
     "user_rolling_value_7d", "events_debounced",
     "embedding_label_centroids", "top_hosts_per_country",
     "conversation_sft_text", "boilerplate_turns", "doc_blocklist_filter",
-    "doc_source_cap", "doc_normalized_dedup", "doc_gopher_filter",
+    "doc_source_cap", "doc_normalized_dedup",
     # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
     "alert_batches",
     # real-decode media paths (new r04 — PPM/y4m codecs)
@@ -1297,6 +1300,24 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # seasonal decomposition: centered 7-day MA trend (full-frame guard)
+    # + per-isodow mean of the detrended series; all on the daily fold
+    out["events_seasonal_decompose"] = (
+        "WITH daily AS (SELECT date_trunc('day', ts) AS day,"
+        " count(*) AS cnt FROM events GROUP BY 1),"
+        "tr AS (SELECT day, cnt,"
+        " CASE WHEN count(*) OVER w = 7 THEN"
+        " CAST(sum(cnt) OVER w AS DOUBLE) / 7 END AS trend"
+        " FROM daily WINDOW w AS (ORDER BY day"
+        " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),"
+        "eff AS (SELECT isodow(day) AS dw,"
+        " sum(cnt - trend) / count(*) AS e FROM tr"
+        " WHERE trend IS NOT NULL GROUP BY 1)"
+        "SELECT t.day, t.cnt, round(t.trend, 6) AS trend,"
+        " round(e.e, 6) AS dow_effect,"
+        " round(t.cnt - t.trend - e.e, 6) AS residual"
+        " FROM tr t JOIN eff e ON isodow(t.day) = e.dw"
+        " WHERE t.trend IS NOT NULL ORDER BY t.day")
     # one-hot triplets: the feature dictionary is sorted (family=value)
     # strings ranked by dense order — stable and SQL-restatable
     out["events_onehot_features"] = (

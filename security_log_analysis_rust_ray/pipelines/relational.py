@@ -1740,6 +1740,61 @@ def events_daily_lag_correlation(sf_dir: str) -> rd.Dataset:
         "r": pa.array(round_half_up(np.array(rs), 6))}))
 
 
+SEAS_MA = 7   # centered moving-average window for the trend
+
+
+def events_seasonal_decompose(sf_dir: str) -> rd.Dataset:
+    """Classical additive SEASONAL DECOMPOSITION of the daily count
+    series: cnt = trend (centered 7-day moving average) + weekday
+    effect (per-ISO-dow mean of the detrended series) + residual — the
+    "is Monday really slower, or is it the trend" dashboard view.  Only
+    days with a FULL centered window carry a trend (the SQL states the
+    same count(*)=7 frame guard).  The fact stream folds partial-first
+    to the calendar-bounded series; decomposition runs on the ~30-row
+    fold.  Output (day, cnt, trend, dow_effect, residual) round-6."""
+    def day(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.floor_temporal(b["ts"], unit="day"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["day"]).aggregate([("one", "sum")]) \
+            .rename_columns(["day", "c"])
+
+    daily = read_table(sf_dir, "events", columns=["ts"]) \
+        .map_batches(day, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("c", alias_name="cnt")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "cnt": pa.array([], pa.int64()),
+                      "trend": pa.array([], pa.float64()),
+                      "dow_effect": pa.array([], pa.float64()),
+                      "residual": pa.array([], pa.float64())})
+    if len(daily) < SEAS_MA:
+        return rd.from_arrow(empty)
+    x = daily["cnt"].to_numpy().astype(np.float64)
+    half = SEAS_MA // 2
+    n = len(x)
+    cs = np.concatenate([[0.0], np.cumsum(x)])
+    trend = np.full(n, np.nan)
+    idx = np.arange(half, n - half)
+    trend[idx] = (cs[idx + half + 1] - cs[idx - half]) / SEAS_MA
+    # ISO dow of each day
+    dow = pd.to_datetime(daily["day"]).dt.isocalendar().day.to_numpy()
+    det = x - trend
+    eff = np.full(n, np.nan)
+    for d in range(1, 8):
+        m = (dow == d) & ~np.isnan(trend)
+        if m.any():
+            eff[dow == d] = det[m].sum() / m.sum()
+    keep = ~np.isnan(trend)
+    res = x[keep] - trend[keep] - eff[keep]
+    return rd.from_arrow(pa.table({
+        "day": pa.array(daily["day"].astype("datetime64[us]")
+                        .to_numpy()[keep]),
+        "cnt": pa.array(daily["cnt"].to_numpy()[keep], pa.int64()),
+        "trend": pa.array(round_half_up(trend[keep], 6)),
+        "dow_effect": pa.array(round_half_up(eff[keep], 6)),
+        "residual": pa.array(round_half_up(res, 6))}))
+
+
 RFM_BINS = 5
 
 

@@ -207,3 +207,20 @@ def test_rfm_tiles_balanced_and_segments_consistent():
             or cnt.max() == cnt.min()
     champ = got[got["segment"] == "champion"]
     assert ((champ["r_score"] == 1) & (champ["f_score"] == 1)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seasonal_decompose_reconstructs_counts():
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_seasonal_decompose
+    got = events_seasonal_decompose(SF).to_pandas()
+    assert len(got) > 0
+    # additive identity: cnt == trend + dow_effect + residual (round 6)
+    recon = got["trend"] + got["dow_effect"] + got["residual"]
+    np.testing.assert_allclose(recon.to_numpy(),
+                               got["cnt"].to_numpy(dtype=float),
+                               atol=3e-6)
+    # weekday effects roughly mean-zero over represented dows
+    eff = got.groupby(pd.to_datetime(got["day"]).dt.dayofweek)[
+        "dow_effect"].first()
+    assert abs(eff.mean()) < got["cnt"].mean()  # sanity scale bound
