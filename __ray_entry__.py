@@ -96,6 +96,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("relational", "events_daily_lag_correlation"),      # oracle, new r04
         "events_seasonal_decompose":
             _q("relational", "events_seasonal_decompose"),         # oracle, new r04
+        "user_survival_curve":
+            _q("relational", "user_survival_curve"),               # oracle, new r04
         "events_onehot_features":
             _q("relational", "events_onehot_features"),            # oracle, new r04
         "events_target_encoded":
@@ -511,7 +513,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
-    "events_seasonal_decompose",
+    "user_survival_curve", "events_seasonal_decompose",
     "events_onehot_features", "events_target_encoded",
     "events_daily_lag_correlation", "user_rfm_segments",
     "session_bounce_rate", "user_behavior_entropy",
@@ -530,7 +532,7 @@ _WINDOW = [
     "order_priority_exists_counts", "line_priority_counts",
     "promo_revenue_share", "corpus_continuation_counts",
     "doc_edit_similar_pairs", "doc_span_corruption_pairs",
-    "doc_filter_audit", "events_cdc_snapshot", "user_time_weighted_value",
+    "doc_filter_audit", "events_cdc_snapshot",
     "user_rolling_value_7d", "events_debounced",
     "embedding_label_centroids", "top_hosts_per_country",
     "conversation_sft_text", "boilerplate_turns", "doc_blocklist_filter",
@@ -1300,6 +1302,30 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # Kaplan–Meier: duration = first->second event (censored at the
+    # watermark); product stated as exp(cumulative sum of ln terms)
+    out["user_survival_curve"] = (
+        "WITH r AS (SELECT user_id, ts, row_number() OVER"
+        " (PARTITION BY user_id ORDER BY ts) AS rn FROM events),"
+        "wm AS (SELECT max(epoch_us(ts)) AS wm FROM events),"
+        "f AS (SELECT a.user_id,"
+        " CASE WHEN b.ts IS NOT NULL THEN"
+        " (epoch_us(b.ts) - epoch_us(a.ts)) // 86400000000"
+        " ELSE (wm.wm - epoch_us(a.ts)) // 86400000000 END AS dur,"
+        " CASE WHEN b.ts IS NOT NULL THEN 1 ELSE 0 END AS ev"
+        " FROM (SELECT * FROM r WHERE rn = 1) a"
+        " LEFT JOIN (SELECT * FROM r WHERE rn = 2) b"
+        " USING (user_id) CROSS JOIN wm),"
+        "tot AS (SELECT count(*) AS n FROM f),"
+        "ts_ AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS events"
+        " FROM f WHERE ev = 1 GROUP BY 1),"
+        "risk AS (SELECT t, events,"
+        " (SELECT count(*) FROM f WHERE f.dur >= ts_.t) AS at_risk"
+        " FROM ts_)"
+        "SELECT t AS t_days, CAST(at_risk AS BIGINT) AS at_risk, events,"
+        " round(product(1 - CAST(events AS DOUBLE) / at_risk)"
+        " OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS survival"
+        " FROM risk ORDER BY t")
     # seasonal decomposition: centered 7-day MA trend (full-frame guard)
     # + per-isodow mean of the detrended series; all on the daily fold
     out["events_seasonal_decompose"] = (

@@ -1740,6 +1740,82 @@ def events_daily_lag_correlation(sf_dir: str) -> rd.Dataset:
         "r": pa.array(round_half_up(np.array(rs), 6))}))
 
 
+def user_survival_curve(sf_dir: str) -> rd.Dataset:
+    """KAPLAN–MEIER survival curve for time-to-SECOND-event (days): the
+    churn-analysis estimator that handles CENSORING correctly — a user
+    with only one event hasn't "died", they're censored at the corpus
+    watermark, and dropping them (the naive mean) biases the curve.
+
+    Plan: ONE user exchange -> per-block vectorized (first, second)
+    event times per user segment -> (duration_days, observed) rows ->
+    the calendar-x-2-sized grouped count fold; the KM product
+    S(t) = prod_{t'<=t} (1 - d/n) runs on that tiny fold (at-risk counts
+    = reverse cumsum).  Output (t_days, at_risk, events, survival
+    round-6) at each OBSERVED event time, by t."""
+    from ..pipelines.streaming import _by_key_blocks
+    from ..stages import aggregate as agg
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    wm = int(pc.cast(pa.scalar(
+        read_table(sf_dir, "events", columns=["ts"]).max("ts")),
+        pa.int64()).as_py())
+
+    def first_two(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dur": pa.array([], pa.int64()),
+                             "ev": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        b = b.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = b["user_id"].to_numpy()
+        t = b["ts"].cast(pa.int64()).to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        t1 = t[starts]
+        has2 = lens >= 2
+        t2 = np.where(has2, t[np.minimum(starts + 1, len(t) - 1)], wm)
+        dur = (t2 - t1) // DAY_US
+        return pa.table({"dur": pa.array(dur, pa.int64()),
+                         "ev": pa.array(has2.astype(np.int64)),
+                         "one": pa.array(np.ones(len(dur), np.int64))})
+
+    fold = _by_key_blocks(ds, ["user_id"]).map_batches(
+        first_two, batch_format="pyarrow", batch_size=None) \
+        .map_batches(lambda t: t.group_by(["dur", "ev"]).aggregate(
+            [("one", "sum")]).rename_columns(["dur", "ev", "c"]),
+            batch_format="pyarrow", batch_size=None) \
+        .groupby(["dur", "ev"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    empty = pa.table({"t_days": pa.array([], pa.int64()),
+                      "at_risk": pa.array([], pa.int64()),
+                      "events": pa.array([], pa.int64()),
+                      "survival": pa.array([], pa.float64())})
+    if not len(fold):
+        return rd.from_arrow(empty)
+    # at-risk at time t = subjects with duration >= t (reverse cumsum)
+    durs = np.sort(fold["dur"].unique())
+    cnt_at = fold.groupby("dur")["c"].sum().reindex(durs).to_numpy()
+    total = int(cnt_at.sum())
+    entered_before = np.concatenate([[0], np.cumsum(cnt_at)[:-1]])
+    at_risk_by_dur = total - entered_before
+    ev_counts = fold[fold["ev"] == 1].set_index("dur")["c"]
+    t_days, at_risk, events, surv = [], [], [], []
+    s_run = 1.0
+    for i, d in enumerate(durs):
+        e = int(ev_counts.get(d, 0))
+        if e == 0:
+            continue
+        n = int(at_risk_by_dur[i])
+        s_run *= (1.0 - e / n)
+        t_days.append(int(d))
+        at_risk.append(n)
+        events.append(e)
+        surv.append(s_run)
+    return rd.from_arrow(pa.table({
+        "t_days": pa.array(t_days, pa.int64()),
+        "at_risk": pa.array(at_risk, pa.int64()),
+        "events": pa.array(events, pa.int64()),
+        "survival": pa.array(round_half_up(np.array(surv), 6))}))
+
+
 SEAS_MA = 7   # centered moving-average window for the trend
 
 

@@ -224,3 +224,35 @@ def test_seasonal_decompose_reconstructs_counts():
     eff = got.groupby(pd.to_datetime(got["day"]).dt.dayofweek)[
         "dow_effect"].first()
     assert abs(eff.mean()) < got["cnt"].mean()  # sanity scale bound
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_survival_curve_matches_km_reference():
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        DAY_US, user_survival_curve)
+    got = user_survival_curve(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["t"] = ev["ts"].astype("int64")
+    wm = ev["t"].max()
+    durs, obs = [], []
+    for _, g in ev.sort_values("t").groupby("user_id"):
+        t = g["t"].to_numpy()
+        if len(t) >= 2:
+            durs.append((t[1] - t[0]) // DAY_US); obs.append(1)
+        else:
+            durs.append((wm - t[0]) // DAY_US); obs.append(0)
+    durs, obs = np.array(durs), np.array(obs)
+    s_run, ref = 1.0, {}
+    for d in sorted(set(durs[obs == 1])):
+        n = int((durs >= d).sum())
+        e = int(((durs == d) & (obs == 1)).sum())
+        s_run *= 1 - e / n
+        ref[d] = (n, e, s_run)
+    assert got["t_days"].tolist() == sorted(ref)
+    for _, r in got.iterrows():
+        n, e, sv = ref[r["t_days"]]
+        assert (r["at_risk"], r["events"]) == (n, e)
+        assert abs(r["survival"] - sv) < 1e-6
+    # survival is a proper non-increasing curve in (0, 1]
+    sv = got["survival"].to_numpy()
+    assert (np.diff(sv) <= 0).all() and sv[0] <= 1.0 and (sv >= 0).all()
