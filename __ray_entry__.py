@@ -98,6 +98,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("relational", "events_seasonal_decompose"),         # oracle, new r04
         "user_survival_curve":
             _q("relational", "user_survival_curve"),               # oracle, new r04
+        "fk_integrity_audit":
+            _q("relational", "fk_integrity_audit"),                # oracle, new r04
         "events_onehot_features":
             _q("relational", "events_onehot_features"),            # oracle, new r04
         "events_target_encoded":
@@ -513,6 +515,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
+    "fk_integrity_audit",
     "user_survival_curve", "events_seasonal_decompose",
     "events_onehot_features", "events_target_encoded",
     "events_daily_lag_correlation", "user_rfm_segments",
@@ -535,7 +538,7 @@ _WINDOW = [
     "doc_filter_audit", "events_cdc_snapshot",
     "user_rolling_value_7d", "events_debounced",
     "embedding_label_centroids", "top_hosts_per_country",
-    "conversation_sft_text", "boilerplate_turns", "doc_blocklist_filter",
+    "conversation_sft_text", "boilerplate_turns",
     "doc_source_cap", "doc_normalized_dedup",
     # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
     "alert_batches",
@@ -1302,6 +1305,9 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # FK audit: one NOT-EXISTS count per schema edge, UNION ALL
+    out["fk_integrity_audit"] = (
+        "SELECT 'orders.o_custkey->customer' AS edge, CAST(count(*) AS BIGINT) AS violations FROM orders c WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey) UNION ALL SELECT 'lineitem.l_orderkey->orders' AS edge, CAST(count(*) AS BIGINT) AS violations FROM lineitem c WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey) UNION ALL SELECT 'lineitem.l_partkey->part' AS edge, CAST(count(*) AS BIGINT) AS violations FROM lineitem c WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey) UNION ALL SELECT 'lineitem.l_suppkey->supplier' AS edge, CAST(count(*) AS BIGINT) AS violations FROM lineitem c WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey) UNION ALL SELECT 'supplier.s_nationkey->nation' AS edge, CAST(count(*) AS BIGINT) AS violations FROM supplier c WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey) UNION ALL SELECT 'customer.c_nationkey->nation' AS edge, CAST(count(*) AS BIGINT) AS violations FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey) UNION ALL SELECT 'nation.n_regionkey->region' AS edge, CAST(count(*) AS BIGINT) AS violations FROM nation c WHERE NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey)")
     # Kaplan–Meier: duration = first->second event (censored at the
     # watermark); product stated as exp(cumulative sum of ln terms)
     out["user_survival_curve"] = (

@@ -135,3 +135,30 @@ def test_quantile_normalization_matches_pandas():
     for _, grp in m.groupby("event_type"):
         assert grp["qnorm_value"].min() == ev["value"].min()
         assert grp["qnorm_value"].max() == ev["value"].max()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fk_audit_clean_then_detects_injected_orphans(tmp_path):
+    import shutil
+    import pyarrow.parquet as pq
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        fk_integrity_audit
+    sf = "/root/testdata/sf0.001"
+    clean = fk_integrity_audit(sf).to_pandas()
+    assert len(clean) == 7 and (clean["violations"] == 0).all()
+    # corrupt a copy: point 5 orders at a non-existent customer
+    d = tmp_path / "sf"
+    d.mkdir()
+    for f in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        shutil.copy(f"{sf}/{f}.parquet", d / f"{f}.parquet")
+    t = pq.read_table(d / "orders.parquet")
+    ck = t["o_custkey"].to_numpy().copy()
+    ck[:5] = 99_999_999
+    t = t.set_column(t.schema.get_field_index("o_custkey"), "o_custkey",
+                     pa.array(ck, pa.int64()))
+    pq.write_table(t, d / "orders.parquet")
+    dirty = fk_integrity_audit(str(d)).to_pandas().set_index("edge")
+    assert dirty.loc["orders.o_custkey->customer", "violations"] == 5
+    assert dirty.drop("orders.o_custkey->customer")["violations"] \
+        .sum() == 0
