@@ -97,6 +97,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("relational", "user_survival_curve"),               # oracle, new r04
         "fk_integrity_audit":
             _q("relational", "fk_integrity_audit"),                # oracle, new r04
+        "events_ab_conversion_ztest":
+            _q("relational", "events_ab_conversion_ztest"),        # oracle, new r04
         "events_onehot_features":
             _q("relational", "events_onehot_features"),            # oracle, new r04
         "events_target_encoded":
@@ -512,7 +514,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
-    "fk_integrity_audit",
+    "events_ab_conversion_ztest", "fk_integrity_audit",
     "user_survival_curve", "events_seasonal_decompose",
     "events_onehot_features", "events_target_encoded",
     "events_daily_lag_correlation", "user_rfm_segments",
@@ -536,7 +538,7 @@ _WINDOW = [
     "user_rolling_value_7d", "events_debounced",
     "embedding_label_centroids", "top_hosts_per_country",
     "conversation_sft_text", "boilerplate_turns",
-    "doc_source_cap", "doc_normalized_dedup",
+    "doc_source_cap",
     # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
     "alert_batches",
     # real-decode media paths (new r04 — PPM/y4m codecs)
@@ -1302,6 +1304,31 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # A/B z-test: identical hash arm rule + verbatim pooled-z formula
+    out["events_ab_conversion_ztest"] = (
+        "WITH cu AS (SELECT user_id,"
+        " max(CASE WHEN event_type = 'purchase'"
+        " AND CAST(floor(value * 100) AS BIGINT) % 7 = 0"
+        " THEN 1 ELSE 0 END) AS converted FROM events GROUP BY 1),"
+        "armed AS (SELECT *,"
+        " ((user_id * 2654435761) % 1000003) % 2 AS arm FROM cu),"
+        "st AS (SELECT"
+        " CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_a,"
+        " CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)"
+        " AS BIGINT) AS conv_a,"
+        " CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_b,"
+        " CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)"
+        " AS BIGINT) AS conv_b FROM armed)"
+        "SELECT n_a, conv_a, n_b, conv_b,"
+        " round(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,"
+        " round(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,"
+        " round((CAST(conv_a AS DOUBLE) / n_a"
+        " - CAST(conv_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)), 6) AS z FROM st")
     # FK audit: one NOT-EXISTS count per schema edge, UNION ALL
     out["fk_integrity_audit"] = (
         "SELECT 'orders.o_custkey->customer' AS edge, CAST(count(*) AS BIGINT) AS violations FROM orders c WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey) UNION ALL SELECT 'lineitem.l_orderkey->orders' AS edge, CAST(count(*) AS BIGINT) AS violations FROM lineitem c WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey) UNION ALL SELECT 'lineitem.l_partkey->part' AS edge, CAST(count(*) AS BIGINT) AS violations FROM lineitem c WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey) UNION ALL SELECT 'lineitem.l_suppkey->supplier' AS edge, CAST(count(*) AS BIGINT) AS violations FROM lineitem c WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey) UNION ALL SELECT 'supplier.s_nationkey->nation' AS edge, CAST(count(*) AS BIGINT) AS violations FROM supplier c WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey) UNION ALL SELECT 'customer.c_nationkey->nation' AS edge, CAST(count(*) AS BIGINT) AS violations FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey) UNION ALL SELECT 'nation.n_regionkey->region' AS edge, CAST(count(*) AS BIGINT) AS violations FROM nation c WHERE NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey)")

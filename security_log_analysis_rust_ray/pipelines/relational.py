@@ -1740,6 +1740,69 @@ def events_daily_lag_correlation(sf_dir: str) -> rd.Dataset:
         "r": pa.array(round_half_up(np.array(rs), 6))}))
 
 
+AB_HASH_MULT = 2654435761
+AB_HASH_MOD = 1000003
+
+
+def events_ab_conversion_ztest(sf_dir: str) -> rd.Dataset:
+    """A/B TEST READOUT: users hash-split into two arms (the repo's
+    deterministic multiplicative split rule), conversion = the user
+    produced >=1 'purchase' event, and the two-proportion POOLED z-test
+    says whether the arms differ — the experimentation primitive every
+    event pipeline grows.  The fact stream folds to one (user,
+    converted) row via a grouped max (pre-distinct combiner); arm
+    counts and the z arithmetic run on the |users|-sized fold, integers
+    until the final formula.  Output one row (n_a, conv_a, n_b, conv_b,
+    p_a, p_b, z) round-6."""
+    from ..stages import aggregate as agg
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    # conversion = a purchase whose integer cents fall in a 1-in-7
+    # slice: an integer-mod rule, exact at any scale AND non-degenerate
+    # at every sf (plain "any purchase" saturates to p = 1)
+    def flag(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        is_p = pc.equal(b["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "c": pa.array((is_p & (np.mod(cents, 7) == 0))
+                          .astype(np.int64))})
+
+    conv = agg.grouped_max(
+        ds.map_batches(flag, batch_format="pyarrow", batch_size=None),
+        ["user_id"], "c", alias="converted",
+        high_cardinality=True).to_pandas()
+    empty = pa.table({k: pa.array([], pa.int64())
+                      for k in ["n_a", "conv_a", "n_b", "conv_b"]} |
+                     {k: pa.array([], pa.float64())
+                      for k in ["p_a", "p_b", "z"]})
+    if not len(conv):
+        return rd.from_arrow(empty)
+    u = conv["user_id"].to_numpy()
+    arm_b = ((u * AB_HASH_MULT) % AB_HASH_MOD) % 2 == 1
+    c = conv["converted"].to_numpy()
+    n_a, n_b = int((~arm_b).sum()), int(arm_b.sum())
+    ca, cb = int(c[~arm_b].sum()), int(c[arm_b].sum())
+    if n_a == 0 or n_b == 0:
+        return rd.from_arrow(empty)
+    p_a, p_b = ca / n_a, cb / n_b
+    pool = (ca + cb) / (n_a + n_b)
+    den = np.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    z = (p_a - p_b) / den if den > 0 else 0.0
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "conv_a": pa.array([ca], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "conv_b": pa.array([cb], pa.int64()),
+        "p_a": pa.array(round_half_up(np.array([p_a]), 6)),
+        "p_b": pa.array(round_half_up(np.array([p_b]), 6)),
+        "z": pa.array(round_half_up(np.array([z]), 6))}))
+
+
 FK_EDGES = [
     ("orders.o_custkey->customer", "orders", "o_custkey",
      "customer", "c_custkey"),

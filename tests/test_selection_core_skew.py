@@ -162,3 +162,29 @@ def test_fk_audit_clean_then_detects_injected_orphans(tmp_path):
     assert dirty.loc["orders.o_custkey->customer", "violations"] == 5
     assert dirty.drop("orders.o_custkey->customer")["violations"] \
         .sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ab_ztest_matches_scipy_style_reference():
+    import pandas as pd
+    from security_log_analysis_rust_ray.pipelines.relational import (
+        AB_HASH_MOD, AB_HASH_MULT, events_ab_conversion_ztest)
+    sf = "/root/testdata/sf0.001"
+    got = events_ab_conversion_ztest(sf).to_pandas().iloc[0]
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    cents = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    ev["c"] = ((ev["event_type"] == "purchase")
+               & (cents % 7 == 0)).astype(int)
+    cu = ev.groupby("user_id")["c"].max()
+    arm = (cu.index.to_numpy() * AB_HASH_MULT) % AB_HASH_MOD % 2
+    n_a, n_b = int((arm == 0).sum()), int((arm == 1).sum())
+    ca = int(cu[arm == 0].sum()); cb = int(cu[arm == 1].sum())
+    assert (got["n_a"], got["conv_a"], got["n_b"], got["conv_b"]) \
+        == (n_a, ca, n_b, cb)
+    # the split is non-degenerate at this sf
+    assert 0 < ca < n_a or 0 < cb < n_b
+    pool = (ca + cb) / (n_a + n_b)
+    z = (ca / n_a - cb / n_b) / np.sqrt(
+        pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    assert abs(got["z"] - z) < 1e-6
