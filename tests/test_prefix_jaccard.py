@@ -44,3 +44,31 @@ def test_prefix_lossless_on_adversarial_threshold_boundary():
         JACCARD_THRESHOLD, doc_jaccard_prefix_pairs)
     got = doc_jaccard_prefix_pairs(SF).to_pandas()
     assert (got["jaccard"] >= JACCARD_THRESHOLD).all()
+
+
+from hypothesis import given, settings, strategies as st
+
+_elem = st.integers(min_value=0, max_value=60)
+_set = st.frozensets(_elem, min_size=1, max_size=30)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(_set, _set, st.randoms(use_true_random=False))
+def test_prefix_lemma_lossless_on_random_sets(xs, ys, rng):
+    """The prefix-filter lemma the plan relies on, checked directly: if
+    jaccard(x, y) >= t, then under ANY shared total order the first
+    |x| - floor(t*|x|) + 1 of x and the first |y| - floor(t*|y|) + 1 of
+    y must intersect (floor is the lossless direction)."""
+    from security_log_analysis_rust_ray.pipelines.docs import \
+        JACCARD_THRESHOLD as T
+    inter = len(xs & ys)
+    union = len(xs | ys)
+    if inter / union < T:
+        return  # lemma only constrains qualifying pairs
+    # random-but-deterministic global order over the element universe
+    universe = list(range(61))
+    rng.shuffle(universe)
+    rank = {e: i for i, e in enumerate(universe)}
+    px = sorted(xs, key=rank.get)[: len(xs) - int(np.floor(T * len(xs))) + 1]
+    py = sorted(ys, key=rank.get)[: len(ys) - int(np.floor(T * len(ys))) + 1]
+    assert set(px) & set(py), (sorted(xs), sorted(ys))
