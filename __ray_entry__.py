@@ -99,6 +99,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("relational", "fk_integrity_audit"),                # oracle, new r04
         "events_ab_conversion_ztest":
             _q("relational", "events_ab_conversion_ztest"),        # oracle, new r04
+        "events_type_drift_scores":
+            _q("relational", "events_type_drift_scores"),          # oracle, new r04
         "events_onehot_features":
             _q("relational", "events_onehot_features"),            # oracle, new r04
         "events_target_encoded":
@@ -514,6 +516,7 @@ _WINDOW = [
     # r04-continuation additions lead (newest-first rotation — every
     # slot below is oracle-backed with NO prior driver row; the three
     # rows-only continuation ops sit at 51+ with their pytest witnesses)
+    "events_type_drift_scores",
     "events_ab_conversion_ztest", "fk_integrity_audit",
     "user_survival_curve", "events_seasonal_decompose",
     "events_onehot_features", "events_target_encoded",
@@ -534,7 +537,7 @@ _WINDOW = [
     "order_priority_exists_counts", "line_priority_counts",
     "promo_revenue_share", "corpus_continuation_counts",
     "doc_edit_similar_pairs", "doc_span_corruption_pairs",
-    "doc_filter_audit", "events_cdc_snapshot",
+    "doc_filter_audit",
     "user_rolling_value_7d", "events_debounced",
     "embedding_label_centroids", "top_hosts_per_country",
     "conversation_sft_text", "boilerplate_turns",
@@ -1304,6 +1307,19 @@ def oracle_sql() -> dict[str, str]:
         " AS rrf_raw FROM la FULL OUTER JOIN lb USING (doc_id))\n"
         "SELECT doc_id, round(rrf_raw, 6) AS rrf FROM fuse"
         " ORDER BY rrf_raw DESC, doc_id LIMIT 10")
+    # multi-group drift: gap evaluated at each type's own points — the
+    # convention stated here verbatim (classical sup only grows it)
+    out["events_type_drift_scores"] = (
+        "WITH r AS (SELECT event_type,"
+        " row_number() OVER (ORDER BY value, event_id) AS g,"
+        " row_number() OVER (PARTITION BY event_type"
+        " ORDER BY value, event_id) AS k,"
+        " count(*) OVER (PARTITION BY event_type) AS nt,"
+        " count(*) OVER () AS n FROM events)"
+        "SELECT event_type,"
+        " round(max(abs(CAST(k AS DOUBLE) / nt"
+        " - CAST(g AS DOUBLE) / n)), 6) AS drift"
+        " FROM r GROUP BY 1 ORDER BY 1")
     # A/B z-test: identical hash arm rule + verbatim pooled-z formula
     out["events_ab_conversion_ztest"] = (
         "WITH cu AS (SELECT user_id,"

@@ -1740,6 +1740,109 @@ def events_daily_lag_correlation(sf_dir: str) -> rd.Dataset:
         "r": pa.array(round_half_up(np.array(rs), 6))}))
 
 
+def events_type_drift_scores(sf_dir: str) -> rd.Dataset:
+    """Per-type DRIFT SCORE against the pooled distribution, for EVERY
+    type in one pass: max over the type's own observation points of
+    |F_type - F_global| — the multi-group screening KS (which segments
+    moved?) run before pairwise tests.  (Evaluated at the type's own
+    points, the convention the oracle states; the classical sup adds
+    flat-segment points and only grows the score.)
+
+    ONE global (value, event_id) sort; a summary pass reports per-(block,
+    type) counts, the driver prefix-folds per-type AND global entering
+    offsets, and each block computes every row's in-type rank with one
+    lexsort + arange — all |types| scores from the same scan.  Output
+    (event_type, drift) round-6 by type."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"]) \
+        .sort(["value", "event_id"]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v0": pa.array([], pa.float64()),
+                             "id0": pa.array([], pa.int64()),
+                             "typ": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        t = b.group_by(["event_type"]).aggregate([([], "count_all")]) \
+            .rename_columns(["typ", "cnt"])
+        n = t.num_rows
+        return pa.table({
+            "v0": pa.array([b["value"][0].as_py()] * n, pa.float64()),
+            "id0": pa.array([b["event_id"][0].as_py()] * n, pa.int64()),
+            "typ": t["typ"], "cnt": t["cnt"]})
+
+    summ = ds.map_batches(summary, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "drift": pa.array([], pa.float64())})
+    if not len(summ):
+        return rd.from_arrow(empty)
+    blocks = summ.groupby(["v0", "id0"], sort=False)["cnt"].sum() \
+        .reset_index().sort_values(["v0", "id0"]).reset_index(drop=True)
+    blocks["goff"] = np.r_[0, np.cumsum(blocks["cnt"].to_numpy())[:-1]]
+    n_total = int(blocks["cnt"].sum())
+    goffs = {(float(r["v0"]), int(r["id0"])): int(r["goff"])
+             for _, r in blocks.iterrows()}
+    summ = summ.sort_values(["v0", "id0"]).reset_index(drop=True)
+    summ["toff"] = summ.groupby("typ", sort=False)["cnt"].cumsum() \
+        - summ["cnt"]
+    totals = summ.groupby("typ", sort=False)["cnt"].sum().to_dict()
+    toffs: dict = {}
+    for _, r in summ.iterrows():
+        toffs.setdefault((float(r["v0"]), int(r["id0"])), {})[
+            r["typ"]] = int(r["toff"])
+
+    def block_drift(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "d": pa.array([], pa.float64())})
+        key = (float(b["value"][0].as_py()),
+               int(b["event_id"][0].as_py()))
+        goff = goffs[key]
+        per_type = toffs[key]
+        et = b["event_type"].combine_chunks() \
+            if isinstance(b["event_type"], pa.ChunkedArray) \
+            else b["event_type"]
+        enc = et.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+        names = enc.dictionary.to_pylist()
+        n = len(codes)
+        # in-block per-type running rank: stable lexsort by (code, pos)
+        order = np.lexsort((np.arange(n), codes))
+        cs = codes[order]
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        local = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        k_local = np.empty(n, dtype=np.int64)
+        k_local[order] = local
+        base = np.array([per_type[names[c]] for c in range(len(names))],
+                        dtype=np.int64)
+        nt = np.array([totals[names[c]] for c in range(len(names))],
+                      dtype=np.float64)
+        k = base[codes] + k_local + 1
+        g = goff + np.arange(n, dtype=np.int64) + 1
+        gap = np.abs(k / nt[codes] - g / float(n_total))
+        gs = gap[order]
+        dmax = np.maximum.reduceat(gs, starts)
+        return pa.table({
+            "event_type": pa.array([names[cs[i]] for i in starts],
+                                   pa.string()),
+            "d": pa.array(dmax, pa.float64())})
+
+    from ..stages import aggregate as agg
+    folded = agg.grouped_max(
+        ds.map_batches(block_drift, batch_format="pyarrow",
+                       batch_size=None),
+        ["event_type"], "d", alias="d", small_keyspace=True).to_pandas()
+    folded = folded.sort_values("event_type").reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(folded["event_type"], pa.string()),
+        "drift": pa.array(round_half_up(
+            folded["d"].to_numpy(dtype=np.float64), 6))}))
+
+
 AB_HASH_MULT = 2654435761
 AB_HASH_MOD = 1000003
 

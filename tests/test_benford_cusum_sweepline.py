@@ -256,3 +256,24 @@ def test_survival_curve_matches_km_reference():
     # survival is a proper non-increasing curve in (0, 1]
     sv = got["survival"].to_numpy()
     assert (np.diff(sv) <= 0).all() and sv[0] <= 1.0 and (sv >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_type_drift_scores_match_reference():
+    from security_log_analysis_rust_ray.functions.util import round_half_up
+    from security_log_analysis_rust_ray.pipelines.relational import \
+        events_type_drift_scores
+    got = events_type_drift_scores(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"]) \
+        .sort_values(["value", "event_id"]).reset_index(drop=True)
+    n = len(ev)
+    g = np.arange(1, n + 1)
+    ref = {}
+    for t, grp in ev.groupby("event_type"):
+        idx = grp.index.to_numpy()
+        k = np.arange(1, len(idx) + 1)
+        ref[t] = round_half_up(
+            np.abs(k / len(idx) - g[idx] / n).max(), 6)
+    assert dict(zip(got["event_type"], got["drift"])) == ref
+    assert ((got["drift"] > 0) & (got["drift"] <= 1)).all()
