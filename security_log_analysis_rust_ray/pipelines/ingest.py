@@ -229,7 +229,11 @@ def run_ingest(sf_dir: str, out_dir: str, shards: int = 8, repeat: int = 1,
         # call against a still-empty landing zone) — read_parquet on the
         # freshly-created empty dir would raise instead of returning
         return manifest
-    routed = rd.read_parquet(routed_root)
+    # prune at the read: the aggregate only needs its one grouping column,
+    # so re-scanning the routed sink full-width would pay the whole corpus
+    # width for a single-column count at 100 TB
+    routed = rd.read_parquet(routed_root,
+                             columns=["country"] if enrich else ["sink"])
     if enrich:
         # the country aggregate only counts enrichable rows (valid country);
         # the sink aggregate counts ALL routed rows — message-sink rows have

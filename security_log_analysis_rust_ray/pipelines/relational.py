@@ -418,17 +418,21 @@ def user_running_totals(sf_dir: str) -> rd.Dataset:
         b = b.sort_by([("user_id", "ascending"), ("ts", "ascending"),
                        ("event_id", "ascending")])
         u = b["user_id"].to_numpy()
-        v = b["value"].to_numpy().astype(np.float64)
+        v = b["value"].to_numpy()
+        # INTEGER-CENTS global cumsum minus each segment's entering
+        # offset: int64 arithmetic is exact in any order, so the
+        # subtraction form carries none of the float cancellation that
+        # ruled it out for float64 (it could flip the .005 rounding
+        # boundary vs the oracle's left-to-right window SUM) — and it is
+        # fully vectorized, no per-user Python loop
+        cents = np.rint(v * 100.0).astype(np.int64)
+        gcum = np.cumsum(cents)
         first = np.r_[True, u[1:] != u[:-1]]
         starts = np.flatnonzero(first)
-        bounds = np.r_[starts, len(u)]
-        # PER-SEGMENT sequential cumsum (one numpy cumsum per user), NOT
-        # global-cumsum-minus-offset: the subtraction form accumulates a
-        # float cancellation error relative to the oracle's left-to-right
-        # window SUM, which could flip the .005 rounding boundary (review)
-        run = np.empty_like(v)
-        for s0, s1 in zip(bounds[:-1], bounds[1:]):
-            run[s0:s1] = np.cumsum(v[s0:s1])
+        # offset entering each segment = global cumsum just before it
+        seg_off = np.where(starts > 0, gcum[starts - 1], 0)
+        seg_id = np.cumsum(first) - 1
+        run = (gcum - seg_off[seg_id]) / 100.0
         return pa.table({"user_id": b["user_id"],
                          "event_id": b["event_id"],
                          "running_value": pa.array(round_half_up(run, 2))})
@@ -1945,6 +1949,13 @@ def fk_integrity_audit(sf_dir: str) -> rd.Dataset:
     def tag(i: int, col: str):
         def fn(b: pa.Table) -> pa.Table:
             k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            # the fuse is only injective for keys in [0, 2^48); a negative
+            # or oversized key would alias into another edge's keyspace and
+            # silently corrupt the audit — fail loudly instead
+            if k.size and (k.min() < 0 or k.max() >= (1 << EDGE_SHIFT)):
+                raise ValueError(
+                    f"fk_integrity_audit: {col} key outside [0, 2^{EDGE_SHIFT})"
+                    " — fused-edge encoding would alias")
             return pa.table({"fused": pa.array(
                 (np.int64(i) << EDGE_SHIFT) | k, pa.int64())})
         return fn
@@ -2244,18 +2255,28 @@ def events_value_band_join(sf_dir: str) -> rd.Dataset:
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "event_type", "value"])
 
+    # buckets come from EXACT integer cents (round(v*100)), not float
+    # floor(v/eps): two independent float divisions can disagree by a
+    # whole bucket right at an eps boundary and silently drop a pair the
+    # exact |diff| < eps filter would keep.  With eps = 1 cent and cent
+    # rounding error <= 0.5 each side, a qualifying pair's buckets are
+    # provably <= 1 apart, so the +/-1 replication below never misses.
+    def _cents(v: np.ndarray) -> np.ndarray:
+        # rint (nearest), not floor: |rint(x) - x| <= 0.5 regardless of
+        # float error, which is exactly the bound the +/-1 proof needs
+        return np.rint(v / BAND_EPS).astype(np.int64)
+
     def side_a(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["event_type"], "click"))
         v = t["value"].to_numpy(zero_copy_only=False)
         return pa.table({"a_id": t["event_id"],
                          "va": t["value"],
-                         "bucket": pa.array(
-                             np.floor(v / BAND_EPS).astype(np.int64))})
+                         "bucket": pa.array(_cents(v))})
 
     def side_b(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["event_type"], "view"))
         v = t["value"].to_numpy(zero_copy_only=False)
-        base = np.floor(v / BAND_EPS).astype(np.int64)
+        base = _cents(v)
         n = len(base)
         return pa.table({
             "b_id": pa.array(np.tile(t["event_id"].to_numpy(), 3)),

@@ -173,6 +173,14 @@ def _pagerank_one_task(edges: rd.Dataset, src: str, dst: str,
             rank = np.full(n, 1.0 / n)
         else:
             p = np.array([restart.get(v, 0.0) for v in nodes.tolist()])
+            # renormalize over the nodes actually present: restart keys
+            # absent from the edge-derived node set would otherwise drop
+            # teleport mass and ranks would no longer sum to 1
+            ps = p.sum()
+            if ps <= 0.0:
+                raise ValueError(
+                    "pagerank: no restart key appears in the graph")
+            p = p / ps
             rank = p.copy()
         for _ in range(iters):
             d_mass = rank[dangling].sum()
@@ -280,6 +288,19 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
             lambda t: pa.table({"node": t["node"],
                                 "p": pc.fill_null(t["p"], 0.0)}),
             batch_format="pyarrow", batch_size=None).materialize()
+        # renormalize over present nodes (one driver scalar): restart
+        # keys missing from the graph must not bleed teleport mass
+        p_sum = pvec.sum("p") or 0.0
+        if p_sum <= 0.0:
+            raise ValueError(
+                "pagerank: no restart key appears in the graph")
+        if abs(p_sum - 1.0) > 1e-12:
+            scale = 1.0 / p_sum
+            pvec = pvec.map_batches(
+                lambda t, s=scale: pa.table({
+                    "node": t["node"],
+                    "p": pc.multiply(t["p"], s)}),
+                batch_format="pyarrow", batch_size=None).materialize()
         ranks = pvec.map_batches(
             lambda t: t.rename_columns(["node", "rank"]),
             batch_format="pyarrow", batch_size=None).materialize()

@@ -458,7 +458,13 @@ def grouped_distinct_registers(ds: rd.Dataset, keys: list[str],
 
     def merge_block(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "reg" not in b.schema.names:
-            return pa.table({**{kc: pa.array([], pa.string())
+            # derive key types from the block's own schema when present —
+            # hardcoding pa.string() here would mismatch int keys (e.g.
+            # an int64 'day') and break the final concat on empty blocks
+            def _kt(kc: str) -> pa.DataType:
+                idx = b.schema.get_field_index(kc)
+                return b.schema.field(idx).type if idx >= 0 else pa.string()
+            return pa.table({**{kc: pa.array([], _kt(kc))
                                 for kc in keys},
                              "reg": pa.array([], pa.binary())})
         df = b.to_pandas()
