@@ -2148,11 +2148,12 @@ def user_rfm_segments(sf_dir: str) -> rd.Dataset:
             .rename_columns(["user_id", "last", "n", "m"])
 
     from ray.data.aggregate import Max as _Max, Sum as _Sum
+    from ..stages.joins import lookup_join
     rfm = ds.map_batches(fold, batch_format="pyarrow", batch_size=None) \
         .groupby("user_id").aggregate(_Max("last", alias_name="last"),
                                       _Sum("n", alias_name="frequency"),
                                       _Sum("m", alias_name="monetary")) \
-        .to_pandas().sort_values("user_id").reset_index(drop=True)
+        .materialize()
     empty = pa.table({"user_id": pa.array([], pa.int64()),
                       "recency_days": pa.array([], pa.int64()),
                       "frequency": pa.array([], pa.int64()),
@@ -2161,41 +2162,105 @@ def user_rfm_segments(sf_dir: str) -> rd.Dataset:
                       "f_score": pa.array([], pa.int64()),
                       "m_score": pa.array([], pa.int64()),
                       "segment": pa.array([], pa.string())})
-    if not len(rfm):
+    if rfm.count() == 0:
         return rd.from_arrow(empty)
-    wm = int(rfm["last"].max())
-    rec = (wm - rfm["last"].to_numpy()) // DAY_US
+    wm = int(rfm.max("last"))          # one driver scalar, never a table
 
-    def ntile_scores(keys: np.ndarray, asc: bool) -> np.ndarray:
-        """DuckDB ntile(5) over ORDER BY key [DESC], user_id: the first
-        n % 5 tiles get n//5 + 1 rows (big tiles first)."""
-        n = len(keys)
-        order = np.lexsort((rfm["user_id"].to_numpy(),
-                            keys if asc else -keys))
-        base, extra = divmod(n, RFM_BINS)
-        sizes = np.array([base + (1 if i < extra else 0)
-                          for i in range(RFM_BINS)])
-        tile = np.repeat(np.arange(1, RFM_BINS + 1), sizes)
-        out = np.empty(n, dtype=np.int64)
-        out[order] = tile[:n]
-        return out
+    def with_recency(b: pa.Table) -> pa.Table:
+        rec = (wm - b["last"].to_numpy()) // DAY_US
+        return pa.table({"user_id": b["user_id"],
+                         "recency_days": pa.array(rec, pa.int64()),
+                         "frequency": b["frequency"],
+                         "monetary": b["monetary"]})
 
-    # recency: SMALLER is better -> score 1 = most recent (ntile asc);
-    # frequency/monetary: BIGGER is better -> score 1 = highest (desc)
-    r_s = ntile_scores(rec, asc=True)
-    f_s = ntile_scores(rfm["frequency"].to_numpy(), asc=False)
-    m_s = ntile_scores(rfm["monetary"].to_numpy(), asc=False)
-    seg = np.where((r_s == 1) & (f_s == 1), "champion",
-                   np.where((r_s >= 4) & (f_s <= 2), "at_risk", "regular"))
-    return rd.from_arrow(pa.table({
-        "user_id": pa.array(rfm["user_id"].to_numpy(), pa.int64()),
-        "recency_days": pa.array(rec, pa.int64()),
-        "frequency": pa.array(rfm["frequency"].to_numpy(), pa.int64()),
-        "monetary": pa.array(rfm["monetary"].to_numpy(), pa.int64()),
-        "r_score": pa.array(r_s, pa.int64()),
-        "f_score": pa.array(f_s, pa.int64()),
-        "m_score": pa.array(m_s, pa.int64()),
-        "segment": pa.array(seg.astype(object), pa.string())}))
+    base = rfm.map_batches(with_recency, batch_format="pyarrow",
+                           batch_size=None).materialize()
+    # the three NTILE(5) scores run DISTRIBUTED (the events_value_ntile
+    # block-offset plan: global sort -> one summary row per block ->
+    # driver folds block counts into exclusive rank offsets -> in-block
+    # arange + the big-tiles-first SQL rule).  Driver state is one row
+    # per BLOCK, never per user — the |users| fold itself never lands on
+    # the driver.  recency: SMALLER is better (asc); frequency/monetary:
+    # BIGGER is better (desc); user_id breaks ties, matching DuckDB's
+    # ntile(5) OVER (ORDER BY key [DESC], user_id).
+    out = base
+    for col, asc, score_col in (("recency_days", True, "r_score"),
+                                ("frequency", False, "f_score"),
+                                ("monetary", False, "m_score")):
+        scores = _user_ntile_scores(
+            base.select_columns(["user_id", col]), col, asc,
+            RFM_BINS, score_col)
+        out = lookup_join(out, scores, "user_id", "user_id",
+                          nparts=8).materialize()
+
+    def label(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        r_s = b["r_score"].to_numpy()
+        f_s = b["f_score"].to_numpy()
+        seg = np.where((r_s == 1) & (f_s == 1), "champion",
+                       np.where((r_s >= 4) & (f_s <= 2),
+                                "at_risk", "regular"))
+        return pa.table({
+            "user_id": b["user_id"],
+            "recency_days": b["recency_days"],
+            "frequency": b["frequency"],
+            "monetary": b["monetary"],
+            "r_score": b["r_score"],
+            "f_score": b["f_score"],
+            "m_score": b["m_score"],
+            "segment": pa.array(seg.astype(object), pa.string())})
+
+    return out.map_batches(label, batch_format="pyarrow", batch_size=None)
+
+
+def _user_ntile_scores(ds: rd.Dataset, key: str, asc: bool,
+                       n_tiles: int, out_col: str) -> rd.Dataset:
+    """GLOBAL NTILE over a (user_id, key) dataset — the
+    ``events_value_ntile`` block-offset plan without the type partition:
+    one global sort on (key [DESC], user_id), each block emits ONE
+    (first-row user_id, row-count) summary row, the driver folds those
+    per-block rows into exclusive rank offsets (user_id is globally
+    unique, so the first-row id alone recovers block order), and a final
+    vectorized pass adds the in-block arange and applies DuckDB's
+    big-tiles-first rule (first ``n % t`` tiles get ``n//t + 1`` rows).
+    Returns (user_id, out_col 1..n_tiles); driver state is one row per
+    block."""
+    s = ds.sort([key, "user_id"],
+                descending=[not asc, False]).materialize()
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k0": pa.array([], pa.int64()),
+                             "id0": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"k0": pc.cast(b[key].slice(0, 1), pa.int64()),
+                         "id0": b["user_id"].slice(0, 1),
+                         "cnt": pa.array([b.num_rows], pa.int64())})
+
+    summ = s.map_batches(summary, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    summ = summ.sort_values(["k0", "id0"], ascending=[asc, True],
+                            kind="stable").reset_index(drop=True)
+    offs = summ["cnt"].cumsum().shift(fill_value=0)
+    n = int(summ["cnt"].sum())
+    ref = ray.put({int(i): int(o) for i, o in zip(summ["id0"], offs)})
+    base_sz, rem = divmod(n, n_tiles)
+    big = rem * (base_sz + 1)
+
+    def attach(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        off = ray.get(ref)[int(b["user_id"][0].as_py())]
+        rank0 = off + np.arange(b.num_rows, dtype=np.int64)
+        inbig = rank0 < big
+        tile = np.where(inbig, rank0 // max(base_sz + 1, 1),
+                        rem + (rank0 - big) // max(base_sz, 1))
+        return pa.table({"user_id": b["user_id"],
+                         out_col: pa.array(tile + 1, pa.int64())})
+
+    return s.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
 def user_behavior_entropy(sf_dir: str) -> rd.Dataset:

@@ -426,36 +426,35 @@ def doc_search_rrf(sf_dir: str, terms: list[str] | None = None,
     "prefer short passages" retrieval heuristic).  rrf = sum over lists
     containing the doc of 1/(RRF_C + rank).
 
-    Scale shape: both lists reduce per block first (each block emits <= n
-    rows per criterion), so the driver only ever folds <= 2n rows per
-    block — rank assignment and fusion happen on the <= 2n-row final
-    lists, the standard RRF regime (fuse RETRIEVED lists, not corpora)."""
+    Scale shape: each ranked list is the ``doc_bm25_topk`` two-level
+    reduce — a per-block top-n combiner then ONE distributed
+    ``sort().limit(n)`` — so only the <= n-row FINAL list of each
+    criterion ever reaches the driver (not <= 2n rows per block, which
+    is linear in block count and multi-GB at 10^5-10^6 blocks).  Rank
+    assignment and fusion happen on the two <= n-row lists, the standard
+    RRF regime (fuse RETRIEVED lists, not corpora)."""
     terms = list(SEARCH_TERMS if terms is None else terms)
     scored = _bm25_scored(sf_dir, terms)
 
-    def block_top(b: pa.Table) -> pa.Table:
-        a = b.sort_by([("score_raw", "descending"), ("doc_id", "ascending")]
-                      ).slice(0, n)
-        c = b.sort_by([("dl", "ascending"), ("doc_id", "ascending")]
-                      ).slice(0, n)
-        return pa.concat_tables([a, c])
+    def _ranked_list(sort_keys, desc) -> "pd.DataFrame":
+        def block_top(b: pa.Table) -> pa.Table:
+            b = b.select(["doc_id", "score_raw", "dl"])
+            if b.num_rows <= n:
+                return b
+            return b.sort_by([(c, "descending" if d else "ascending")
+                              for c, d in zip(sort_keys, desc)]).slice(0, n)
+        return scored.map_batches(block_top, batch_format="pyarrow",
+                                  batch_size=None) \
+            .sort(list(sort_keys), descending=list(desc)) \
+            .limit(n).to_pandas()
 
-    from ..stages.joins import _collect_table
-    cand = _collect_table(scored.map_batches(
-        block_top, batch_format="pyarrow", batch_size=None))
-    # exact final lists on the <= 2n*blocks candidate rows (driver-sized)
-    t = cand.group_by(["doc_id"]).aggregate(
-        [("score_raw", "max"), ("dl", "max")])
-    doc = t["doc_id"].to_numpy()
-    s = t["score_raw_max"].to_numpy().astype(np.float64)
-    dl = t["dl_max"].to_numpy()
+    list_a = _ranked_list(("score_raw", "doc_id"), (True, False))
+    list_b = _ranked_list(("dl", "doc_id"), (False, False))
     rrf = {}
-    order_a = np.lexsort((doc, -s))[:n]
-    for r, i in enumerate(order_a, start=1):
-        rrf[doc[i]] = rrf.get(doc[i], 0.0) + 1.0 / (RRF_C + r)
-    order_b = np.lexsort((doc, dl))[:n]
-    for r, i in enumerate(order_b, start=1):
-        rrf[doc[i]] = rrf.get(doc[i], 0.0) + 1.0 / (RRF_C + r)
+    for r, d in enumerate(list_a["doc_id"], start=1):
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (RRF_C + r)
+    for r, d in enumerate(list_b["doc_id"], start=1):
+        rrf[d] = rrf.get(d, 0.0) + 1.0 / (RRF_C + r)
     items = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     out = pa.table({
         "doc_id": pa.array([d for d, _ in items], pa.int64()),
