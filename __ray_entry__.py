@@ -513,39 +513,37 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
 # carried 12 entries >2.5 s including a 12 s TPC-H Q3 — moved past 50,
 # where tools/parity_sweep.py still checks them every run).
 _WINDOW = [
-    # r04-continuation additions lead (newest-first rotation — every
-    # slot below is oracle-backed with NO prior driver row; the three
-    # rows-only continuation ops sit at 51+ with their pytest witnesses)
-    "events_type_drift_scores",
-    "events_ab_conversion_ztest", "fk_integrity_audit",
-    "user_survival_curve", "events_seasonal_decompose",
-    "events_onehot_features", "events_target_encoded",
-    "events_daily_lag_correlation", "user_rfm_segments",
-    "session_bounce_rate", "user_behavior_entropy",
-    "events_value_band_join",
-    "events_cvm_statistic", "events_seasonal_backtest",
-    "user_longest_streak", "events_value_quantile_normalized",
-    "assistant_latency_percentiles", "parse_rejects",
-    "clustered_first_rows", "user_rolling_mean_rows",
-    "events_value_outliers", "events_json_field_stats",
-    "events_partition_skew", "events_max_concurrency",
-    "events_daily_cusum", "events_benford_audit",
-    "events_value_winsorized", "doc_jaccard_prefix_pairs",
-    "user_cumulative_distinct", "doc_search_rrf", "doc_bm25_topk",
-    # r04 mid-round additions (still no driver row)
-    "part_price_size_skyline", "events_value_ntile",
-    "order_priority_exists_counts", "line_priority_counts",
-    "promo_revenue_share", "corpus_continuation_counts",
-    "doc_edit_similar_pairs", "doc_span_corruption_pairs",
-    "doc_filter_audit",
-    "user_rolling_value_7d", "events_debounced",
-    "embedding_label_centroids", "top_hosts_per_country",
-    "conversation_sft_text", "boilerplate_turns",
-    "doc_source_cap",
-    # r02's one FAIL, fixed in r03 (HUGEINT cast) — needs its green row
-    "alert_batches",
-    # real-decode media paths (new r04 — PPM/y4m codecs)
-    "media_features", "media_thumbnails",
+    # r05 rotation: the 50 FASTEST oracle-backed queries with NO driver
+    # row in any of r01-r04 (cumulative driver-verified set was 104 of
+    # 268 entering r05; every slot below drains that backlog).  Total
+    # window cost ~18 s at sf0.01/8cpus per CORRECTNESS_LOCAL_r04 —
+    # slower never-checked entries rotate in next; tools/parity_sweep.py
+    # still value-checks the full surface every run.
+    "events_zorder_lookup", "clustered_host_lookup",
+    "doc_split_assign", "forecast_revenue_change",
+    "conversation_split_assign", "redact_pii",
+    "events_daily_ewma", "events_value_gini_by_type",
+    "events_hourly_heatmap", "events_value_median_exact",
+    "host_counts_maintained", "events_value_histogram",
+    "doc_temperature_mix", "events_value_percent_rank",
+    "events_type_hour_chi2", "events_rank_auc",
+    "corpus_source_report", "events_daily_dense",
+    "events_value_means_by_type", "disjunctive_revenue",
+    "events_value_percentiles_exact", "doc_lang_id",
+    "events_value_median_by_type", "events_k_anonymity",
+    "events_value_hour_corr", "events_value_stats",
+    "source_length_quantiles", "events_value_trend_by_type",
+    "events_daily_metrics_long", "events_value_weighted_median_by_type",
+    "doc_blocklist_filter", "events_ks_statistic",
+    "events_value_zscore", "doc_rag_chunks",
+    "route_rollup", "doc_gopher_filter",
+    "doc_repetition_stats", "doc_char_entropy",
+    "doc_search_and", "route_cube",
+    "events_user_bands", "events_tumbling_window_late",
+    "events_drift_report", "small_quantity_revenue",
+    "events_value_mad_by_type", "doc_epoch_shuffle",
+    "embedding_kmeans_assign", "events_value_trimmed_mean_by_type",
+    "important_stock", "hot_hosts",
 ]
 
 
