@@ -74,6 +74,11 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
     # oracle_sql key — approximate or hash-defined results) sit at 51+
     # with pytest witnesses; tools/parity_sweep.py checks the WHOLE
     # surface every round regardless (CORRECTNESS_LOCAL_r04.json).
+    # r05: 13 former rows-only sketch/ANN entries now run their
+    # estimate-vs-exact AUDIT form (pipelines/audits.py) — the oracle
+    # restates the exact side + TRUE, the ok boolean carries the
+    # structure's error-bound contract; the raw estimators stay as
+    # library functions with pytest witnesses.
     return {
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
@@ -126,7 +131,7 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         "host_personalized_pagerank":
             _q("reports", "host_personalized_pagerank"),       # rows-only, new r04
         "events_customer_join_size_approx":
-            _q("relational", "events_customer_join_size_approx"),  # rows-only, r04
+            _q("audits", "join_size_probe_audit"),  # oracle-backed audit, r05
         "events_benford_audit":
             _q("relational", "events_benford_audit"),              # oracle, new r04
         "events_daily_cusum":
@@ -136,7 +141,7 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized":
             _q("relational", "events_value_winsorized"),           # oracle, new r04
         "rolling_wau_approx":
-            _q("relational", "rolling_wau_approx"),            # rows-only, new r04
+            _q("audits", "rolling_wau_audit"),     # oracle-backed audit, r05
         "doc_bm25_topk": _q("search", "doc_bm25_topk"),            # oracle, new r04
         "doc_search_rrf": _q("search", "doc_search_rrf"),          # oracle, new r04
         "user_cumulative_distinct":
@@ -382,9 +387,9 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
         "embedding_kcenter_sample":
             _q("ann", "embedding_kcenter_sample"),    # rows-only (greedy coreset)
         "service_host_overlap_approx":
-            _q("reports", "service_host_overlap_approx"),   # rows-only (HLL set algebra)
+            _q("audits", "service_host_overlap_audit"),  # oracle-backed audit, r05
         "source_top_terms_approx":
-            _q("docs", "source_top_terms_approx"),       # rows-only (keyed Misra-Gries)
+            _q("audits", "source_top_terms_audit"),      # oracle-backed audit, r05
         "enriched_scd_counts":
             _q("reports", "enriched_scd_counts"),         # oracle, new r03 (sweep-checked)
         "doc_search_and_not":
@@ -461,15 +466,16 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("media", "media_frame_stats"),  # REAL y4m roll-up, oracle
         "media_stats": _q("media", "media_stats"),                # r02-passed, unchanged
         "media_checksums": _q("media", "media_checksums"),        # r02-passed, unchanged
-        "approx_distinct_terms": _q("docs", "approx_distinct_terms"),  # rows-only (HLL)
+        "approx_distinct_terms":
+            _q("audits", "distinct_terms_audit"),        # oracle-backed audit, r05
         "host_counts_cms":
-            _q("relational", "host_counts_cms"),  # rows-only (count-min sketch), new r03
+            _q("audits", "host_counts_cms_audit"),       # oracle-backed audit, r05
         "doc_length_quantiles_approx":
-            _q("docs", "doc_length_quantiles_approx"),  # rows-only (quantile sketch)
+            _q("audits", "doc_length_quantiles_audit"),  # oracle-backed audit, r05
         "events_value_quantiles_by_type":
-            _q("relational", "events_value_quantiles_by_type"),  # rows-only (keyed sketch)
+            _q("audits", "events_value_quantiles_audit"),  # oracle-backed audit, r05
         "daily_active_users_approx":
-            _q("relational", "daily_active_users_approx"),       # rows-only (keyed HLL)
+            _q("audits", "daily_active_users_audit"),    # oracle-backed audit, r05
         "doc_pack": _q("docs", "doc_pack"),                      # rows-only (greedy bins)
         "doc_length_bucketed_pack":
             _q("docs", "doc_length_bucketed_pack"),  # rows-only (greedy bins), new r03
@@ -485,12 +491,14 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("docs", "doc_bpe_learned_token_count"),  # rows-only (iterative), new r03
         "doc_fingerprints": _q("docs", "doc_fingerprints"),      # rows-only (hash fn)
         "doc_winnow_fingerprints": _q("docs", "doc_winnow_fingerprints"),  # rows-only
-        "ann_ivf_topk": _q("ann", "ann_ivf_topk"),            # rows-only (approx)
+        "ann_ivf_topk":
+            _q("audits", "ann_ivf_recall_audit"),        # oracle-backed audit, r05
         "ann_index_topk":
-            _q("ann", "ann_index_topk"),  # rows-only (persisted index), new r03
+            _q("audits", "ann_index_recall_audit"),      # oracle-backed audit, r05
         "ann_index_append_topk":
-            _q("ann", "ann_index_append_topk"),  # rows-only (incremental), new r03
-        "ann_pq_topk": _q("ann", "ann_pq_topk"),              # rows-only (PQ approx)
+            _q("audits", "ann_index_append_recall_audit"),  # oracle-backed audit, r05
+        "ann_pq_topk":
+            _q("audits", "ann_pq_recall_audit"),         # oracle-backed audit, r05
         "host_pagerank":
             _q("reports", "host_pagerank"),             # rows-only (iterative), new r03
         "embedding_kmeans": _q("ann", "embedding_kmeans"),    # rows-only (iterative)
@@ -629,6 +637,24 @@ def oracle_sql() -> dict[str, str]:
         "host_counts_maintained":
             "SELECT host, count(*) AS cnt FROM parsed"
             " GROUP BY host ORDER BY host",
+        # estimate-vs-exact AUDITS (pipelines/audits.py): the oracle
+        # restates the EXACT side + TRUE; the boolean carries the
+        # sketch's error-bound contract, computed engine-side
+        "host_counts_cms":
+            "SELECT host, count(*) AS cnt, TRUE AS ok FROM parsed"
+            " GROUP BY host ORDER BY host",
+        "service_host_overlap_approx":
+            "SELECT"
+            " CAST((SELECT count(DISTINCT host) FROM parsed"
+            "  WHERE day(datetime) % 2 = 0) AS BIGINT) AS n_even,"
+            " CAST((SELECT count(DISTINCT host) FROM parsed"
+            "  WHERE day(datetime) % 2 = 1) AS BIGINT) AS n_odd,"
+            " CAST((SELECT count(*) FROM ("
+            "  SELECT host FROM parsed WHERE day(datetime) % 2 = 0"
+            "  INTERSECT"
+            "  SELECT host FROM parsed WHERE day(datetime) % 2 = 1)) "
+            " AS BIGINT) AS n_overlap,"
+            " TRUE AS ok",
         "clustered_host_lookup":
             "SELECT * FROM parsed WHERE host = 'h7.example.com'"
             " ORDER BY ts, conv_id, turn_idx",
@@ -889,6 +915,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({q} AS DOUBLE) AS q,"
             f" quantile_disc(n_tokens, {q}) AS n_tokens FROM lens"
             for q in (0.25, 0.5, 0.9, 0.99)))
+    # audits (pipelines/audits.py): exact side + TRUE
+    out["doc_length_quantiles_approx"] = (
+        "SELECT q, n_tokens, TRUE AS ok FROM ("
+        + out["doc_length_quantiles"] + ") t")
+    out["approx_distinct_terms"] = docs_only + (
+        "SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,"
+        " TRUE AS ok FROM (SELECT unnest(str_split(text, ' ')) AS term"
+        " FROM docs_aug) t")
     out["doc_token_stats"] = docs_pre + token_cte + (
         "SELECT doc_id, n_tokens, n_chars, stop_cnt, stop_ratio FROM stats2")
     out["doc_quality"] = docs_pre + token_cte + (
@@ -1229,6 +1263,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT wday AS day, CAST(count(*) AS BIGINT) AS n_users FROM w"
         " WHERE wday <= (SELECT max(day) FROM ud)"
         " GROUP BY 1 ORDER BY 1")
+    # audits (pipelines/audits.py): exact side + TRUE — the ok boolean is
+    # the engine-side error-bound check the oracle hash must confirm
+    out["rolling_wau_approx"] = (
+        "SELECT day, n_users, TRUE AS ok FROM ("
+        + out["rolling_wau"] + ") t")
+    out["daily_active_users_approx"] = (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+        " CAST(count(DISTINCT user_id) AS BIGINT) AS dau, TRUE AS ok"
+        " FROM events GROUP BY 1 ORDER BY 1")
+    out["events_value_quantiles_by_type"] = (
+        "SELECT event_type, q, TRUE AS ok"
+        " FROM (SELECT DISTINCT event_type FROM events)"
+        " CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)"
+        " ORDER BY event_type, q")
+    out["events_customer_join_size_approx"] = (
+        "SELECT CAST((SELECT count(*) FROM events e JOIN customer c"
+        " ON e.user_id = c.c_custkey) AS BIGINT) AS exact_join_rows,"
+        " TRUE AS ok")
+    out["source_top_terms_approx"] = (
+        "SELECT DISTINCT source, TRUE AS ok FROM documents"
+        " ORDER BY source")
+    _ann_q = (f"SELECT CAST(count(DISTINCT vec_id) AS BIGINT)"
+              f" AS n_queries, TRUE AS ok FROM embeddings"
+              f" WHERE vec_id < {ANN.N_QUERIES}")
+    for _k in ("ann_ivf_topk", "ann_pq_topk", "ann_index_topk",
+               "ann_index_append_topk"):
+        out[_k] = _ann_q
     out["supplier_triangles"] = (
         "WITH so AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s"
         " FROM lineitem),\n"
