@@ -2999,10 +2999,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT round(max(abs(ca / CAST(n.na AS DOUBLE)"
         " - cb / CAST(n.nb AS DOUBLE))), 6) AS ks"
         " FROM c CROSS JOIN n")
+    # a zero value makes the geometric AND harmonic mean exactly 0 (the
+    # engine's inf arithmetic yields that limit naturally: exp(-inf)=0,
+    # n/inf=0); DuckDB's ln(0) raises instead, so the oracle gates on
+    # min(value) — values are non-negative by the generator
     out["events_value_means_by_type"] = (
         "SELECT event_type, round(avg(value), 6) AS mean,"
-        " round(exp(avg(ln(value))), 6) AS gmean,"
-        " round(count(*) / sum(1.0 / value), 6) AS hmean"
+        " round(CASE WHEN min(value) = 0 THEN 0.0 ELSE"
+        "  exp(avg(CASE WHEN value > 0 THEN ln(value) END)) END, 6)"
+        " AS gmean,"
+        " round(CASE WHEN min(value) = 0 THEN 0.0 ELSE"
+        "  count(*) / sum(CASE WHEN value > 0 THEN 1.0 / value END)"
+        " END, 6) AS hmean"
         " FROM events GROUP BY event_type ORDER BY event_type")
     out["events_type_hour_chi2"] = (
         "WITH o AS (SELECT event_type, extract(hour FROM ts) AS hour,"

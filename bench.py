@@ -256,6 +256,62 @@ def run_scaling() -> dict:
     }
 
 
+def run_spill() -> dict:
+    """Memory-pressure evidence: run the all-to-all global sort with the
+    object store capped WELL below the dataset's in-flight Arrow size, so
+    the streaming executor must spill to disk — proving graceful
+    degradation under pressure instead of an OOM (the single-box stand-in
+    for a 100-TB shuffle exceeding aggregate cluster store).  Prints one
+    JSON line with the sort wall time, throughput, and the bytes Ray
+    actually spilled (from the raylet memory summary)."""
+    import re
+    import warnings
+    warnings.filterwarnings("ignore")
+    import ray
+    store = int(os.environ.get("SLAR_SPILL_STORE", str(2 << 30)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", object_store_memory=store)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import ray.data as rd
+    from security_log_analysis_rust_ray import synth
+
+    repeat = int(os.environ.get("SLAR_SPILL_REPEAT", str(max(REPEAT, 160))))
+    d = synth.ensure_transcripts_sharded(SF_DIR, shards=SHARDS,
+                                         repeat=repeat)
+    paths = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    ds = rd.read_parquet(paths)
+    n_turns = ds.count()
+    in_mem = ds.size_bytes()          # Arrow in-flight estimate
+    t0 = time.monotonic()
+    total = rd.read_parquet(paths).sort(["conv_id", "turn_idx"]) \
+        .map_batches(lambda b: pa.table({"n": pa.array([b.num_rows],
+                                                       pa.int64())}),
+                     batch_format="pyarrow", batch_size=None).sum("n")
+    sec = round(time.monotonic() - t0, 3)
+    assert total == n_turns
+    from ray._private.internal_api import memory_summary
+    summ = memory_summary(stats_only=True)
+    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", summ)
+    spilled_mb, spilled_objs = (int(m.group(1)), int(m.group(2))) \
+        if m else (0, 0)
+    ray.shutdown()
+    return {
+        "metric": "global sort under object-store pressure (spill path)",
+        "n_turns": n_turns,
+        "input_arrow_bytes": in_mem,
+        "object_store_bytes": store,
+        "sort_sec": sec,
+        "turns_per_sec": round(n_turns / sec, 1),
+        "spilled_mb": spilled_mb,
+        "spilled_objects": spilled_objs,
+        "spill_forced": bool(spilled_mb > 0),
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+
+
 def run_stats() -> None:
     """Print the flagship pipeline's per-operator ds.stats() breakdown —
     the profiling loop used to verify wall-time is dominated by useful
@@ -296,6 +352,8 @@ def run_stats() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--spill" in sys.argv:
+        print(json.dumps(run_spill()))
     elif "--stats" in sys.argv:
         run_stats()
     else:

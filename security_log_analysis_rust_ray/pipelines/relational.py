@@ -4509,16 +4509,20 @@ def events_value_means_by_type(sf_dir: str) -> rd.Dataset:
     """Arithmetic / geometric / harmonic mean per group in ONE fold: all
     three are monoid sums (Σy, Σln y, Σ1/y) plus a count, so the whole
     op is a per-block grouped partial -> one tiny exchange -> vectorized
-    finish.  (value > 0 by the events generator's construction; a zero
-    would poison gmean/hmean in any engine.)  Output (event_type, mean,
-    gmean, hmean) round-6, ordered by type."""
+    finish.  A zero value makes the geometric and harmonic mean exactly
+    0 — the engine's inf arithmetic reaches that limit naturally
+    (sum ln -> -inf -> exp 0; sum 1/v -> inf -> n/inf 0), and the oracle
+    states it with a min(value)=0 gate (DuckDB's ln(0) raises).  Output
+    (event_type, mean, gmean, hmean) round-6, ordered by type."""
     def fold(b: pa.Table) -> pa.Table:
         v = b["value"].to_numpy()
+        with np.errstate(divide="ignore"):   # v=0 -> -inf/inf by design
+            logs, invs = np.log(v), 1.0 / v
         t = pa.table({"event_type": b["event_type"],
                       "n1": pa.array(np.ones(b.num_rows, np.int64)),
                       "s": b["value"],
-                      "sl": pa.array(np.log(v)),
-                      "si": pa.array(1.0 / v)})
+                      "sl": pa.array(logs),
+                      "si": pa.array(invs)})
         return t.group_by(["event_type"]).aggregate(
             [("n1", "sum"), ("s", "sum"), ("sl", "sum"), ("si", "sum")]) \
             .rename_columns(["event_type", "n1", "s", "sl", "si"])
@@ -4997,9 +5001,15 @@ def important_stock(sf_dir: str) -> rd.Dataset:
         return pa.table({
             "p_partkey": b["l_partkey"],
             "stock_value": pa.array(round_half_up(b["v"].to_numpy(), 2))})
-    return pv.map_batches(finish, batch_format="pyarrow",
-                          batch_size=None) \
-        .sort(["stock_value", "p_partkey"], descending=[True, False])
+    res = pv.map_batches(finish, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    if res.count() == 0:
+        # the fixed share gate can empty the result at larger SFs (each
+        # part's share shrinks as 1/#parts); an all-filtered-then-sorted
+        # Ray dataset drops its schema, so return the TYPED empty table
+        return rd.from_arrow(empty)
+    return res.sort(["stock_value", "p_partkey"],
+                    descending=[True, False])
 
 
 WMED_WEIGHT_MOD = 7
