@@ -291,11 +291,22 @@ def run_spill() -> dict:
                      batch_format="pyarrow", batch_size=None).sum("n")
     sec = round(time.monotonic() - t0, 3)
     assert total == n_turns
-    from ray._private.internal_api import memory_summary
-    summ = memory_summary(stats_only=True)
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", summ)
-    spilled_mb, spilled_objs = (int(m.group(1)), int(m.group(2))) \
-        if m else (0, 0)
+    # spill evidence from the raylet's on-disk spill directory (the
+    # grpc-backed memory_summary API is unavailable in this container):
+    # every object the store evicted under pressure lands here as a file
+    import ray._private.worker as _w
+    sess = _w._global_node.get_session_dir_path()
+    spilled_bytes, spilled_objs = 0, 0
+    for root, _dirs, files in os.walk(sess):
+        if "spilled" not in os.path.basename(root):
+            continue
+        for f in files:
+            try:
+                spilled_bytes += os.path.getsize(os.path.join(root, f))
+                spilled_objs += 1
+            except OSError:
+                pass
+    spilled_mb = spilled_bytes >> 20
     ray.shutdown()
     return {
         "metric": "global sort under object-store pressure (spill path)",
