@@ -80,6 +80,11 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
     # structure's error-bound contract; the raw estimators stay as
     # library functions with pytest witnesses.
     return {
+        # r05 additions
+        "host_bfs_layers":
+            _q("reports", "host_bfs_layers"),       # oracle (recursive CTE), new r05
+        "user_value_percent_rank":
+            _q("relational", "user_value_percent_rank"),       # oracle, new r05
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
@@ -2400,6 +2405,27 @@ def oracle_sql() -> dict[str, str]:
         " FROM scan GROUP BY stream, batch_id")
     out["alert_batches"] = oracle_query(alert_body).replace(
         "WITH ", "WITH RECURSIVE ", 1)
+    # multi-source BFS layers: min DIRECTED hop distance from the seed
+    # hosts over the transition graph (same edge rule as the trigram /
+    # pagerank pipelines; recursive CTE with UNION dedup, 64-round cap
+    # mirrors the engine's max_rounds)
+    out["host_bfs_layers"] = oracle_query(
+        ",\nlagged AS (SELECT conv_id, host,"
+        " lag(host) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        " AS prev FROM parsed),\n"
+        "e AS (SELECT DISTINCT prev AS src, host AS dst FROM lagged"
+        " WHERE prev IS NOT NULL AND prev <> host),\n"
+        "nodes AS (SELECT src AS node FROM e"
+        " UNION SELECT dst FROM e),\n"
+        "seeds AS (SELECT node FROM nodes WHERE"
+        r" TRY_CAST(regexp_extract(node, '^h(\d+)\.', 1) AS BIGINT)"
+        f" % {R.PPR_SEED_MOD} = 0),\n"
+        "bfs AS (SELECT node, 0 AS dist FROM seeds"
+        " UNION SELECT e.dst, b.dist + 1 FROM bfs b"
+        " JOIN e ON e.src = b.node WHERE b.dist < 64)\n"
+        "SELECT node AS host, CAST(min(dist) AS BIGINT) AS dist"
+        " FROM bfs GROUP BY node ORDER BY host").replace(
+        "WITH ", "WITH RECURSIVE ", 1)
     # A6 SES stats fold: one EmailStats row over the batch datapoints
     # (per-batch level counts -> summed counters + min/max datapoint ts +
     # sent-last-24h against the alert watermark); same scan CTE as K6
@@ -3003,6 +3029,10 @@ def oracle_sql() -> dict[str, str]:
     # engine's inf arithmetic yields that limit naturally: exp(-inf)=0,
     # n/inf=0); DuckDB's ln(0) raises instead, so the oracle gates on
     # min(value) — values are non-negative by the generator
+    out["user_value_percent_rank"] = (
+        "SELECT event_id, user_id,"
+        " round(percent_rank() OVER (PARTITION BY user_id"
+        " ORDER BY value), 6) AS pct_rank FROM events")
     out["events_value_means_by_type"] = (
         "SELECT event_type, round(avg(value), 6) AS mean,"
         " round(CASE WHEN min(value) = 0 THEN 0.0 ELSE"

@@ -4904,6 +4904,53 @@ def events_value_zscore(sf_dir: str) -> rd.Dataset:
     return j.map_batches(z, batch_format="pyarrow", batch_size=None)
 
 
+def user_value_percent_rank(sf_dir: str) -> rd.Dataset:
+    """WINDOWED percent rank PER USER: every event's value mapped to its
+    percent rank within that user's own history — the per-entity quantile
+    transform (personalized anomaly scoring: "is this large FOR THIS
+    user?").  SQL ``percent_rank() OVER (PARTITION BY user_id ORDER BY
+    value)`` with true RANK tie semantics (equal values share the rank of
+    their first position).
+
+    ONE user_id hash exchange, then one vectorized kernel per block
+    across all its users: sort (user, value, event_id), first-occurrence
+    flags name each (user, value) run's entering position, per-user
+    counts come from one bincount, and pct = rank0/(n_u-1) is INTEGER
+    arithmetic until the single final division — so engine and oracle
+    agree bit-for-bit (n_u = 1 -> 0, the SQL convention).  Output
+    (event_id, user_id, pct_rank round 6), fact-scale, streaming."""
+    from ..pipelines.streaming import _by_key_blocks
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "value"])
+
+    def block_rank(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "pct_rank": pa.array([], pa.float64())})
+        b = b.sort_by([("user_id", "ascending"), ("value", "ascending"),
+                       ("event_id", "ascending")])
+        u = b["user_id"].to_numpy()
+        v = b["value"].to_numpy()
+        n = len(u)
+        ufirst = np.r_[True, u[1:] != u[:-1]]
+        seg = np.cumsum(ufirst) - 1
+        starts = np.flatnonzero(ufirst)
+        pos = np.arange(n) - starts[seg]          # 0-based within user
+        vfirst = ufirst | np.r_[True, v[1:] != v[:-1]]
+        grp = np.cumsum(vfirst) - 1
+        first_idx = np.flatnonzero(vfirst)
+        rank0 = pos[first_idx[grp]]               # RANK-1 (ties share)
+        n_u = np.bincount(seg)[seg]
+        pct = rank0 / np.maximum(n_u - 1, 1)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "pct_rank": pa.array(round_half_up(pct, 6))})
+
+    return _by_key_blocks(ds, ["user_id"]).map_batches(
+        block_rank, batch_format="pyarrow", batch_size=None)
+
+
 def events_value_percent_rank(sf_dir: str) -> rd.Dataset:
     """Global rank NORMALIZATION: every event's value mapped to its
     percent rank (rank-1)/(n-1) — the quantile-transform feature

@@ -897,6 +897,21 @@ def host_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> rd.Dataset:
 PPR_SEED_MOD = 10   # seed set: hosts whose numeric id is divisible by 10
 
 
+def _seed_host_rows(b: pa.Table) -> pa.Table:
+    """Deterministic seed-host filter shared by personalized PageRank and
+    the BFS layers: keep nodes whose numeric host id ('h<k>.' prefix) is
+    divisible by PPR_SEED_MOD; hosts without the prefix never seed."""
+    import numpy as np
+    ids = pc.extract_regex(b["node"], r"^h(?P<k>\d+)\.")
+    k = pc.struct_field(ids, "k")
+    num = pc.cast(k, pa.int64()).to_numpy(zero_copy_only=False)
+    num = np.where(np.isnan(num.astype(np.float64)), -1,
+                   num).astype(np.int64) \
+        if num.dtype == object else np.nan_to_num(
+            num.astype(np.float64), nan=-1.0).astype(np.int64)
+    return b.filter(pa.array(np.mod(num, PPR_SEED_MOD) == 0))
+
+
 def host_personalized_pagerank(sf_dir: str,
                                iters: int = PAGERANK_ITERS) -> rd.Dataset:
     """PERSONALIZED PageRank: teleport (and dangling mass) return to a
@@ -926,18 +941,8 @@ def host_personalized_pagerank(sf_dir: str,
                               batch_format="pyarrow", batch_size=None)),
         ["node"])
 
-    def seed_rows(b: pa.Table) -> pa.Table:
-        ids = pc.extract_regex(b["node"], r"^h(?P<k>\d+)\.")
-        k = pc.struct_field(ids, "k")
-        num = pc.cast(k, pa.int64()).to_numpy(zero_copy_only=False)
-        num = np.where(np.isnan(num.astype(np.float64)), -1,
-                       num).astype(np.int64) \
-            if num.dtype == object else np.nan_to_num(
-                num.astype(np.float64), nan=-1.0).astype(np.int64)
-        return b.filter(pa.array(np.mod(num, PPR_SEED_MOD) == 0))
-
     seeds = _collect_table(nodes.map_batches(
-        seed_rows, batch_format="pyarrow", batch_size=None))
+        _seed_host_rows, batch_format="pyarrow", batch_size=None))
     if seeds.num_rows == 0:
         return rd.from_arrow(pa.table({"host": pa.array([], pa.string()),
                                        "rank": pa.array([], pa.float64())}))
@@ -950,6 +955,35 @@ def host_personalized_pagerank(sf_dir: str,
             "host": t["node"],
             "rank": pa.array(round_half_up(
                 t["rank"].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow", batch_size=None).sort("host")
+
+
+def host_bfs_layers(sf_dir: str) -> rd.Dataset:
+    """Minimum DIRECTED hop distance of every host from the seed set
+    (numeric id divisible by PPR_SEED_MOD — the same known-bad origins as
+    personalized PageRank) over the conversation transition graph: the
+    blast-radius question ("how many hops downstream of the seeds is
+    each host?").  Runs the size-aware multi-source BFS
+    (``stages/graph.bfs_layers``: frontier semi-join -> distinct dst ->
+    anti-join visited per round, one row count per round on the driver;
+    one-task numpy path under 5M edges).  Exact and deterministic, so
+    the oracle is a recursive CTE (min hop with UNION dedup).  Output
+    (host, dist) sorted by host; unreachable hosts are omitted."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.graph import bfs_layers
+
+    edges = host_transition_edges(sf_dir).materialize()
+    nodes = distinct_rows(
+        edges.map_batches(lambda t: pa.table({"node": t["src"]}),
+                          batch_format="pyarrow", batch_size=None).union(
+            edges.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                              batch_format="pyarrow", batch_size=None)),
+        ["node"])
+    seeds = nodes.map_batches(_seed_host_rows, batch_format="pyarrow",
+                              batch_size=None)
+    out = bfs_layers(edges, seeds, src="src", dst="dst")
+    return out.map_batches(
+        lambda t: pa.table({"host": t["node"], "dist": t["dist"]}),
         batch_format="pyarrow", batch_size=None).sort("host")
 
 

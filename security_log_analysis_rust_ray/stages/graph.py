@@ -441,3 +441,126 @@ def kcore(edges: rd.Dataset, k: int, src: str = "a", dst: str = "b",
         both.map_batches(lambda t: pa.table({"node": t["x"]}),
                          batch_format="pyarrow", batch_size=None),
         ["node"])
+
+
+BFS_LOCAL_MAX_EDGES = 5_000_000  # one task's worth of edge arrays
+
+
+def _bfs_one_task(edges: rd.Dataset, seeds: rd.Dataset, src: str,
+                  dst: str, seed_col: str, max_rounds: int) -> rd.Dataset:
+    """Small-graph fast path: the whole multi-source BFS in ONE remote
+    task over numpy arrays (per round: one boolean edge mask + one
+    scatter-or — never per-edge Python, never on the driver)."""
+    import numpy as np
+    import ray
+
+    @ray.remote
+    def solve(n_seed, *all_blocks):
+        # Ray resolves only TOP-LEVEL ObjectRefs, so seed and edge blocks
+        # arrive splatted together with a count to split them back apart
+        import pyarrow as _pa
+        seed_blocks = all_blocks[:n_seed]
+        blocks = all_blocks[n_seed:]
+        live = [b for b in blocks if b.num_rows > 0]
+        slive = [b for b in seed_blocks if b.num_rows > 0]
+        sarr = (np.concatenate([b[seed_col].to_numpy(zero_copy_only=False)
+                                for b in slive])
+                if slive else np.array([], dtype=object))
+        empty = _pa.table({"node": _pa.array([], _pa.string()),
+                           "dist": _pa.array([], _pa.int64())})
+        if not len(sarr):
+            return empty
+        t = _pa.concat_tables(live) if live else None
+        a = (t[src].to_numpy(zero_copy_only=False)
+             if t is not None and t.num_rows else np.array([], object))
+        b = (t[dst].to_numpy(zero_copy_only=False)
+             if t is not None and t.num_rows else np.array([], object))
+        nodes, inv = np.unique(np.concatenate([a, b, sarr]),
+                               return_inverse=True)
+        ai = inv[:len(a)]
+        bi = inv[len(a):len(a) + len(b)]
+        si = inv[len(a) + len(b):]
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[si] = 0
+        frontier = np.zeros(len(nodes), dtype=bool)
+        frontier[si] = True
+        for d in range(1, max_rounds + 1):
+            hit = frontier[ai] if len(ai) else np.array([], bool)
+            nxt = np.zeros(len(nodes), dtype=bool)
+            nxt[bi[hit]] = True
+            nxt &= dist < 0
+            if not nxt.any():
+                break
+            dist[nxt] = d
+            frontier = nxt
+        keep = dist >= 0
+        return _pa.table({"node": _pa.array(nodes[keep]),
+                          "dist": _pa.array(dist[keep], _pa.int64())})
+
+    seed_refs = list(seeds.to_arrow_refs())
+    refs = list(edges.to_arrow_refs())
+    out = ray.get(solve.remote(len(seed_refs), *seed_refs, *refs))
+    return rd.from_arrow(out)
+
+
+def bfs_layers(edges: rd.Dataset, seeds: rd.Dataset, src: str = "src",
+               dst: str = "dst", seed_col: str = "node", nparts: int = 8,
+               max_rounds: int = 64,
+               local_max_edges: int = BFS_LOCAL_MAX_EDGES) -> rd.Dataset:
+    """Multi-source BFS: (node, dist) = minimum DIRECTED hop distance from
+    any seed, the third iterative graph operator (components, pagerank,
+    now reachability layers — the blast-radius / lineage-depth question),
+    stated purely as dataset primitives:
+
+      state    = visited (node, dist) rows, seeds at dist 0
+      round d  = edges FROM the frontier (size-aware ``semi_join`` — the
+                 frontier broadcasts while small), project distinct dst,
+                 drop already-visited (size-aware ``anti_join``), stamp d
+      stop     = the frontier empties (<= graph diameter rounds; the
+                 driver sees one row count per round, never a table)
+
+    Seeds absent from the edge set still report dist 0 (they are valid
+    sources with no outgoing reach).  Unreachable nodes are omitted.
+    Size-aware like the other two: a graph under ``local_max_edges``
+    resolves in one remote numpy task.  Exact + deterministic -> the SQL
+    oracle is a recursive CTE (min hop distance with UNION dedup)."""
+    from .dedup import distinct_rows
+    from .joins import anti_join, semi_join
+
+    seeds = distinct_rows(
+        seeds.map_batches(lambda t: pa.table({seed_col: t[seed_col]}),
+                          batch_format="pyarrow", batch_size=None),
+        [seed_col]).materialize()
+    try:
+        n_edges = edges.count()
+    except Exception:
+        n_edges = None
+    if n_edges is not None and n_edges <= local_max_edges:
+        return _bfs_one_task(edges, seeds, src, dst, seed_col, max_rounds)
+
+    def stamp(d: int):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+            return pa.table({"node": t[seed_col],
+                             "dist": pa.array(
+                                 np.full(t.num_rows, d, np.int64))})
+        return f
+
+    visited = seeds.map_batches(stamp(0), batch_format="pyarrow",
+                                batch_size=None).materialize()
+    frontier = seeds
+    for d in range(1, max_rounds + 1):
+        nxt = semi_join(edges, frontier, src, seed_col, nparts=nparts)
+        nxt = distinct_rows(
+            nxt.map_batches(lambda t: pa.table({seed_col: t[dst]}),
+                            batch_format="pyarrow", batch_size=None),
+            [seed_col])
+        nxt = anti_join(nxt, visited, seed_col, "node",
+                        nparts=nparts).materialize()
+        if nxt.count() == 0:
+            break
+        visited = visited.union(
+            nxt.map_batches(stamp(d), batch_format="pyarrow",
+                            batch_size=None)).materialize()
+        frontier = nxt
+    return visited
