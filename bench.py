@@ -86,7 +86,12 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     runs = int(os.environ.get("SLAR_BENCH_RUNS", "2"))
 
+    only = os.environ.get("SLAR_BENCH_ONLY")  # comma list -> subset run
+    only_set = set(only.split(",")) if only else None
+
     def timed(name, fn):
+        if only_set is not None and name not in only_set:
+            return
         # best-of-N: the first execution of a plan shape pays one-time task
         # submission / worker-cache warmup (~0.5-1 s observed at 32 CPUs);
         # steady-state throughput is the quantity BASELINE.md tracks
@@ -208,15 +213,17 @@ def run_bench() -> dict:
                                                 pa.int64())}),
               batch_format="pyarrow", batch_size=None).sum("n"))
 
+    head = queries.get("flagship_country_counts") \
+        or next(iter(queries.values()))
     result = {
         "metric": "flagship parse->route->enrich->aggregate wall time",
-        "value": queries["flagship_country_counts"],
+        "value": head,
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_turns": n_turns,
-        "turns_per_sec": round(n_turns / queries["flagship_country_counts"], 1),
+        "turns_per_sec": round(n_turns / head, 1),
     }
     import ray
     ray.shutdown()
