@@ -85,6 +85,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("reports", "host_bfs_layers"),       # oracle (recursive CTE), new r05
         "user_value_percent_rank":
             _q("relational", "user_value_percent_rank"),       # oracle, new r05
+        "events_value_quartiles_cont_by_type":
+            _q("relational", "events_value_quartiles_cont_by_type"),  # oracle, r05
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
@@ -3029,6 +3031,13 @@ def oracle_sql() -> dict[str, str]:
     # engine's inf arithmetic yields that limit naturally: exp(-inf)=0,
     # n/inf=0); DuckDB's ln(0) raises instead, so the oracle gates on
     # min(value) — values are non-negative by the generator
+    out["events_value_quartiles_cont_by_type"] = (
+        " UNION ALL ".join(
+            f"SELECT event_type, CAST({q} AS DOUBLE) AS q,"
+            f" round(quantile_cont(value, {q}), 6) AS value_cont"
+            " FROM events GROUP BY event_type"
+            for q in REL.CONT_QS)
+        + " ORDER BY event_type, q")
     out["user_value_percent_rank"] = (
         "SELECT event_id, user_id,"
         " round(percent_rank() OVER (PARTITION BY user_id"

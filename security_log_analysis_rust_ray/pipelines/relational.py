@@ -3101,6 +3101,66 @@ def _grouped_ranks_select(ds: rd.Dataset, targets_fn) -> rd.Dataset:
                           batch_size=None)
 
 
+CONT_QS = (0.25, 0.5, 0.75)
+
+
+def events_value_quartiles_cont_by_type(sf_dir: str) -> rd.Dataset:
+    """INTERPOLATED per-group quartiles — SQL ``quantile_cont`` (the
+    continuous order statistic: value at fractional rank q*(n-1),
+    linearly interpolated between the two bracketing rows).  BOTH
+    bracketing order statistics of every (type, q) resolve against ONE
+    ``_grouped_ranks_select`` pass (<= 6 ranks per type, one global sort
+    + one summary fold + one extract — never one selection per
+    quantile); the interpolation runs on the |types|x6 driver fold with
+    DuckDB's own ``lower + (upper - lower) * fraction`` expression, and
+    the fractions (0.25/0.5/0.75 x integer) are exact in float64 — so
+    engine and oracle agree bit-for-bit.  Output (event_type, q,
+    value_cont round 6) ordered by (type, q)."""
+    from ..stages.joins import _collect_table
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    captured: dict = {}
+
+    def targets_fn(totals: pd.Series) -> pd.DataFrame:
+        captured["totals"] = totals
+        n = totals.to_numpy(dtype=np.int64)
+        typs = totals.index.to_numpy()
+        rows = {"typ": [], "target": [], "label": []}
+        for q in CONT_QS:
+            idx = q * (n - 1)
+            lo = np.floor(idx).astype(np.int64) + 1
+            hi = np.minimum(lo + 1, n)
+            for t, lo_r, hi_r in zip(typs, lo, hi):
+                rows["typ"] += [t, t]
+                rows["target"] += [int(lo_r), int(hi_r)]
+                rows["label"] += [f"{q}|lo", f"{q}|hi"]
+        return pd.DataFrame(rows)
+
+    sel = _collect_table(
+        _grouped_ranks_select(ds, targets_fn)).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "q": pa.array([], pa.float64()),
+                      "value_cont": pa.array([], pa.float64())})
+    if not len(sel):
+        return rd.from_arrow(empty)
+    parts = sel["label"].str.split("|", expand=True)
+    sel["q"], sel["side"] = parts[0].astype(float), parts[1]
+    piv = sel.pivot_table(index=["event_type", "q"], columns="side",
+                          values="value", aggfunc="first").reset_index()
+    totals = captured["totals"]
+    n = totals.reindex(piv["event_type"]).to_numpy(dtype=np.int64)
+    idx = piv["q"].to_numpy() * (n - 1)
+    fr = idx - np.floor(idx)
+    lo = piv["lo"].to_numpy()
+    hi = piv["hi"].to_numpy()
+    v = lo + (hi - lo) * fr
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(piv["event_type"], pa.string()),
+        "q": pa.array(piv["q"].to_numpy(), pa.float64()),
+        "value_cont": pa.array(round_half_up(v, 6))})) \
+        .sort(["event_type", "q"])
+
+
 def _grouped_lower_median(ds: rd.Dataset, out_col: str) -> rd.Dataset:
     """EXACT per-group lower median — the one-target instance of
     ``_grouped_ranks_select`` (rank = (n+1)//2).  Output
