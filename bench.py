@@ -270,8 +270,7 @@ def run_spill() -> dict:
     degradation under pressure instead of an OOM (the single-box stand-in
     for a 100-TB shuffle exceeding aggregate cluster store).  Prints one
     JSON line with the sort wall time, throughput, and the bytes Ray
-    actually spilled (from the raylet memory summary)."""
-    import re
+    actually spilled (from the raylet's on-disk spill directory)."""
     import warnings
     warnings.filterwarnings("ignore")
     import ray

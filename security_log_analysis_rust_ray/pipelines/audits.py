@@ -27,7 +27,6 @@ floors so toy scale factors don't flap.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
