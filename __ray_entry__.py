@@ -87,6 +87,8 @@ def _query_surface() -> dict[str, Callable[[str], Any]]:
             _q("relational", "user_value_percent_rank"),       # oracle, new r05
         "events_value_quartiles_cont_by_type":
             _q("relational", "events_value_quartiles_cont_by_type"),  # oracle, r05
+        "media_scene_changes":
+            _q("media", "media_scene_changes"),     # REAL y4m decode, oracle, r05
         # newest r04 additions (no driver row yet) lead the window
         "doc_jaccard_prefix_pairs":
             _q("docs", "doc_jaccard_prefix_pairs"),                # oracle, new r04
@@ -2346,6 +2348,17 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, CAST({M.FRAME_K} AS BIGINT) AS n_frames,"
         " CAST(sum(v) AS BIGINT) AS total_luma"
         " FROM px GROUP BY doc_id")
+    # scene cuts: |luma_sum delta| between consecutive SAMPLED frames of a
+    # doc above SCENE_DELTA_PER_PX per pixel (integer rule, frame 0 never
+    # flags) — same pixel formula, lag window on the per-frame sums
+    out["media_scene_changes"] = _y4m_px + (
+        ", fs AS (SELECT doc_id, k, CAST(sum(v) AS BIGINT) AS ls"
+        " FROM px GROUP BY doc_id, k, t),\n"
+        "lagged AS (SELECT doc_id, k, abs(ls - lag(ls) OVER ("
+        " PARTITION BY doc_id ORDER BY k)) AS delta FROM fs)\n"
+        "SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,"
+        " CAST(delta AS BIGINT) AS delta FROM lagged"
+        f" WHERE delta > {M.SCENE_DELTA_PER_PX} * {M.Y4M_W} * {M.Y4M_H}")
     # genuine BMP decode: SQL restatement of media_bmp_manifest_ds's pixel
     # formula — the engine value is the sum of actually-decoded pixels
     out["media_bmp_features"] = (

@@ -358,6 +358,45 @@ def media_frame_stats(sf_dir: str) -> rd.Dataset:
                                             batch_size=None)
 
 
+SCENE_DELTA_PER_PX = 8     # mean-luma jump per pixel that flags a cut
+
+
+def media_scene_changes(sf_dir: str) -> rd.Dataset:
+    """SCENE-CHANGE detection over the GENUINELY decoded y4m frames: a
+    sampled frame is a cut when its luma sum jumps by more than
+    SCENE_DELTA_PER_PX per pixel vs the previous sampled frame of the
+    same doc — the shot-boundary primitive of a video curation pipeline
+    (dedupe stills, keyframe selection).  Rides the FrameSample actor
+    pool; the per-block kernel is one sort + one vectorized diff within
+    doc segments (docs never span the sampler's output batches).
+    INTEGER luma arithmetic throughout, so the oracle restates the rule
+    exactly over the same pixel formula.  Output (doc_id, frame_idx,
+    delta) — flagged frames only, frame 0 never flags."""
+    import numpy as np
+    thresh = SCENE_DELTA_PER_PX * Y4M_W * Y4M_H
+
+    def cuts(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "frame_idx": pa.array([], pa.int32()),
+                          "delta": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        b = b.sort_by([("doc_id", "ascending"),
+                       ("frame_idx", "ascending")])
+        d = b["doc_id"].to_numpy()
+        ls = b["luma_sum"].to_numpy()
+        first = np.r_[True, d[1:] != d[:-1]]
+        delta = np.abs(np.r_[0, np.diff(ls)])
+        keep = (~first) & (delta > thresh)
+        t = b.filter(pa.array(keep))
+        return pa.table({"doc_id": t["doc_id"],
+                         "frame_idx": t["frame_idx"],
+                         "delta": pa.array(delta[keep], pa.int64())})
+
+    return media_frames(sf_dir).map_batches(cuts, batch_format="pyarrow",
+                                            batch_size=None)
+
+
 BMP_W, BMP_H = 16, 8
 
 
